@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables._
+
+/** Q11-Q22 (SURVEY.md §2b): distinct aggregation, window functions
+  * (ranking / lag / frames), sort + top-k, set operations, and the scalar
+  * function library (string/date/math/array/json) plus batch tumbling
+  * windows.
+  *
+  * Scale notes: window functions partition by customer/user keys (high
+  * cardinality -> even shuffle); COUNT(DISTINCT) goes through Spark's
+  * two-phase distinct-aggregate expansion; top-k is TakeOrderedAndProject
+  * (no global sort materialization).
+  */
+object Analytics {
+
+  /** Q11: exact COUNT(DISTINCT user_id) overall + per event_type via rollup. */
+  def q11(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .rollup(col("event_type"))
+      .agg(big(countDistinct(col("user_id"))).as("uniq_users"),
+        big(count(lit(1))).as("n_events"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  val q11Sql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY ROLLUP(event_type)
+      |ORDER BY event_type ASC NULLS FIRST""".stripMargin
+
+  /** Q12: ranking window — most expensive order per customer. */
+  def q12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec2(col("o_totalprice")).as("top_price"))
+      .orderBy("o_custkey")
+      .limit(50)
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS top_price
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey LIMIT 50""".stripMargin
+
+  /** Q13: lag/lead window — per-user sum of value deltas. */
+  def q13(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("diff", dec2(col("value")) - lag(dec2(col("value")), 1).over(w))
+      .groupBy("user_id")
+      .agg(money(sum(col("diff"))).as("sum_diff"), big(count(col("diff"))).as("n_diffs"))
+      .orderBy("user_id")
+  }
+
+  val q13Sql: String =
+    """SELECT user_id, CAST(SUM(diff) AS DECIMAL(38,6)) AS sum_diff,
+      |  CAST(COUNT(diff) AS BIGINT) AS n_diffs
+      |FROM (SELECT user_id,
+      |        CAST(value AS DECIMAL(12,2)) - LAG(CAST(value AS DECIMAL(12,2)), 1)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
+      |      FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q14: frame window — running total per customer. */
+  def q14(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running_total", money(sum(dec2(col("o_totalprice"))).over(w)))
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderkey"), col("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .limit(50)
+  }
+
+  val q14Sql: String =
+    """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 50""".stripMargin
+
+  /** Q15: global top-k by price with tie-breaks. */
+  def q15(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec2(col("l_extendedprice")).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  val q15Sql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  /** Q16: set ops — INTERSECT / EXCEPT / UNION of two custkey sets. */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    val building = customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val orderers = orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val i = building.intersect(orderers).agg(big(count(lit(1))).as("cnt"))
+      .withColumn("op", lit("intersect"))
+    val e = building.except(orderers).agg(big(count(lit(1))).as("cnt"))
+      .withColumn("op", lit("except"))
+    val u = building.union(orderers).distinct().agg(big(count(lit(1))).as("cnt"))
+      .withColumn("op", lit("union"))
+    i.union(e).union(u).select(col("op"), col("cnt")).orderBy("op")
+  }
+
+  val q16Sql: String =
+    """WITH b AS (SELECT c_custkey k FROM customer WHERE c_mktsegment='BUILDING'),
+      |     o AS (SELECT DISTINCT o_custkey k FROM orders)
+      |SELECT op, cnt FROM (
+      |  SELECT 'intersect' op, CAST(COUNT(*) AS BIGINT) cnt FROM (SELECT k FROM b INTERSECT SELECT k FROM o)
+      |  UNION ALL
+      |  SELECT 'except', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM b EXCEPT SELECT k FROM o)
+      |  UNION ALL
+      |  SELECT 'union', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM b UNION SELECT k FROM o)
+      |) ORDER BY op""".stripMargin
+
+  /** Q17: string function suite over part names. */
+  def q17(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .where(col("p_name").like("%e%") && col("p_name").rlike("^[a-z ]+$"))
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_type")).as("utype"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        col("p_name").like("%red%").as("has_red"))
+      .orderBy("p_partkey")
+      .limit(25)
+
+  val q17Sql: String =
+    """SELECT p_partkey, LOWER(p_name) AS lname, UPPER(p_type) AS utype,
+      |  SUBSTRING(p_name, 1, 5) AS name5,
+      |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      |  CONCAT(p_brand, '#', p_type) AS brand_type,
+      |  TRIM(CONCAT('  ', p_name, '  ')) AS trimmed,
+      |  p_name LIKE '%red%' AS has_red
+      |FROM part
+      |WHERE p_name LIKE '%e%' AND regexp_matches(p_name, '^[a-z ]+$')
+      |ORDER BY p_partkey LIMIT 25""".stripMargin
+
+  /** Q18: date function suite — monthly order rollup. */
+  def q18(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"))
+      .agg(big(count(lit(1))).as("cnt"),
+        money(sum(dec2(col("o_totalprice")))).as("total"))
+      .orderBy("month")
+
+  val q18Sql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS total
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY month""".stripMargin
+
+  /** Q19: math function suite — integer-exact combos. */
+  def q19(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        big(sum(ceil(col("l_extendedprice")) * (col("l_orderkey") % 7))).as("sum_ceil_mod"),
+        big(sum(floor(col("l_extendedprice")))).as("sum_floor"),
+        big(sum(abs(col("l_orderkey") % 5 - lit(2)))).as("sum_abs"),
+        big(sum(pow(lit(2), (col("l_orderkey") % 5).cast(DoubleType)).cast(LongType))).as("sum_pow"))
+      .orderBy("l_returnflag")
+
+  val q19Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(CEIL(l_extendedprice) AS BIGINT) * (l_orderkey % 7)) AS BIGINT) AS sum_ceil_mod,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_floor,
+      |  CAST(SUM(ABS(l_orderkey % 5 - 2)) AS BIGINT) AS sum_abs,
+      |  CAST(SUM(CAST(POWER(2, l_orderkey % 5) AS BIGINT)) AS BIGINT) AS sum_pow
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q20: array function suite over embeddings. Norm uses 3-decimal
+    * quantization so integer arithmetic is bit-exact across engines. */
+  def q20(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("first_val"),
+        element_at(col("embedding"), -1).cast(DoubleType).as("last_val"),
+        sqrt(aggregate(
+          transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * 1000).cast(LongType)),
+          lit(0L), (acc, q) => acc + q * q).cast(DoubleType)).as("l2_q3"))
+      .orderBy("vec_id")
+      .limit(50)
+
+  val q20Sql: String =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first_val,
+      |  CAST(embedding[-1] AS DOUBLE) AS last_val,
+      |  SQRT(CAST(list_aggregate(list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT) *
+      |         CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)), 'sum') AS DOUBLE)) AS l2_q3
+      |FROM embeddings ORDER BY vec_id LIMIT 50""".stripMargin
+
+  /** Q21: JSON extraction + agg over event props. */
+  def q21(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        big(sum(get_json_object(col("props"), "$.k").cast(LongType))).as("sum_k"),
+        big(count(get_json_object(col("props"), "$.k"))).as("n_k"))
+      .orderBy("event_type")
+
+  val q21Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q22: batch form of the tumbling hourly window (streaming S1 mirror). */
+  def q22(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(big(count(lit(1))).as("cnt"),
+        money(sum(dec2(col("value")))).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val q22Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_distinct_users" -> q11 _,
+    "q12_window_rank_top_order" -> q12 _,
+    "q13_window_lag_diff" -> q13 _,
+    "q14_window_running_sum" -> q14 _,
+    "q15_topk_price" -> q15 _,
+    "q16_set_ops" -> q16 _,
+    "q17_string_funcs" -> q17 _,
+    "q18_date_funcs" -> q18 _,
+    "q19_math_funcs" -> q19 _,
+    "q20_array_funcs" -> q20 _,
+    "q21_json_funcs" -> q21 _,
+    "q22_hourly_tumbling" -> q22 _)
+
+  val oracle: Map[String, String] = Map(
+    "q11_distinct_users" -> q11Sql,
+    "q12_window_rank_top_order" -> q12Sql,
+    "q13_window_lag_diff" -> q13Sql,
+    "q14_window_running_sum" -> q14Sql,
+    "q15_topk_price" -> q15Sql,
+    "q16_set_ops" -> q16Sql,
+    "q17_string_funcs" -> q17Sql,
+    "q18_date_funcs" -> q18Sql,
+    "q19_math_funcs" -> q19Sql,
+    "q20_array_funcs" -> q20Sql,
+    "q21_json_funcs" -> q21Sql,
+    "q22_hourly_tumbling" -> q22Sql)
+}

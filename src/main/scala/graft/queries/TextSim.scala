@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables._
+
+/** Q23-Q26 (SURVEY.md §2b): exact dedup, tokenize/word-count, exact k-NN
+  * cosine similarity, and pairwise Jaccard near-dup detection.
+  *
+  * Cross-engine exactness strategy:
+  *  - cosine runs over 3-decimal-quantized integer embeddings
+  *    (floor(x*1000)): dot products and norms are exact BIGINT sums, and
+  *    the final double division/sqrt is IEEE-identical in Spark and
+  *    DuckDB — no rounding tolerance needed;
+  *  - Jaccard is an int/int double division (correctly rounded, identical
+  *    bits in both engines).
+  *
+  * Scale notes: the pairwise ops join within a blocking key (`source`) so
+  * the shuffle partitions by block, never materializing the full O(n^2)
+  * cross product; the scalable unblocked path is MinHash-LSH (see
+  * graft.ops.Dedup).
+  */
+object TextSim {
+
+  /** Q23: exact duplicate groups by full text (hash groupBy). */
+  def q23(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("text")
+      .agg(big(min(col("doc_id"))).as("min_doc_id"),
+        big(count(lit(1))).as("dup_cnt"))
+      .where(col("dup_cnt") > 1)
+      .select("min_doc_id", "dup_cnt")
+      .orderBy("min_doc_id")
+
+  val q23Sql: String =
+    """SELECT CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS dup_cnt
+      |FROM documents GROUP BY text HAVING COUNT(*) > 1
+      |ORDER BY min_doc_id""".stripMargin
+
+  /** Q24: tokenize + global top-20 word frequencies. */
+  def q24(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(big(count(lit(1))).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+
+  val q24Sql: String =
+    """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin
+
+  /** Quantized integer embedding + its exact squared norm. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+
+  /** Q25: exact k-NN — top-5 cosine neighbors for probe vectors id<10.
+    * Probe side is tiny -> broadcast; the candidate scan streams once. */
+  def q25(s: SparkSession, d: String): DataFrame = {
+    val all = quantized(s, d)
+    val probes = all.where(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "probe_id")
+      .withColumnRenamed("q", "pq")
+      .withColumnRenamed("norm2", "pnorm2")
+    val pairs = all.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("dot", aggregate(zip_with(col("pq"), col("q"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("sim", col("dot").cast(DoubleType) /
+        sqrt(col("pnorm2").cast(DoubleType) * col("norm2").cast(DoubleType)))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val q25Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_aggregate(list_transform(qv, x -> x*x), 'sum') AS BIGINT) AS norm2
+      |  FROM q),
+      |ex AS (
+      |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS v FROM n),
+      |dots AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, CAST(SUM(p.v * c.v) AS BIGINT) AS dot
+      |  FROM ex p JOIN ex c ON p.i = c.i AND p.vec_id < 10 AND c.vec_id <> p.vec_id
+      |  GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT probe_id, cand_id,
+      |    CAST(dot AS DOUBLE) / SQRT(CAST(np.norm2 AS DOUBLE) * CAST(nc.norm2 AS DOUBLE)) AS sim
+      |  FROM dots JOIN n np ON np.vec_id = probe_id JOIN n nc ON nc.vec_id = cand_id),
+      |ranked AS (
+      |  SELECT probe_id, cand_id AS neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+      |  FROM sims)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+      |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  /** distinct tokens per doc, with the blocking key. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+
+  /** Q26: pairwise token-set Jaccard >= 0.5 within the same source.
+    * Blocked self-join on (source, token); jaccard = |I| / |A U B| as an
+    * exact int/int division. */
+  def q26(s: SparkSession, d: String): DataFrame = {
+    val tok = docTokens(s, d)
+    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val a = tok.select(col("doc_id").as("i"), col("source"), col("w"))
+    val b = tok.select(col("doc_id").as("j"), col("source").as("source_b"), col("w").as("w_b"))
+    val inter = a.join(b,
+        col("source") === col("source_b") && col("w") === col("w_b") && col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+    val ca = cnt.select(col("doc_id").as("i"), col("c").as("ci"))
+    val cb = cnt.select(col("doc_id").as("j"), col("c").as("cj"))
+    inter.join(ca, "i").join(cb, "j")
+      .withColumn("union_cnt", col("ci") + col("cj") - col("n"))
+      .withColumn("jaccard", col("n").cast(DoubleType) / col("union_cnt").cast(DoubleType))
+      .where(col("jaccard") >= 0.5)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+        big(col("n")).as("inter_cnt"), big(col("union_cnt")).as("union_cnt"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q26Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n
+      |  FROM tok a JOIN tok b
+      |    ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i AS doc_a, j AS doc_b,
+      |  CAST(n AS BIGINT) AS inter_cnt,
+      |  CAST(ca.c + cb.c - n AS BIGINT) AS union_cnt,
+      |  CAST(n AS DOUBLE) / CAST(ca.c + cb.c - n AS DOUBLE) AS jaccard
+      |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+      |WHERE CAST(n AS DOUBLE) / CAST(ca.c + cb.c - n AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_exact_dedup" -> q23 _,
+    "q24_word_count" -> q24 _,
+    "q25_knn_cosine" -> q25 _,
+    "q26_jaccard_neardup" -> q26 _)
+
+  val oracle: Map[String, String] = Map(
+    "q23_exact_dedup" -> q23Sql,
+    "q24_word_count" -> q24Sql,
+    "q25_knn_cosine" -> q25Sql,
+    "q26_jaccard_neardup" -> q26Sql)
+}
