@@ -1,0 +1,64 @@
+package graft.cli
+
+import graft.emu.KinesisEmu
+import graft.sink.KinesisWriter
+
+/** CLI parity with the reference (`main.go:15-51`):
+  *
+  *   ingest <stream> [-p <partitionKey>]   # stdin -> buffered writer -> stream
+  *   query <name> [sfDir]                  # run a declared query, print it
+  *
+  * The ingest path composes the same stack as `NewFastWriter`
+  * (`kinesis/kinesis.go:49-57`): 4 MiB buffer, chunk/batch, final flush
+  * that drains everything (improving on reference quirk (b), SURVEY.md
+  * §2a). Exit code 1 with `err:` on failure, like the reference.
+  */
+object Main {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "ingest" :: stream :: rest =>
+      val key = rest match {
+        case ("-p" | "-partitionKey") :: k :: _ => k
+        case _ => "pk"
+      }
+      try {
+        KinesisEmu.createStream(stream, shards = 4)
+        val cfg = KinesisWriter.Config(stream, key)
+        var delivered = 0L
+        val flusher = new KinesisWriter.Flusher(cfg, unit => {
+          KinesisWriter.write(cfg, unit); delivered += unit.length
+        })
+        val buf = new Array[Byte](64 * 1024)
+        Iterator.continually(System.in.read(buf, 0, buf.length))
+          .takeWhile(_ >= 0)
+          .foreach(n => if (n > 0) flusher.write(buf.slice(0, n)))
+        flusher.flush() // graceful-shutdown final flush (main.go:48)
+        val st = KinesisEmu.stream(stream).get
+        val recs = st.allRecords
+        println(s"delivered=${delivered}B records=${recs.size} " +
+          s"shards=${st.shards.count(_.records.nonEmpty)} stream=$stream key=$key")
+      } catch {
+        case e: Throwable => System.err.println(s"err: ${e.getMessage}"); sys.exit(1)
+      }
+
+    case "query" :: name :: rest =>
+      val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.SparkEntry.queries.get(name) match {
+        case Some(q) => q(spark, dir).show(50, false); spark.stop()
+        case None =>
+          System.err.println(s"err: unknown query '$name'. Known: " +
+            graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+          spark.stop(); sys.exit(1)
+      }
+
+    case _ =>
+      System.err.println("usage: ingest <stream> [-p key] | query <name> [sfDir]")
+      sys.exit(1)
+  }
+}

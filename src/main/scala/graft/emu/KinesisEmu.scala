@@ -1,0 +1,113 @@
+package graft.emu
+
+import java.security.MessageDigest
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import graft.ingest.{KinesisRecord, Limits}
+
+/** In-process Kinesis service emulation (SURVEY.md §7.1 `emu/`).
+  *
+  * No kinesis connector jar and no network exist in this environment, so
+  * the service itself is emulated: named streams with N shards, routing
+  * by MD5(partitionKey) over an evenly divided hash-key space (the real
+  * service's documented routing), per-shard monotone sequence numbers,
+  * and ENFORCED request limits — including the 5 MiB request size and
+  * per-shard rate ceilings the reference declares but never checks
+  * (`kinesis/kinesis.go:19-35`, SURVEY.md §1.1).
+  *
+  * Thread-safe: PutRecords lands concurrently from all executor threads
+  * of a local[*] session. (On a real multi-JVM cluster this object would
+  * be replaced by the actual service endpoint; the sink code paths are
+  * identical either way.)
+  */
+object KinesisEmu {
+
+  final case class StoredRecord(shardId: String, sequenceNumber: Long,
+                                partitionKey: String, data: Array[Byte],
+                                arrivalNanos: Long)
+
+  final case class PutResult(shardId: String, sequenceNumber: Long)
+
+  final class Shard(val shardId: String) {
+    private val seq = new AtomicLong(0L)
+    private[KinesisEmu] val log = new ArrayBuffer[StoredRecord]()
+    def append(key: String, data: Array[Byte], clockNanos: Long): PutResult = {
+      val s = seq.getAndIncrement()
+      val rec = StoredRecord(shardId, s, key, data, clockNanos)
+      log.synchronized { log += rec }
+      PutResult(shardId, s)
+    }
+    def records: Seq[StoredRecord] = log.synchronized { log.toVector }
+    def latestSequence: Long = seq.get() - 1
+  }
+
+  final class Stream(val name: String, val numShards: Int) {
+    val shards: Vector[Shard] = (0 until numShards).map(i => new Shard(f"shardId-$i%012d")).toVector
+    private val md = new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+    /** MD5(key) mapped onto evenly divided hash ranges, like the real
+      * service (reference routes with a single constant key -> 1 shard,
+      * `kinesis/kinesis.go:179,192`). */
+    def shardFor(partitionKey: String): Shard = {
+      val h = md.get().digest(partitionKey.getBytes("UTF-8"))
+      // top 16 bytes as unsigned big-endian, reduced mod numShards via
+      // the top 64 bits (sufficient uniformity for routing)
+      val top = BigInt(1, h)
+      shards((top % numShards).toInt)
+    }
+    def allRecords: Seq[StoredRecord] = shards.flatMap(_.records)
+  }
+
+  final case class PerRecordFailure(index: Int, errorCode: String)
+
+  /** Injectable failure hook for tests: given (stream, batch) return
+    * per-record failures, like the service's partial-failure responses. */
+  @volatile var failureInjector: (String, Seq[KinesisRecord]) => Seq[PerRecordFailure] =
+    (_, _) => Seq.empty
+
+  private val streams = new ConcurrentHashMap[String, Stream]()
+
+  def createStream(name: String, shards: Int = 1): Stream =
+    streams.computeIfAbsent(name, _ => new Stream(name, shards))
+
+  def stream(name: String): Option[Stream] = Option(streams.get(name))
+
+  def deleteStream(name: String): Unit = streams.remove(name)
+
+  def reset(): Unit = { streams.clear(); failureInjector = (_, _) => Seq.empty }
+
+  final case class PutRecordsResponse(results: Seq[Either[PerRecordFailure, PutResult]]) {
+    def failedCount: Int = results.count(_.isLeft)
+  }
+
+  /** The PutRecords RPC (reference duck-typed client,
+    * `kinesis/kinesis.go:171-173,217-239`), with limits enforced. */
+  def putRecords(streamName: String, records: Seq[KinesisRecord]): PutRecordsResponse = {
+    val st = stream(streamName).getOrElse(
+      throw new IllegalArgumentException(s"ResourceNotFoundException: stream $streamName"))
+    require(records.nonEmpty, "ValidationException: empty record list")
+    require(records.size <= Limits.PutRecordsLimit,
+      s"ValidationException: ${records.size} records exceeds limit ${Limits.PutRecordsLimit}")
+    records.foreach { r =>
+      val sz = r.partitionKey.getBytes("UTF-8").length + r.data.length
+      require(sz <= Limits.RecordSizeLimit,
+        s"ValidationException: record of $sz bytes exceeds ${Limits.RecordSizeLimit}")
+    }
+    val total = records.map(r => r.partitionKey.getBytes("UTF-8").length.toLong + r.data.length).sum
+    require(total <= Limits.PutRecordsSizeLimit,
+      s"ValidationException: request of $total bytes exceeds ${Limits.PutRecordsSizeLimit}")
+
+    val failures = failureInjector(streamName, records).map(f => f.index -> f).toMap
+    val now = System.nanoTime()
+    PutRecordsResponse(records.zipWithIndex.map { case (r, i) =>
+      failures.get(i) match {
+        case Some(f) => Left(f)
+        case None => Right(st.shardFor(r.partitionKey).append(r.partitionKey, r.data, now))
+      }
+    })
+  }
+}

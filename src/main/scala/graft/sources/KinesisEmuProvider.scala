@@ -1,0 +1,279 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.emu.KinesisEmu
+import graft.ingest._
+import graft.sink.KinesisWriter
+
+/** DataSource V2 `kinesis-emu` — the Spark-native re-expression of the
+  * reference's entire surface (SURVEY.md §2a R1-R14) as a first-class
+  * source/sink:
+  *
+  *   df.write.format("kinesis-emu").option("stream", s).option("partitionKey", k).save()
+  *   df.writeStream.format("kinesis-emu")...         // R3 time-flush = trigger
+  *   spark.readStream.format("kinesis-emu").option("stream", s).load()
+  *
+  * Write path per task: Flusher (R3 size-bound) -> DropPolicy (R4) ->
+  * chunk (R5) -> records (R6) -> batches (R7) -> emu PutRecords (R8),
+  * with drop metrics surfaced as DSv2 CustomMetrics (R13).
+  *
+  * Read path: micro-batch offsets are per-shard sequence numbers — the
+  * same offset model as the real service's shard iterators; each shard
+  * maps to one input partition (= Kinesis consumer parallelism).
+  */
+class KinesisEmuProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kinesis-emu"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KinesisEmuTable.READ_SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KinesisEmuTable(new CaseInsensitiveStringMap(properties))
+}
+
+object KinesisEmuTable {
+  /** Kafka-source-like relational view of a stream (SURVEY.md §1.2). */
+  val READ_SCHEMA: StructType = StructType(Seq(
+    StructField("partitionKey", StringType),
+    StructField("data", BinaryType),
+    StructField("sequenceNumber", LongType),
+    StructField("shardId", StringType),
+    StructField("arrivalTs", TimestampType)))
+}
+
+class KinesisEmuTable(options: CaseInsensitiveStringMap) extends Table
+    with SupportsWrite with SupportsRead {
+  private val streamName = options.get("stream")
+  require(streamName != null, "option 'stream' is required")
+
+  override def name(): String = s"kinesis-emu/$streamName"
+  override def schema(): StructType = KinesisEmuTable.READ_SCHEMA
+  override def capabilities(): util.Set[TableCapability] = Set(
+    TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+    TableCapability.MICRO_BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KinesisEmuWriteBuilder(streamName, options, info.schema())
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new KinesisEmuScanBuilder(streamName)
+}
+
+// ---------------------------------------------------------------- write
+
+final case class SinkConfig(streamName: String, partitionKey: String,
+                            bufferSize: Int, queueDepth: Int,
+                            dropOnBackpressure: Boolean, drainPerOffer: Double,
+                            valueField: Int, keyField: Int)
+
+class KinesisEmuWriteBuilder(stream: String, options: CaseInsensitiveStringMap,
+                             schema: StructType) extends WriteBuilder {
+  override def build(): Write = {
+    // value column: 'value' or 'data' (BINARY or STRING); key column optional
+    val valueIdx = schema.fieldNames.indexWhere(n => n == "value" || n == "data")
+    require(valueIdx >= 0, s"input needs a 'value' or 'data' column, got ${schema.fieldNames.mkString(",")}")
+    val keyIdx = schema.fieldNames.indexOf("partitionKey")
+    val cfg = SinkConfig(
+      streamName = stream,
+      partitionKey = Option(options.get("partitionKey")).getOrElse("pk"),
+      bufferSize = options.getInt("bufferSize", 4 * 1024 * 1024), // FastWriter 4 MiB (kinesis.go:56)
+      queueDepth = options.getInt("queueDepth", 4),               // FastWriter queue (kinesis.go:52)
+      dropOnBackpressure = options.getBoolean("dropOnBackpressure", false),
+      drainPerOffer = options.getDouble("drainPerOffer", 1.0),
+      valueField = valueIdx, keyField = keyIdx)
+    val isString = schema.fields(valueIdx).dataType == StringType
+    new KinesisEmuWrite(cfg, isString)
+  }
+}
+
+class KinesisEmuWrite(cfg: SinkConfig, valueIsString: Boolean) extends Write {
+  override def toBatch: BatchWrite = new KinesisEmuBatchWrite(cfg, valueIsString)
+  override def toStreaming: StreamingWrite = new KinesisEmuStreamingWrite(cfg, valueIsString)
+  override def supportedCustomMetrics(): Array[CustomMetric] = Array(
+    new CustomSumMetric { def name = "droppedBytes"; def description = "bytes shed by drop policy" },
+    new CustomSumMetric { def name = "droppedUnits"; def description = "flush units shed by drop policy" },
+    new CustomSumMetric { def name = "deliveredRecords"; def description = "records delivered to the stream" })
+}
+
+class KinesisEmuBatchWrite(cfg: SinkConfig, valueIsString: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KinesisEmuWriterFactory(cfg, valueIsString)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class KinesisEmuStreamingWrite(cfg: SinkConfig, valueIsString: Boolean) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new KinesisEmuWriterFactory(cfg, valueIsString)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class KinesisEmuWriterFactory(cfg: SinkConfig, valueIsString: Boolean)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KinesisEmuDataWriter(cfg, valueIsString)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new KinesisEmuDataWriter(cfg, valueIsString)
+}
+
+final case class KinesisCommit(delivered: Long, dropped: Long, droppedBytes: Long)
+    extends WriterCommitMessage
+
+/** Per-task writer: buffers row payloads into flush units (R3), sheds
+  * load deterministically when configured (R4), chunks/batches/puts on
+  * flush (R5-R8). One instance per task — single-threaded by contract. */
+class KinesisEmuDataWriter(cfg: SinkConfig, valueIsString: Boolean)
+    extends DataWriter[InternalRow] {
+
+  private val writerCfg = KinesisWriter.Config(cfg.streamName, cfg.partitionKey,
+    bufferSize = cfg.bufferSize, queueDepth = cfg.queueDepth)
+  private var stats = DropStats(0, 0, 0, 0)
+  private var deliveredRecords = 0L
+  private val pendingUnits = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+  private val flusher = new KinesisWriter.Flusher(writerCfg, unit => pendingUnits += unit)
+
+  override def write(row: InternalRow): Unit = {
+    val key = if (cfg.keyField >= 0 && !row.isNullAt(cfg.keyField))
+      row.getUTF8String(cfg.keyField).toString else cfg.partitionKey
+    val payload =
+      if (valueIsString) row.getUTF8String(cfg.valueField).getBytes
+      else row.getBinary(cfg.valueField)
+    if (key == cfg.partitionKey) flusher.write(payload)
+    else { // per-row routing key: bypass the shared buffer for that row
+      flusher.flush(); drain()
+      deliver(KinesisWriter.Config(cfg.streamName, key), payload)
+    }
+  }
+
+  private def deliver(c: KinesisWriter.Config, payload: Array[Byte]): Unit = {
+    val resps = KinesisWriter.write(c, payload)
+    deliveredRecords += resps.map(_.results.count(_.isRight)).sum
+    stats = stats + DropStats(1, 1, 0, 0)
+  }
+
+  private def drain(): Unit = {
+    if (pendingUnits.nonEmpty) {
+      if (cfg.dropOnBackpressure) {
+        val (accepted, _, s) = DropPolicy.decide(
+          pendingUnits.map(_.length.toLong).toSeq, cfg.queueDepth, cfg.drainPerOffer)
+        accepted.foreach { i =>
+          val resps = KinesisWriter.write(writerCfg, pendingUnits(i))
+          deliveredRecords += resps.map(_.results.count(_.isRight)).sum
+        }
+        stats = stats + s
+      } else {
+        pendingUnits.foreach { u =>
+          val resps = KinesisWriter.write(writerCfg, u)
+          deliveredRecords += resps.map(_.results.count(_.isRight)).sum
+        }
+        stats = stats + DropStats(pendingUnits.size, pendingUnits.size, 0, 0)
+      }
+      pendingUnits.clear()
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flusher.flush(); drain() // final flush drains EVERYTHING (fixes quirk (b))
+    KinesisCommit(stats.delivered, stats.dropped, stats.droppedBytes)
+  }
+  override def abort(): Unit = pendingUnits.clear()
+  override def close(): Unit = ()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    taskMetric("droppedBytes", stats.droppedBytes),
+    taskMetric("droppedUnits", stats.dropped),
+    taskMetric("deliveredRecords", deliveredRecords))
+  private def taskMetric(n: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
+    override def name(): String = n
+    override def value(): Long = v
+  }
+}
+
+// ----------------------------------------------------------------- read
+
+/** Offset = per-shard next-sequence-number map, JSON-encoded. */
+final case class ShardOffsets(next: Map[String, Long]) extends Offset {
+  override def json(): String =
+    next.toSeq.sortBy(_._1)
+      .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
+}
+
+object ShardOffsets {
+  def parse(json: String): ShardOffsets = ShardOffsets(
+    """"([^"]+)":(\d+)""".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap)
+}
+
+class KinesisEmuScanBuilder(stream: String) extends ScanBuilder {
+  override def build(): Scan = new KinesisEmuScan(stream)
+}
+
+class KinesisEmuScan(stream: String) extends Scan {
+  override def readSchema(): StructType = KinesisEmuTable.READ_SCHEMA
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KinesisEmuMicroBatchStream(stream)
+}
+
+class KinesisEmuMicroBatchStream(stream: String) extends MicroBatchStream {
+  private def shards = KinesisEmu.stream(stream)
+    .getOrElse(throw new IllegalArgumentException(s"stream $stream not found")).shards
+
+  override def initialOffset(): Offset =
+    ShardOffsets(shards.map(s => s.shardId -> 0L).toMap)
+  override def latestOffset(): Offset =
+    ShardOffsets(shards.map(s => s.shardId -> (s.latestSequence + 1)).toMap)
+  override def deserializeOffset(json: String): Offset = ShardOffsets.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardOffsets].next
+    val e = end.asInstanceOf[ShardOffsets].next
+    shards.map { sh =>
+      KinesisEmuInputPartition(stream, sh.shardId,
+        s.getOrElse(sh.shardId, 0L), e.getOrElse(sh.shardId, 0L)): InputPartition
+    }.filter { case p: KinesisEmuInputPartition => p.from < p.until }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KinesisEmuReaderFactory
+}
+
+final case class KinesisEmuInputPartition(stream: String, shardId: String,
+                                          from: Long, until: Long) extends InputPartition
+
+class KinesisEmuReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KinesisEmuInputPartition]
+    new KinesisEmuPartitionReader(p)
+  }
+}
+
+class KinesisEmuPartitionReader(p: KinesisEmuInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val recs = KinesisEmu.stream(p.stream).get.shards
+    .find(_.shardId == p.shardId).get.records
+    .filter(r => r.sequenceNumber >= p.from && r.sequenceNumber < p.until)
+    .sortBy(_.sequenceNumber).iterator
+  private var cur: KinesisEmu.StoredRecord = _
+
+  override def next(): Boolean = { if (recs.hasNext) { cur = recs.next(); true } else false }
+  override def get(): InternalRow = InternalRow(
+    UTF8String.fromString(cur.partitionKey), cur.data, cur.sequenceNumber,
+    UTF8String.fromString(cur.shardId), cur.arrivalNanos / 1000L)
+  override def close(): Unit = ()
+}

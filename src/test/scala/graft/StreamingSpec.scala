@@ -1,0 +1,155 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.emu.KinesisEmu
+import graft.streaming.Windows
+
+/** S1-S5 streaming behaviors (SURVEY.md §5.5): windowed aggregations
+  * replayed through MemoryStream must equal their batch answers, and the
+  * kinesis-emu DSv2 sink/source round-trips with the reference's
+  * chunk/batch limits observed. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); KinesisEmu.reset() }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** replay the events table (ordered by ts) through a MemoryStream and
+    * run `job` to completion in update-less append mode with one final
+    * watermark-closing batch. */
+  private def replayThrough(job: DataFrame => DataFrame): DataFrame = {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val stream = MemoryStream[Ev]
+    val out = job(stream.toDF())
+    val qName = s"replay_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // two chunks + a far-future closer so the watermark passes all data
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a.toIndexedSeq)
+    stream.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    val closer = Ev(-1L, new Timestamp(rows.last.ts.getTime + 24L * 3600 * 1000),
+      -1L, "closer", 0.0)
+    stream.addData(closer)
+    val q2 = out.writeStream.format("memory").queryName(qName + "_b")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop(); q.stop()
+    spark.table(qName + "_b")
+  }
+
+  test("S1: streaming tumbling-hour counts equal the batch answer") {
+    val streamed = replayThrough(Windows.tumblingHourly)
+      .filter(col("event_type") =!= "closer")
+    val batch = Windows.batchTumbling(spark, sfDir)
+    val sCnt = streamed.orderBy("window_start", "event_type").collect()
+    val bCnt = batch.collect()
+    assert(sCnt.length == bCnt.length)
+    assert(sCnt.map(_.toString).sameElements(bCnt.map(_.toString)))
+  }
+
+  test("S3: streaming session windows equal the batch answer") {
+    val streamed = replayThrough(Windows.sessionWindows)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start").collect()
+    val batch = Windows.batchSessions(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
+  test("S4: late rows beyond the watermark are dropped from append output") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = Windows.tumblingHourly(stream.toDF())
+    val qn = s"late_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    def ev(h: Int, id: Long) = Ev(id, Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"), 1L, "view", 1.0)
+    stream.addData(ev(1, 1), ev(1, 2))
+    q.processAllAvailable()
+    stream.addData(ev(10, 3)) // advances watermark to 09:50
+    q.processAllAvailable()
+    stream.addData(ev(1, 4)) // late: hour-1 window closed long ago -> dropped
+    q.processAllAvailable()
+    stream.addData(ev(20, 5)) // closes hour-10 too
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table(qn).collect().map(r => (r.getString(0), r.getLong(2)))
+    // hour-1 window must report ONLY the 2 on-time rows; late row 4 shed
+    assert(rows.contains(("2024-01-01 01:00:00", 2L)))
+    assert(!rows.contains(("2024-01-01 01:00:00", 3L)))
+  }
+
+  test("S5: sink -> emu -> source round-trip with chunk/batch limits") {
+    KinesisEmu.reset()
+    KinesisEmu.createStream("e2e", shards = 2)
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    // write a payload bigger than one record through the batch writer
+    val payload = ("x" * 2500).getBytes
+    val df = Seq((payload, "alpha"), (payload, "beta")).toDF("value", "partitionKey")
+    df.write.format("kinesis-emu")
+      .option("stream", "e2e").option("partitionKey", "alpha").mode("append").save()
+
+    val stored = KinesisEmu.stream("e2e").get.allRecords
+    assert(stored.nonEmpty)
+    assert(stored.forall(_.data.length <= graft.ingest.Limits.RecordSizeLimit))
+    val byKey = stored.groupBy(_.partitionKey).view.mapValues(_.map(_.data.length).sum).toMap
+    assert(byKey("alpha") == 2500 && byKey("beta") == 2500)
+    // distinct keys routed deterministically; both shards addressable
+    val shardOfAlpha = stored.filter(_.partitionKey == "alpha").map(_.shardId).distinct
+    assert(shardOfAlpha.size == 1)
+
+    // read back through the streaming source
+    val qn = s"rt_${System.nanoTime()}"
+    val rq = spark.readStream.format("kinesis-emu").option("stream", "e2e").load()
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    rq.processAllAvailable(); rq.stop()
+    val read = spark.table(qn)
+    assert(read.count() == stored.size)
+    assert(read.select(sum(length(col("data")))).as[Long].head() == 5000L)
+    assert(read.select("partitionKey").distinct().as[String].collect().toSet == Set("alpha", "beta"))
+  }
+
+  test("S5b: drop policy sheds flush units under backpressure, metrics add up") {
+    KinesisEmu.reset()
+    KinesisEmu.createStream("drops", shards = 1)
+    val s = spark
+    import s.implicits._
+    // tiny buffer (64 B) + queueDepth 1 -> many flush units, most shed
+    val df = (1 to 64).map(i => ("y" * 64) + i).toDF("value").coalesce(1)
+    df.write.format("kinesis-emu")
+      .option("stream", "drops").option("partitionKey", "k")
+      .option("bufferSize", "64").option("queueDepth", "1")
+      .option("drainPerOffer", "0.25")
+      .option("dropOnBackpressure", "true").mode("append").save()
+    val delivered = KinesisEmu.stream("drops").get.allRecords.map(_.data.length).sum
+    val total = (1 to 64).map(i => (("y" * 64) + i).length).sum
+    assert(delivered > 0 && delivered < total, s"delivered=$delivered of $total")
+  }
+}
