@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * a01 (brute-force cosine top-k) is the exact baseline — see
+  * TextSim.q25. a02 is the scale path: random-hyperplane LSH bucketing.
+  * Plane weights are a deterministic integer formula (no RNG, no
+  * engine-specific hash), so Spark and DuckDB produce identical buckets;
+  * at 100 TB the bucket join replaces the O(n*m) probe-candidate cross
+  * product with a shuffle on bucket ids.
+  */
+object Ann {
+
+  val NumPlanes = 6
+
+  /** plane weight for (plane p, dimension i): pseudo-random but fully
+    * deterministic integers in [-1001, 1001]. */
+  private def weightExpr: String =
+    "((p * 73856093 + i * 19349663) % 2003) - 1001"
+
+  /** bucket id for a quantized vector: sign bits of the 6 plane dots. */
+  def a02(s: SparkSession, d: String): DataFrame = {
+    val q = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+    // bucket = sum over planes of sign-bit * 2^p; plane dot uses the
+    // deterministic weight formula over quantized components
+    val bucketed = q.withColumn("bucket",
+      expr(s"""aggregate(sequence(0, ${NumPlanes - 1}), CAST(0 AS BIGINT), (acc, p) ->
+        acc + CAST(POWER(2, p) AS BIGINT) * (CASE WHEN
+          aggregate(sequence(0, size(q)-1), CAST(0 AS BIGINT),
+            (s2, i) -> s2 + q[i] * ($weightExpr)) >= 0 THEN 1 ELSE 0 END))"""))
+    val probes = bucketed.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("norm2").as("pnorm2"), col("bucket").as("pbucket"))
+    val cands = bucketed.select(col("vec_id"), col("q"), col("norm2"), col("bucket"))
+    val pairs = cands.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("dot", aggregate(zip_with(col("pq"), col("q"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("sim", col("dot").cast(DoubleType) /
+        sqrt(col("pnorm2").cast(DoubleType) * col("norm2").cast(DoubleType)))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val a02Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_aggregate(list_transform(qv, x -> x*x), 'sum') AS BIGINT) AS norm2
+      |  FROM q),
+      |planes AS (
+      |  SELECT p.p, i.i, CAST(((p.p * 73856093 + i.i * 19349663) % 2003) - 1001 AS BIGINT) AS wt
+      |  FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS p) p,
+      |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+      |ex AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS v FROM n),
+      |pdots AS (
+      |  SELECT ex.vec_id, planes.p, CAST(SUM(ex.v * planes.wt) AS BIGINT) AS pdot
+      |  FROM ex JOIN planes ON planes.i = ex.i GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN pdot >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM pdots GROUP BY vec_id),
+      |dots AS (
+      |  SELECT pa.vec_id AS probe_id, ca.vec_id AS cand_id, CAST(SUM(pa.v * ca.v) AS BIGINT) AS dot
+      |  FROM ex pa
+      |    JOIN buckets pb ON pb.vec_id = pa.vec_id AND pa.vec_id < 10
+      |    JOIN buckets cb ON cb.bucket = pb.bucket
+      |    JOIN ex ca ON ca.vec_id = cb.vec_id AND ca.i = pa.i AND ca.vec_id <> pa.vec_id
+      |  GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT probe_id, cand_id,
+      |    CAST(dot AS DOUBLE) / SQRT(CAST(np.norm2 AS DOUBLE) * CAST(nc.norm2 AS DOUBLE)) AS sim
+      |  FROM dots JOIN n np ON np.vec_id = probe_id JOIN n nc ON nc.vec_id = cand_id),
+      |ranked AS (
+      |  SELECT probe_id, cand_id AS neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+      |  FROM sims)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+      |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a02_ann_lsh_bucketed" -> a02 _)
+
+  val oracle: Map[String, String] = Map(
+    "a02_ann_lsh_bucketed" -> a02Sql)
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Multimodal-column plumbing: treat media as opaque `binary` columns
+  * with typed metadata, decode/feature-extract in batched per-partition
+  * workers.
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/
+  * audio codecs exist in this container): it derives pseudo-metadata
+  * from the bytes with exact integer arithmetic, so the Spark-side
+  * plumbing that matters at scale — binary schema, partitioned batch
+  * iteration, worker-side batching, typed output schema — is real and
+  * oracle-checkable, and the stub body is the single function a real
+  * deployment replaces with an actual codec.
+  */
+object Multimodal {
+
+  /** typed record produced by the decode worker. */
+  final case class DecodedMedia(doc_id: Long, byte_len: Long, width: Long,
+                                height: Long, channels: Long, n_frames: Long,
+                                feature: Double)
+
+  /** STUB decoder: replace with a real codec (e.g. JNI image lib) in a
+    * real deployment. Deterministic pure function of the bytes. */
+  def decodeStub(docId: Long, blob: Array[Byte]): DecodedMedia = {
+    val len = blob.length.toLong
+    var h = 0L
+    blob.foreach { b => h = (h * 31 + (b & 0xffL)) % 1000000007L }
+    DecodedMedia(
+      doc_id = docId,
+      byte_len = len,
+      width = (len * 7 + 13) % 640 + 1,
+      height = (len * 11 + 29) % 480 + 1,
+      channels = 3,
+      n_frames = len % 16 + 1,
+      feature = (h % 997).toDouble / 997.0)
+  }
+
+  val DecodeBatchSize = 64
+
+  /** m01: binary column -> batched partition-wise decode -> typed rows.
+    * The batch loop mirrors how a vectorized codec UDF consumes record
+    * batches (decode N blobs per call, amortizing codec setup). */
+  def m01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs: Dataset[(Long, Array[Byte])] = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+    blobs
+      .repartition(col("doc_id")) // spread decode work by key, no skew on doc_id
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          // one "codec call" per batch of blobs
+          batch.map { case (id, blob) => decodeStub(id, blob) }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val m01Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS byte_len,
+      |  CAST((length(text) * 7 + 13) % 640 + 1 AS BIGINT) AS width,
+      |  CAST((length(text) * 11 + 29) % 480 + 1 AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(length(text) % 16 + 1 AS BIGINT) AS n_frames,
+      |  CAST(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 997 AS DOUBLE) / 997.0 AS feature
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_multimodal_decode" -> m01 _)
+
+  val oracle: Map[String, String] = Map(
+    "m01_multimodal_decode" -> m01Sql)
+}

@@ -2,9 +2,11 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Aggregation point for the LLM-pipeline operator suites (dedup,
-  * similarity search, text analysis, multimodal). Filled in per-suite. */
+/** Aggregation point for the LLM-pipeline operator suites: dedup (d*),
+  * similarity search (a*), text analysis (t*), multimodal (m*). */
 object Ops {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Dedup.queries ++ TextAnalysis.queries ++ Ann.queries ++ Multimodal.queries
+  def oracle: Map[String, String] =
+    Dedup.oracle ++ TextAnalysis.oracle ++ Ann.oracle ++ Multimodal.oracle
 }
