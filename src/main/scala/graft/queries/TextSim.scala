@@ -115,25 +115,42 @@ object TextSim {
         explode(array_distinct(split(col("text"), " "))).as("w"))
 
   /** Q26: pairwise token-set Jaccard >= 0.5 within the same source.
-    * Blocked self-join on (source, token); jaccard = |I| / |A U B| as an
-    * exact int/int division. */
+    * Uses the blocked merge-intersect kernel (one task per source
+    * block, sets shuffled once) rather than the exploded token-pair
+    * join — same exact int/int arithmetic, far less shuffle. */
   def q26(s: SparkSession, d: String): DataFrame = {
-    val tok = docTokens(s, d)
-    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val a = tok.select(col("doc_id").as("i"), col("source"), col("w"))
-    val b = tok.select(col("doc_id").as("j"), col("source").as("source_b"), col("w").as("w_b"))
-    val inter = a.join(b,
-        col("source") === col("source_b") && col("w") === col("w_b") && col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("n"))
-    val ca = cnt.select(col("doc_id").as("i"), col("c").as("ci"))
-    val cb = cnt.select(col("doc_id").as("j"), col("c").as("cj"))
-    inter.join(ca, "i").join(cb, "j")
-      .withColumn("union_cnt", col("ci") + col("cj") - col("n"))
-      .withColumn("jaccard", col("n").cast(DoubleType) / col("union_cnt").cast(DoubleType))
-      .where(col("jaccard") >= 0.5)
-      .select(col("i").as("doc_a"), col("j").as("doc_b"),
-        big(col("n")).as("inter_cnt"), big(col("union_cnt")).as("union_cnt"), col("jaccard"))
+    import s.implicits._
+    val feats = documents(s, d).select(col("source"), col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("fs"))
+    feats.as[(String, Long, Array[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val docs = it.map { case (_, id, fs) =>
+          java.util.Arrays.sort(fs, java.util.Comparator.naturalOrder[String]())
+          (id, fs)
+        }.toArray.sortBy(_._1)
+        for {
+          x <- docs.indices.iterator
+          y <- (x + 1 until docs.length).iterator
+          (ia, fa) = docs(x); (ib, fb) = docs(y)
+          n = intersectCount(fa, fb)
+          u = fa.length + fb.length - n
+          jac = n.toDouble / u.toDouble
+          if jac >= 0.5
+        } yield (ia, ib, n.toLong, u.toLong, jac)
+      }
+      .toDF("doc_a", "doc_b", "inter_cnt", "union_cnt", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  private def intersectCount(a: Array[String], b: Array[String]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1 else j += 1
+    }
+    n
   }
 
   val q26Sql: String =
