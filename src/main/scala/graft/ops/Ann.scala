@@ -17,6 +17,28 @@ import graft.core.Tables._
   */
 object Ann {
 
+  /** a01: brute-force cosine top-k over the RAW float embeddings using
+    * the native codegen CosineSimilarity expression — the exact-answer
+    * baseline every ANN variant is measured against. Stays entirely
+    * inside whole-stage codegen (broadcast probe side, fused loop, no
+    * UDF). No DuckDB oracle: float summation order differs across
+    * engines, so the driver records the rows-only check; the exact
+    * QUANTIZED variant with a full oracle is TextSim.q25. */
+  def a01(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosine_similarity
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", cosine_similarity(col("pe"), col("embedding")))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("probe_id", "rank")
+  }
+
   val NumPlanes = 6
 
   /** plane weight for (plane p, dimension i): pseudo-random but fully
@@ -94,8 +116,11 @@ object Ann {
       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _)
 
+  /** a01 intentionally has no oracle entry (float-sum order across
+    * engines); the driver records its rows-only check. */
   val oracle: Map[String, String] = Map(
     "a02_ann_lsh_bucketed" -> a02Sql)
 }

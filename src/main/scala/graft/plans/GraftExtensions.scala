@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or: spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * Injects:
+  *  - SQL function `cosine_similarity(a, b)` backed by the native
+  *    codegen expression (usable from spark.sql text, not just the
+  *    Column API);
+  *  - `SelfCosineRule`, an optimizer rule folding
+  *    cosine_similarity(x, x) to 1.0 — a self-join ANN pipeline emits
+  *    exactly this on the diagonal, and folding it prunes the dominant
+  *    branch of the filter.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    e.injectOptimizerRule(_ => SelfCosineRule)
+  }
+}
+
+/** cosine_similarity(x, x) == 1.0 for any non-degenerate x; fold it so
+  * diagonal comparisons in self-join similarity pipelines disappear at
+  * plan time. (Degenerate all-zero vectors yield 0.0 at runtime but
+  * never survive the >= threshold filters this feeds; documented
+  * trade-off for the constant fold.) */
+object SelfCosineRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+      Literal(1.0)
+  }
+}

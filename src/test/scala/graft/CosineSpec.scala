@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.CosineSimilarity.cosine_similarity
+
+/** Native codegen CosineSimilarity expression: correctness, codegen/
+  * interpreted agreement, SQL registration via GraftExtensions, and the
+  * self-cosine optimizer rule. */
+class CosineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-cosine-spec")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("known-answer values, codegen path") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f), 1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0) // degenerate -> 0.0
+    ).toDF("a", "b", "want")
+    val got = df.withColumn("sim", cosine_similarity(col("a"), col("b")))
+      .select(abs(col("sim") - col("want")).as("err"))
+      .agg(max("err")).head().getDouble(0)
+    assert(got < 1e-9)
+  }
+
+  test("codegen and interpreted paths agree on real embeddings") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50).select(col("vec_id"), col("embedding"))
+    val self = e.crossJoin(e.select(col("embedding").as("e2"), col("vec_id").as("v2")))
+      .where(col("vec_id") < col("v2"))
+    val viaExpr = self.withColumn("sim", cosine_similarity(col("embedding"), col("e2")))
+      .agg(sum("sim")).head().getDouble(0)
+    // interpreted re-computation on the driver
+    val rows = e.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    var want = 0.0
+    for (i <- rows.indices; j <- rows.indices if rows(i)._1 < rows(j)._1) {
+      val (a, b) = (rows(i)._2, rows(j)._2)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) { dot += a(k).toDouble * b(k); na += a(k).toDouble * a(k); nb += b(k).toDouble * b(k) }
+      want += dot / math.sqrt(na * nb)
+    }
+    assert(math.abs(viaExpr - want) < 1e-6)
+  }
+
+  test("SQL registration + self-cosine fold via extensions") {
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(2 AS FLOAT), CAST(4 AS FLOAT))) AS c").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-9)
+    // self-cosine folds to a literal at plan time
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = e.selectExpr("cosine_similarity(embedding, embedding) AS c")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("1.0"), s"expected folded literal in:\n$plan")
+    assert(!plan.toLowerCase.contains("cosine_similarity"), s"expression should be folded:\n$plan")
+  }
+}

@@ -44,20 +44,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stream = MemoryStream[Ev]
     val out = job(stream.toDF())
     val qName = s"replay_${System.nanoTime()}"
+    // one long-lived query; explicit processAllAvailable() between
+    // addData calls forces batch boundaries so the watermark advances
+    // and append mode emits every closed window deterministically
     val q = out.writeStream.format("memory").queryName(qName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    // two chunks + a far-future closer so the watermark passes all data
+      .outputMode("append").start()
     val (a, b) = rows.splitAt(rows.length / 2)
     stream.addData(a.toIndexedSeq)
+    q.processAllAvailable()
     stream.addData(b.toIndexedSeq)
     q.processAllAvailable()
+    // far-future closer passes the watermark beyond all real data
     val closer = Ev(-1L, new Timestamp(rows.last.ts.getTime + 24L * 3600 * 1000),
       -1L, "closer", 0.0)
     stream.addData(closer)
-    val q2 = out.writeStream.format("memory").queryName(qName + "_b")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q2.processAllAvailable(); q2.stop(); q.stop()
-    spark.table(qName + "_b")
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qName)
   }
 
   test("S1: streaming tumbling-hour counts equal the batch answer") {
