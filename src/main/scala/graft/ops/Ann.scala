@@ -58,6 +58,9 @@ object Ann {
         acc + CAST(POWER(2, p) AS BIGINT) * (CASE WHEN
           aggregate(sequence(0, size(q)-1), CAST(0 AS BIGINT),
             (s2, i) -> s2 + q[i] * ($weightExpr)) >= 0 THEN 1 ELSE 0 END))"""))
+      // probes AND candidates both read this; persist so the non-codegen
+      // HOF bucket computation runs once per vector, not once per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = bucketed.where(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"),
         col("norm2").as("pnorm2"), col("bucket").as("pbucket"))

@@ -155,4 +155,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val total = (1 to 64).map(i => (("y" * 64) + i).length).sum
     assert(delivered > 0 && delivered < total, s"delivered=$delivered of $total")
   }
+
+  test("S3b: flatMapGroupsWithState sessionization equals session_window") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"value")
+      .as[graft.streaming.Sessionize.SessEvent]
+      .collect().sortBy(_.ts.getTime)
+    val stream = MemoryStream[graft.streaming.Sessionize.SessEvent]
+    val out = graft.streaming.Sessionize.sessions(stream.toDS())
+    val qn = s"sess_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b.toIndexedSeq); q.processAllAvailable()
+    stream.addData(graft.streaming.Sessionize.SessEvent(-1L,
+      new Timestamp(rows.last.ts.getTime + 48L * 3600 * 1000), 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(qn).filter($"user_id" =!= -1L)
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        round($"sum_value", 2).as("sv"))
+      .orderBy("user_id", "session_start").collect()
+    val want = graft.streaming.Sessionize.batchSessions(spark, sfDir)
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        round($"sum_value", 2).as("sv"))
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length == want.length, s"got ${got.length} want ${want.length}")
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
 }
