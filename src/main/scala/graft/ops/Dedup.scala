@@ -99,18 +99,23 @@ object Dedup {
     val cand = a.join(b, col("band") === col("band_b") &&
         col("band_sig") === col("sig_b") && col("i") < col("j"))
       .select("i", "j").distinct()
-    val toks = docBands.map { case (id, ts, _) => (id, ts) }.toDF("doc_id", "toks")
-    cand
-      .join(toks.select(col("doc_id").as("i"), col("toks").as("fa")), "i")
-      .join(toks.select(col("doc_id").as("j"), col("toks").as("fb")), "j")
-      .select(col("i"), col("j"), col("fa"), col("fb"))
-      .as[(Long, Long, Array[String], Array[String])]
-      .map { case (i, j, fa, fb) =>
-        val n = sortedIntersect(fa, fb)
-        (i, j, n.toDouble / (fa.length + fb.length - n).toDouble)
+    // verify: broadcast the token-set map (O(docs) small side) so the
+    // candidate-pair stream never shuffles token arrays. On a corpus too
+    // big to broadcast, replace with a sort-merge join of cand against
+    // the token table range-partitioned by doc_id — same arithmetic.
+    val tokMap = s.sparkContext.broadcast(
+      docBands.map { case (id, ts, _) => (id, ts) }.collect().toMap)
+    cand.as[(Long, Long)]
+      .mapPartitions { it =>
+        val m = tokMap.value
+        it.flatMap { case (i, j) =>
+          val fa = m(i); val fb = m(j)
+          val n = sortedIntersect(fa, fb)
+          val jac = n.toDouble / (fa.length + fb.length - n).toDouble
+          if (jac >= 0.5) Iterator.single((i, j, jac)) else Iterator.empty
+        }
       }
       .toDF("doc_a", "doc_b", "jaccard")
-      .where(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * similarity search (a*), text analysis (t*), multimodal (m*). */
 object Ops {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Dedup.queries ++ TextAnalysis.queries ++ Ann.queries ++ Multimodal.queries
+    Dedup.queries ++ TextAnalysis.queries ++ Ann.queries ++
+      Multimodal.queries ++ Pipeline.queries
   def oracle: Map[String, String] =
-    Dedup.oracle ++ TextAnalysis.oracle ++ Ann.oracle ++ Multimodal.oracle
+    Dedup.oracle ++ TextAnalysis.oracle ++ Ann.oracle ++
+      Multimodal.oracle ++ Pipeline.oracle
 }

@@ -186,4 +186,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == want.length, s"got ${got.length} want ${want.length}")
     assert(got.map(_.toString).sameElements(want.map(_.toString)))
   }
+
+  test("S5c: streaming write path — rate source through the kinesis-emu sink") {
+    KinesisEmu.reset()
+    KinesisEmu.createStream("streamed", shards = 2)
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .selectExpr("CAST(concat('payload-', value) AS BINARY) AS value",
+        "concat('user', CAST(value % 7 AS STRING)) AS partitionKey")
+    val q = src.writeStream.format("kinesis-emu")
+      .option("stream", "streamed")
+      .option("checkpointLocation", s"/tmp/graft_ckpt_${System.nanoTime()}")
+      .start()
+    val deadline = System.currentTimeMillis() + 15000
+    while (KinesisEmu.stream("streamed").get.allRecords.size < 50 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop()
+    val recs = KinesisEmu.stream("streamed").get.allRecords
+    assert(recs.size >= 50, s"only ${recs.size} records arrived")
+    // per-row routing keys spread across both shards, payloads intact
+    assert(recs.map(_.shardId).distinct.size == 2)
+    assert(recs.forall(r => new String(r.data).startsWith("payload-")))
+    val keys = recs.map(_.partitionKey).distinct
+    assert(keys.forall(_.startsWith("user")) && keys.size > 1)
+  }
 }
