@@ -34,6 +34,22 @@ object KinesisEmu {
   final class Shard(val shardId: String) {
     private val seq = new AtomicLong(0L)
     private[KinesisEmu] val log = new ArrayBuffer[StoredRecord]()
+    // rate window: (epoch second, records, bytes) — guarded by `log`
+    private var winSec = Long.MinValue
+    private var winRecs = 0L
+    private var winBytes = 0L
+
+    /** true iff the record fits this second's rate window; updates the
+      * window on acceptance. */
+    private[KinesisEmu] def admit(bytes: Long, nowNanos: Long): Boolean =
+      log.synchronized {
+        val sec = nowNanos / 1000000000L
+        if (sec != winSec) { winSec = sec; winRecs = 0L; winBytes = 0L }
+        if (winRecs + 1 > Limits.ShardRecordsRateLimit ||
+          winBytes + bytes > Limits.ShardBytesRateLimit) false
+        else { winRecs += 1; winBytes += bytes; true }
+      }
+
     def append(key: String, data: Array[Byte], clockNanos: Long): PutResult = {
       val s = seq.getAndIncrement()
       val rec = StoredRecord(shardId, s, key, data, clockNanos)
@@ -69,6 +85,17 @@ object KinesisEmu {
   @volatile var failureInjector: (String, Seq[KinesisRecord]) => Seq[PerRecordFailure] =
     (_, _) => Seq.empty
 
+  /** Pluggable clock (nanos). Tests pin it to drive deterministic
+    * rate-limit windows; production uses the system clock. */
+  @volatile var clock: () => Long = () => System.nanoTime()
+
+  /** When true, the per-shard ingest ceilings the reference declares
+    * but never checks (`kinesis/kinesis.go:25,28`) are enforced:
+    * records landing in the same wall-clock second on one shard beyond
+    * 1000 records or 1 MiB fail with ProvisionedThroughputExceeded —
+    * the real service's behavior. */
+  @volatile var enforceShardRates: Boolean = false
+
   private val streams = new ConcurrentHashMap[String, Stream]()
 
   def createStream(name: String, shards: Int = 1): Stream =
@@ -78,7 +105,12 @@ object KinesisEmu {
 
   def deleteStream(name: String): Unit = streams.remove(name)
 
-  def reset(): Unit = { streams.clear(); failureInjector = (_, _) => Seq.empty }
+  def reset(): Unit = {
+    streams.clear()
+    failureInjector = (_, _) => Seq.empty
+    clock = () => System.nanoTime()
+    enforceShardRates = false
+  }
 
   final case class PutRecordsResponse(results: Seq[Either[PerRecordFailure, PutResult]]) {
     def failedCount: Int = results.count(_.isLeft)
@@ -102,12 +134,28 @@ object KinesisEmu {
       s"ValidationException: request of $total bytes exceeds ${Limits.PutRecordsSizeLimit}")
 
     val failures = failureInjector(streamName, records).map(f => f.index -> f).toMap
-    val now = System.nanoTime()
+    val now = clock()
     PutRecordsResponse(records.zipWithIndex.map { case (r, i) =>
       failures.get(i) match {
         case Some(f) => Left(f)
-        case None => Right(st.shardFor(r.partitionKey).append(r.partitionKey, r.data, now))
+        case None =>
+          val shard = st.shardFor(r.partitionKey)
+          val sz = r.partitionKey.getBytes("UTF-8").length.toLong + r.data.length
+          if (enforceShardRates && !shard.admit(sz, now))
+            Left(PerRecordFailure(i, "ProvisionedThroughputExceededException"))
+          else Right(shard.append(r.partitionKey, r.data, now))
       }
     })
+  }
+
+  /** Dump a stream's per-shard durable log as a DataFrame (the Kafka-like
+    * relational view, SURVEY.md §1.2) — the batch-read counterpart of the
+    * DSv2 streaming source, for ad-hoc inspection and replay. */
+  def toDataFrame(spark: org.apache.spark.sql.SparkSession, streamName: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val recs = stream(streamName).map(_.allRecords).getOrElse(Seq.empty)
+    recs.map(r => (r.partitionKey, r.data, r.sequenceNumber, r.shardId,
+        new java.sql.Timestamp(r.arrivalNanos / 1000000L)))
+      .toDF("partitionKey", "data", "sequenceNumber", "shardId", "arrivalTs")
   }
 }

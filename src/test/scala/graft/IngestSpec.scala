@@ -165,4 +165,46 @@ class IngestSpec extends AnyFunSuite {
         assert((acc ++ drop).sorted == sizes.indices)
     }
   }
+
+  test("shard-rate ceilings enforced under a pinned clock (declared-only upstream, kinesis.go:25,28)") {
+    withStream() {
+      var now = 1000L * 1000000000L // pinned: second 1000
+      KinesisEmu.clock = () => now
+      KinesisEmu.enforceShardRates = true
+      val rec = KinesisRecord("k", Array.fill(100)(1.toByte))
+      // 1000 records/s admitted, the 1001st fails with throughput error
+      val full = (0 until 3).map { _ =>
+        KinesisEmu.putRecords("t", Seq.fill(500)(rec))
+      }
+      val throttled = full.flatMap(_.results).collect { case Left(f) => f.errorCode }
+      assert(full.flatMap(_.results).count(_.isRight) == 1000)
+      assert(throttled.size == 500 &&
+        throttled.forall(_ == "ProvisionedThroughputExceededException"))
+      // next second: the window resets
+      now += 1000000000L
+      assert(KinesisEmu.putRecords("t", Seq.fill(10)(rec)).failedCount == 0)
+      // byte ceiling: 1 MiB/s/shard
+      val big = KinesisRecord("k", Array.fill(600 * 1024)(1.toByte))
+      now += 1000000000L
+      val r1 = KinesisEmu.putRecords("t", Seq(big, big))
+      assert(r1.results.head.isRight && r1.results(1).isLeft)
+    }
+  }
+
+  test("emu durable log dumps as the Kafka-like relational view") {
+    withStream(shards = 2) {
+      (0 until 10).foreach(i => KinesisWriter.write(
+        KinesisWriter.Config("t", s"k$i"), Array.fill(4)(i.toByte)))
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+      val df = KinesisEmu.toDataFrame(spark, "t")
+      assert(df.columns.toSeq ==
+        Seq("partitionKey", "data", "sequenceNumber", "shardId", "arrivalTs"))
+      assert(df.count() == 10)
+      val path = s"/tmp/graft_emu_dump_${System.nanoTime()}"
+      df.write.partitionBy("shardId").parquet(path)
+      assert(spark.read.parquet(path).count() == 10)
+    }
+  }
 }

@@ -210,4 +210,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val keys = recs.map(_.partitionKey).distinct
     assert(keys.forall(_.startsWith("user")) && keys.size > 1)
   }
+
+  test("S2: streaming sliding windows (1h every 15m) equal the batch answer") {
+    val streamed = replayThrough(Windows.slidingWindow)
+      .filter(col("event_type") =!= "closer")
+      .orderBy("window_start", "event_type").collect()
+    val batch = Windows.slidingWindow(graft.core.Tables.events(spark, sfDir))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
 }
