@@ -7,8 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Ops {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ TextAnalysis.queries ++ Ann.queries ++
-      Multimodal.queries ++ Pipeline.queries
+      Multimodal.queries ++ Pipeline.queries ++ AsOfJoin.queries
   def oracle: Map[String, String] =
     Dedup.oracle ++ TextAnalysis.oracle ++ Ann.oracle ++
-      Multimodal.oracle ++ Pipeline.oracle
+      Multimodal.oracle ++ Pipeline.oracle ++ AsOfJoin.oracle
 }
