@@ -118,12 +118,120 @@ object Ann {
       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
+  // ---- a03: IVF (inverted-file) ANN — coarse quantizer + cluster probe ----
+
+  val IvfCentroids = 16
+  val IvfProbeClusters = 2
+
+  /** a03: IVF search — vectors are assigned to their nearest centroid
+    * (deterministic coarse codebook: the first K vectors by id), probes
+    * scan only their nearest `IvfProbeClusters` clusters. At 100 TB the
+    * assignment is one broadcast-centroid map pass and the search is a
+    * shuffle on cluster id — the classic IVF partition-pruning shape.
+    * All similarity math is quantized-integer + IEEE division, so the
+    * DuckDB oracle matches exactly. */
+  def a03(s: SparkSession, d: String): DataFrame = {
+    val q = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = q.where(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("norm2").as("cnorm2"))
+    def simCol = col("dot").cast(DoubleType) /
+      sqrt(col("norm2").cast(DoubleType) * col("cnorm2").cast(DoubleType))
+    // assignment: nearest centroid per vector (broadcast codebook)
+    val assignW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+    val assigned = q.join(broadcast(cents), lit(true))
+      .withColumn("dot", aggregate(zip_with(col("q"), col("cq"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("csim", simCol)
+      .withColumn("crank", row_number().over(assignW))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("q"), col("norm2"), col("cid").as("cluster"))
+    // probes search their nearest IvfProbeClusters clusters
+    val probeClusters = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("norm2").as("pnorm2"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("dot", aggregate(zip_with(col("pq"), col("cq"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("csim", col("dot").cast(DoubleType) /
+        sqrt(col("pnorm2").cast(DoubleType) * col("cnorm2").cast(DoubleType)))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("csim").desc, col("cid"))))
+      .where(col("crank") <= IvfProbeClusters)
+      .select(col("probe_id"), col("pq"), col("pnorm2"), col("cid").as("pcluster"))
+    val pairs = assigned.join(broadcast(probeClusters),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
+      .withColumn("dot", aggregate(zip_with(col("pq"), col("q"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("sim", col("dot").cast(DoubleType) /
+        sqrt(col("pnorm2").cast(DoubleType) * col("norm2").cast(DoubleType)))
+    pairs.withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val a03Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_aggregate(list_transform(qv, x -> x*x), 'sum') AS BIGINT) AS norm2
+      |  FROM q),
+      |ex AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS v FROM n),
+      |cents AS (SELECT vec_id AS cid, norm2 AS cnorm2 FROM n WHERE vec_id < $IvfCentroids),
+      |cdots AS (
+      |  SELECT a.vec_id, c.vec_id AS cid, CAST(SUM(a.v * c.v) AS BIGINT) AS dot
+      |  FROM ex a JOIN ex c ON c.i = a.i AND c.vec_id < $IvfCentroids
+      |  GROUP BY 1, 2),
+      |csims AS (
+      |  SELECT cdots.vec_id, cdots.cid,
+      |    CAST(dot AS DOUBLE) / SQRT(CAST(nv.norm2 AS DOUBLE) * CAST(cents.cnorm2 AS DOUBLE)) AS csim
+      |  FROM cdots JOIN n nv ON nv.vec_id = cdots.vec_id
+      |             JOIN cents ON cents.cid = cdots.cid),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
+      |    FROM csims) WHERE crank = 1),
+      |probe_clusters AS (
+      |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
+      |    FROM csims WHERE vec_id < 10) WHERE crank <= $IvfProbeClusters),
+      |cand AS (
+      |  SELECT pc.probe_id, a.vec_id AS cand_id
+      |  FROM probe_clusters pc JOIN assigned a
+      |    ON a.cluster = pc.cluster AND a.vec_id <> pc.probe_id),
+      |dots AS (
+      |  SELECT cand.probe_id, cand.cand_id, CAST(SUM(p.v * c.v) AS BIGINT) AS dot
+      |  FROM cand JOIN ex p ON p.vec_id = cand.probe_id
+      |            JOIN ex c ON c.vec_id = cand.cand_id AND c.i = p.i
+      |  GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT probe_id, cand_id,
+      |    CAST(dot AS DOUBLE) / SQRT(CAST(np.norm2 AS DOUBLE) * CAST(nc.norm2 AS DOUBLE)) AS sim
+      |  FROM dots JOIN n np ON np.vec_id = probe_id JOIN n nc ON nc.vec_id = cand_id),
+      |ranked AS (
+      |  SELECT probe_id, cand_id AS neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rank
+      |  FROM sims)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+      |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_ann_bruteforce_topk" -> a01 _,
-    "a02_ann_lsh_bucketed" -> a02 _)
+    "a02_ann_lsh_bucketed" -> a02 _,
+    "a03_ann_ivf" -> a03 _)
 
   /** a01 intentionally has no oracle entry (float-sum order across
     * engines); the driver records its rows-only check. */
   val oracle: Map[String, String] = Map(
-    "a02_ann_lsh_bucketed" -> a02Sql)
+    "a02_ann_lsh_bucketed" -> a02Sql,
+    "a03_ann_ivf" -> a03Sql)
 }
