@@ -279,6 +279,7 @@ object Dedup {
     import s.implicits._
     val q = embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .repartition(col("vec_id")) // CPU-bound kernel: spread over all cores
       .as[(Long, Array[Long])]
     val all = q.collect().sortBy(_._1)
     val bc = s.sparkContext.broadcast(all.map { case (id, v) =>

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables._
+
+/** q28: salted two-phase aggregation — the skew pattern for hot keys.
+  *
+  * `event_type` has 5 values over the whole corpus; a naive groupBy
+  * sends every row for a hot key to ONE reducer. Salting splits each
+  * key into 16 sub-keys for the first (heavy) aggregation, then a
+  * second (tiny) aggregation folds the salts. Because the sums are
+  * exact decimals, the result is bit-identical to the direct
+  * aggregation — which is exactly what the DuckDB oracle runs, so the
+  * oracle also proves the salting is semantics-preserving.
+  */
+object Skew {
+
+  val Salts = 16
+
+  def q28(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(Salts)))
+      .groupBy("event_type", "salt")
+      .agg(
+        count(lit(1)).as("pc"),
+        sum(dec2(col("value"))).as("pv"),
+        max(col("value")).as("pm"))
+      .groupBy("event_type")
+      .agg(
+        big(sum(col("pc"))).as("cnt"),
+        money(sum(col("pv"))).as("sum_value"),
+        max(col("pm")).as("max_value"))
+      .orderBy("event_type")
+
+  val q28Sql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_value,
+      |  MAX(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_skew_salted_agg" -> q28 _)
+  val oracle: Map[String, String] = Map(
+    "q28_skew_salted_agg" -> q28Sql)
+}
