@@ -107,6 +107,7 @@ object KinesisEmu {
 
   def reset(): Unit = {
     streams.clear()
+    committedEpochs.clear()
     failureInjector = (_, _) => Seq.empty
     clock = () => System.nanoTime()
     enforceShardRates = false
@@ -146,6 +147,25 @@ object KinesisEmu {
           else Right(shard.append(r.partitionKey, r.data, now))
       }
     })
+  }
+
+  private val committedEpochs = ConcurrentHashMap.newKeySet[String]()
+
+  /** Idempotent PutRecords for streaming epochs: the same
+    * (stream, epoch, partition) token commits at most once, so Spark's
+    * task/epoch retries don't duplicate records — exactly-once into the
+    * emu log (SURVEY.md §7.4 decision; the reference's writer has no
+    * such guard and re-sends on upstream retry). Records for one token
+    * are appended atomically in batch order. */
+  def putRecordsIdempotent(streamName: String, epochId: Long, partitionId: Int,
+                           records: Seq[KinesisRecord]): Boolean = {
+    val token = s"$streamName/$epochId/$partitionId"
+    if (!committedEpochs.add(token)) return false // already committed
+    if (records.nonEmpty) {
+      // honor batching limits on the way in
+      graft.ingest.RecordBatcher.batch(records).foreach(b => putRecords(streamName, b))
+    }
+    true
   }
 
   /** Dump a stream's per-shard durable log as a DataFrame (the Kafka-like

@@ -126,9 +126,9 @@ class KinesisEmuStreamingWrite(cfg: SinkConfig, valueIsString: Boolean) extends 
 class KinesisEmuWriterFactory(cfg: SinkConfig, valueIsString: Boolean)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KinesisEmuDataWriter(cfg, valueIsString)
+    new KinesisEmuDataWriter(cfg, valueIsString, partitionId, None)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new KinesisEmuDataWriter(cfg, valueIsString)
+    new KinesisEmuDataWriter(cfg, valueIsString, partitionId, Some(epochId))
 }
 
 final case class KinesisCommit(delivered: Long, dropped: Long, droppedBytes: Long)
@@ -136,9 +136,29 @@ final case class KinesisCommit(delivered: Long, dropped: Long, droppedBytes: Lon
 
 /** Per-task writer: buffers row payloads into flush units (R3), sheds
   * load deterministically when configured (R4), chunks/batches/puts on
-  * flush (R5-R8). One instance per task — single-threaded by contract. */
-class KinesisEmuDataWriter(cfg: SinkConfig, valueIsString: Boolean)
+  * flush (R5-R8). One instance per task — single-threaded by contract.
+  *
+  * Streaming epochs (`epoch` defined) deliver exactly-once: records are
+  * staged locally and committed idempotently under the
+  * (stream, epoch, partition) token, so Spark's epoch/task retries
+  * cannot duplicate data in the emu log. */
+class KinesisEmuDataWriter(cfg: SinkConfig, valueIsString: Boolean,
+                           partitionId: Int = 0, epoch: Option[Long] = None)
     extends DataWriter[InternalRow] {
+
+  private val staged = scala.collection.mutable.ArrayBuffer[KinesisRecord]()
+
+  /** chunk a payload and either stage (streaming epoch) or send now. */
+  private def sendPayload(c: KinesisWriter.Config, payload: Array[Byte]): Long =
+    epoch match {
+      case Some(_) =>
+        val recs = RecordChunker.toRecords(c.partitionKey, payload, c.recordSizeLimit)
+        staged ++= recs
+        recs.size.toLong
+      case None =>
+        val resps = KinesisWriter.write(c, payload)
+        resps.map(_.results.count(_.isRight)).sum.toLong
+    }
 
   private val writerCfg = KinesisWriter.Config(cfg.streamName, cfg.partitionKey,
     bufferSize = cfg.bufferSize, queueDepth = cfg.queueDepth)
@@ -161,8 +181,7 @@ class KinesisEmuDataWriter(cfg: SinkConfig, valueIsString: Boolean)
   }
 
   private def deliver(c: KinesisWriter.Config, payload: Array[Byte]): Unit = {
-    val resps = KinesisWriter.write(c, payload)
-    deliveredRecords += resps.map(_.results.count(_.isRight)).sum
+    deliveredRecords += sendPayload(c, payload)
     stats = stats + DropStats(1, 1, 0, 0)
   }
 
@@ -171,16 +190,10 @@ class KinesisEmuDataWriter(cfg: SinkConfig, valueIsString: Boolean)
       if (cfg.dropOnBackpressure) {
         val (accepted, _, s) = DropPolicy.decide(
           pendingUnits.map(_.length.toLong).toSeq, cfg.queueDepth, cfg.drainPerOffer)
-        accepted.foreach { i =>
-          val resps = KinesisWriter.write(writerCfg, pendingUnits(i))
-          deliveredRecords += resps.map(_.results.count(_.isRight)).sum
-        }
+        accepted.foreach(i => deliveredRecords += sendPayload(writerCfg, pendingUnits(i)))
         stats = stats + s
       } else {
-        pendingUnits.foreach { u =>
-          val resps = KinesisWriter.write(writerCfg, u)
-          deliveredRecords += resps.map(_.results.count(_.isRight)).sum
-        }
+        pendingUnits.foreach(u => deliveredRecords += sendPayload(writerCfg, u))
         stats = stats + DropStats(pendingUnits.size, pendingUnits.size, 0, 0)
       }
       pendingUnits.clear()
@@ -189,6 +202,10 @@ class KinesisEmuDataWriter(cfg: SinkConfig, valueIsString: Boolean)
 
   override def commit(): WriterCommitMessage = {
     flusher.flush(); drain() // final flush drains EVERYTHING (fixes quirk (b))
+    epoch.foreach { e =>
+      KinesisEmu.putRecordsIdempotent(cfg.streamName, e, partitionId, staged.toSeq)
+      staged.clear()
+    }
     KinesisCommit(stats.delivered, stats.dropped, stats.droppedBytes)
   }
   override def abort(): Unit = pendingUnits.clear()
