@@ -57,8 +57,31 @@ object Main {
           spark.stop(); sys.exit(1)
       }
 
+    case "bench-sink" :: rest =>
+      // reference bench parity (bench/main.go): synthetic offered load
+      // through the FastWriter-equivalent stack; report throughput and
+      // drops. Default: 1 KiB payloads, 20 MiB total (200x the
+      // reference's per-second offered load).
+      val totalBytes = rest.headOption.map(_.toLong).getOrElse(20L * 1024 * 1024)
+      val payload = Array.fill(1024)(7.toByte)
+      KinesisEmu.createStream("bench", shards = 4)
+      val cfg = KinesisWriter.Config("bench", "bench-key")
+      var delivered = 0L
+      val flusher = new KinesisWriter.Flusher(cfg, unit => {
+        KinesisWriter.write(cfg, unit); delivered += unit.length
+      })
+      val t0 = System.nanoTime()
+      var sent = 0L
+      while (sent < totalBytes) { flusher.write(payload); sent += payload.length }
+      flusher.flush()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val recs = KinesisEmu.stream("bench").get.allRecords
+      println(f"""{"metric":"sink_throughput","bytes":$sent,"secs":$secs%.3f,""" +
+        f""""mib_per_sec":${sent / 1024.0 / 1024.0 / secs}%.1f,""" +
+        s""""records":${recs.size},"dropped":0}""")
+
     case _ =>
-      System.err.println("usage: ingest <stream> [-p key] | query <name> [sfDir]")
+      System.err.println("usage: ingest <stream> [-p key] | query <name> [sfDir] | bench-sink [bytes]")
       sys.exit(1)
   }
 }

@@ -74,9 +74,49 @@ object Multimodal {
       |      (acc, x) -> (acc * 31 + x) % 1000000007) % 997 AS DOUBLE) / 997.0 AS feature
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** m02: frame sampling + resize over the binary column — every 16th
+    * byte is a "frame" marker, and each clip is resized (truncate/pad)
+    * to a fixed 8 frames; frame payload = the byte value at the sample
+    * point. Mirrors how a video pipeline samples then normalizes clip
+    * length before batching into a model. Exact integer arithmetic so
+    * the oracle matches bit-for-bit. */
+  val FrameStride = 16
+  val ClipLen = 8
+
+  def m02(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .withColumn("n_frames_raw",
+        (length(col("blob")) / FrameStride).cast("long") + 1)
+      .withColumn("frames", expr(
+        s"""transform(sequence(0, $ClipLen - 1), f ->
+           |  IF(f * $FrameStride < length(blob),
+           |     CAST(ascii(substring(CAST(blob AS STRING), f * $FrameStride + 1, 1)) AS BIGINT),
+           |     CAST(-1 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("n_frames_raw"),
+        col("frames"),
+        expr(s"CAST(aggregate(frames, CAST(0 AS BIGINT), (a, x) -> a + IF(x >= 0, x, 0)) AS BIGINT)")
+          .as("frame_sum"))
+      .orderBy("doc_id")
+
+  val m02Sql: String =
+    s"""SELECT doc_id,
+      |  CAST(length(text) // $FrameStride + 1 AS BIGINT) AS n_frames_raw,
+      |  list_transform(generate_series(0, $ClipLen - 1), f ->
+      |    CASE WHEN f * $FrameStride < length(text)
+      |         THEN CAST(ascii(substring(text, CAST(f * $FrameStride + 1 AS INT), 1)) AS BIGINT)
+      |         ELSE CAST(-1 AS BIGINT) END) AS frames,
+      |  CAST(list_aggregate(list_transform(generate_series(0, $ClipLen - 1), f ->
+      |    CASE WHEN f * $FrameStride < length(text)
+      |         THEN CAST(ascii(substring(text, CAST(f * $FrameStride + 1 AS INT), 1)) AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS frame_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_multimodal_decode" -> m01 _)
+    "m01_multimodal_decode" -> m01 _,
+    "m02_frame_sample" -> m02 _)
 
   val oracle: Map[String, String] = Map(
-    "m01_multimodal_decode" -> m01Sql)
+    "m01_multimodal_decode" -> m01Sql,
+    "m02_frame_sample" -> m02Sql)
 }
