@@ -43,6 +43,7 @@ object Main {
     case "query" :: name :: rest =>
       val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
       val spark = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
         .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
     e.injectOptimizerRule(_ => SelfCosineRule)
+    e.injectOptimizerRule(_ => TopKRewriteRule)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 
