@@ -112,15 +112,40 @@ class KinesisEmuWrite(cfg: SinkConfig, valueIsString: Boolean) extends Write {
 class KinesisEmuBatchWrite(cfg: SinkConfig, valueIsString: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KinesisEmuWriterFactory(cfg, valueIsString)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    KinesisSinkStats.record(cfg.streamName, messages)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class KinesisEmuStreamingWrite(cfg: SinkConfig, valueIsString: Boolean) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new KinesisEmuWriterFactory(cfg, valueIsString)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    KinesisSinkStats.record(cfg.streamName, messages)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Driver-side aggregation of per-task commit messages — the Spark
+  * analog of the reference's injectable `Dropped` hook
+  * (`kinesis/kinesis.go:153-155`, R13): totals per stream plus an
+  * injectable callback fired on every commit with the epoch's stats. */
+object KinesisSinkStats {
+  final case class Totals(delivered: Long, dropped: Long, droppedBytes: Long)
+  private val totals = new java.util.concurrent.ConcurrentHashMap[String, Totals]()
+  @volatile var onCommit: (String, Totals) => Unit = (_, _) => ()
+
+  def record(stream: String, messages: Array[WriterCommitMessage]): Unit = {
+    val batch = messages.foldLeft(Totals(0, 0, 0)) {
+      case (t, KinesisCommit(d, dr, db)) =>
+        Totals(t.delivered + d, t.dropped + dr, t.droppedBytes + db)
+      case (t, _) => t
+    }
+    totals.merge(stream, batch, (a, b) =>
+      Totals(a.delivered + b.delivered, a.dropped + b.dropped, a.droppedBytes + b.droppedBytes))
+    onCommit(stream, batch)
+  }
+  def get(stream: String): Totals = totals.getOrDefault(stream, Totals(0, 0, 0))
+  def reset(): Unit = { totals.clear(); onCommit = (_, _) => () }
 }
 
 class KinesisEmuWriterFactory(cfg: SinkConfig, valueIsString: Boolean)

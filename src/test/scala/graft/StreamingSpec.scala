@@ -204,6 +204,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     val recs = KinesisEmu.stream("streamed").get.allRecords
     assert(recs.size >= 50, s"only ${recs.size} records arrived")
+    // R13 observability: per-commit stats aggregated from the task
+    // commit messages (the Spark analog of the reference Dropped hook)
+    val t = graft.sources.KinesisSinkStats.get("streamed")
+    assert(t.delivered >= 50L && t.dropped == 0L, s"stats=$t")
     // per-row routing keys spread across both shards, payloads intact
     assert(recs.map(_.shardId).distinct.size == 2)
     assert(recs.forall(r => new String(r.data).startsWith("payload-")))
