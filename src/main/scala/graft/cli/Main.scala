@@ -58,6 +58,40 @@ object Main {
           spark.stop(); sys.exit(1)
       }
 
+    case "stream" :: rest =>
+      // end-to-end streaming pipeline: rate source -> 10s tumbling
+      // window counts -> kinesis-emu sink, with the commit-stats hook
+      // (R13) reporting each epoch. Runs for N seconds (default 12).
+      val seconds = rest.headOption.map(_.toInt).getOrElse(12)
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import org.apache.spark.sql.functions._
+      KinesisEmu.createStream("pipeline", shards = 2)
+      graft.sources.KinesisSinkStats.onCommit = (stream, t) =>
+        println(s"[epoch] stream=$stream delivered=${t.delivered} dropped=${t.dropped}")
+      val src = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .withWatermark("timestamp", "2 seconds")
+        .groupBy(window(col("timestamp"), "5 seconds"))
+        .agg(count(lit(1)).as("cnt"))
+        .selectExpr("CAST(concat(CAST(window.start AS STRING), '=', cnt) AS BINARY) AS value")
+      val q = src.writeStream.format("kinesis-emu")
+        .option("stream", "pipeline").option("partitionKey", "windows")
+        .option("checkpointLocation", s"/tmp/graft_stream_${System.nanoTime()}")
+        .outputMode("append").start()
+      Thread.sleep(seconds * 1000L)
+      q.stop()
+      val recs = KinesisEmu.stream("pipeline").get.allRecords
+      recs.sortBy(_.sequenceNumber).foreach(r => println("  window-record: " + new String(r.data)))
+      val t = graft.sources.KinesisSinkStats.get("pipeline")
+      println(s"done: windows=${recs.size} delivered=${t.delivered} dropped=${t.dropped}")
+      spark.stop()
+
     case "bench-sink" :: rest =>
       // reference bench parity (bench/main.go): synthetic offered load
       // through the FastWriter-equivalent stack; report throughput and
@@ -82,7 +116,7 @@ object Main {
         s""""records":${recs.size},"dropped":0}""")
 
     case _ =>
-      System.err.println("usage: ingest <stream> [-p key] | query <name> [sfDir] | bench-sink [bytes]")
+      System.err.println("usage: ingest <stream> [-p key] | query <name> [sfDir] | stream [secs] | bench-sink [bytes]")
       sys.exit(1)
   }
 }
