@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAll {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
