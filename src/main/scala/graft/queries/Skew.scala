@@ -41,8 +41,38 @@ object Skew {
       |  MAX(value) AS max_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q29: GROUPING SETS through the SQL text entry path (spark.sql over
+    * registered views) — mixed grouping combos beyond ROLLUP, exercising
+    * the parser/analyzer surface a SQL user of the library hits. */
+  def q29(s: SparkSession, d: String): DataFrame = {
+    region(s, d).createOrReplaceTempView("region")
+    nation(s, d).createOrReplaceTempView("nation")
+    customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_bal,
+        |  CAST(GROUPING(r_name) AS INT) AS g_r,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_s
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |  JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q29Sql: String =
+    """SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_bal,
+      |  CAST(GROUPING(r_name) AS INT) AS g_r,
+      |  CAST(GROUPING(c_mktsegment) AS INT) AS g_s
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |  JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
+      |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q28_skew_salted_agg" -> q28 _)
+    "q28_skew_salted_agg" -> q28 _,
+    "q29_grouping_sets" -> q29 _)
   val oracle: Map[String, String] = Map(
-    "q28_skew_salted_agg" -> q28Sql)
+    "q28_skew_salted_agg" -> q28Sql,
+    "q29_grouping_sets" -> q29Sql)
 }
