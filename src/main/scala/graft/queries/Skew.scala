@@ -69,10 +69,36 @@ object Skew {
       |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
       |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
 
+  /** q30: correlated scalar subqueries — Catalyst decorrelates both
+    * into left outer joins + aggregates (one shuffle each), which is
+    * the plan a hand-written join would produce; the SQL-text surface
+    * stays declarative. */
+  def q30(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey,
+        |  CAST((SELECT MAX(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders
+        |        WHERE o_custkey = c_custkey) AS DECIMAL(38,6)) AS max_order,
+        |  CAST((SELECT COUNT(*) FROM orders
+        |        WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin)
+  }
+
+  val q30Sql: String =
+    """SELECT c_custkey,
+      |  CAST((SELECT MAX(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders
+      |        WHERE o_custkey = c_custkey) AS DECIMAL(38,6)) AS max_order,
+      |  CAST((SELECT COUNT(*) FROM orders
+      |        WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
+      |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_skew_salted_agg" -> q28 _,
-    "q29_grouping_sets" -> q29 _)
+    "q29_grouping_sets" -> q29 _,
+    "q30_correlated_subquery" -> q30 _)
   val oracle: Map[String, String] = Map(
     "q28_skew_salted_agg" -> q28Sql,
-    "q29_grouping_sets" -> q29Sql)
+    "q29_grouping_sets" -> q29Sql,
+    "q30_correlated_subquery" -> q30Sql)
 }
