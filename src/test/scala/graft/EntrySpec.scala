@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Guards the driver's contract surface: entry() returns rows, every
+  * query name has well-formed shape, and oracle keys reference real
+  * queries. */
+class EntrySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-entry-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("entry() yields rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query; names are well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+    assert(qs.forall(_.matches("[a-z][a-z0-9_]+")), "query names must be snake_case")
+    // every query key maps to a non-null builder
+    assert(SparkEntry.queries.values.forall(_ != null))
+  }
+
+  test("oracle coverage: only a01 (float-order ANN baseline) is rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("a01_ann_bruteforce_topk"), s"unexpected rows-only set: $noOracle")
+  }
+}
