@@ -34,7 +34,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout from `sbt runMain` is wrapped in [info] noise, so the driver
+    // could not machine-parse round 1's line — also persist it to a file.
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -51,8 +51,15 @@ object Tables {
   /** small ratio (discount/tax) -> exact DECIMAL(4,2). */
   def rat2(c: Column): Column = c.cast(DecimalType(4, 2))
 
-  /** canonical output type for money aggregates (matches oracle SQL). */
-  def money(c: Column): Column = c.cast(DecimalType(38, 6))
+  /** Canonical OUTPUT type for money aggregates: DOUBLE (matches the
+    * oracle SQL's outer `CAST(... AS DOUBLE)`). The aggregate itself is
+    * computed in exact decimal (order-independent); only the final
+    * column is cast. A decimal value that is exact at scale<=6 converts
+    * to the same correctly-rounded float64 in both Spark and DuckDB,
+    * whereas DECIMAL output columns hash differently in the driver's
+    * pandas comparison (round-1 verdict: 15 bit-exact results flagged
+    * red purely by representation). */
+  def money(c: Column): Column = c.cast(DoubleType)
 
   /** canonical BIGINT for counts/sums of integers. */
   def big(c: Column): Column = c.cast(LongType)

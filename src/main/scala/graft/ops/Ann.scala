@@ -17,20 +17,25 @@ import graft.core.Tables._
   */
 object Ann {
 
-  /** a01: brute-force cosine top-k over the RAW float embeddings using
-    * the native codegen CosineSimilarity expression — the exact-answer
-    * baseline every ANN variant is measured against. Stays entirely
-    * inside whole-stage codegen (broadcast probe side, fused loop, no
-    * UDF). No DuckDB oracle: float summation order differs across
-    * engines, so the driver records the rows-only check; the exact
-    * QUANTIZED variant with a full oracle is TextSim.q25. */
+  /** a01: brute-force cosine top-k — the exact-answer baseline every ANN
+    * variant is measured against — via the native codegen
+    * QuantizedCosineSimilarity kernel (fused primitive loop, no UDF, no
+    * HOF interpretation). Runs over the 3-decimal quantized vectors so
+    * dot/norms are exact integers and the single double division is
+    * bit-identical in DuckDB — which makes the full oracle expressible
+    * (round 1 shipped this over raw floats with no oracle; the gate then
+    * records `no_oracle` forever). Same result contract as TextSim.q25,
+    * which computes the identical answer through Spark's built-in HOFs:
+    * the pair (q25, a01) cross-checks the custom kernel against the
+    * built-in path at the driver level. */
   def a01(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.CosineSimilarity.cosine_similarity
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    import graft.functions.CosineSimilarity.quantized_cosine
+    val e = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
     val probes = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"))
     val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("sim", cosine_similarity(col("pe"), col("embedding")))
+      .withColumn("sim", quantized_cosine(col("pq"), col("q")))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
@@ -38,6 +43,9 @@ object Ann {
         col("vec_id").as("neighbor_id"), col("sim"))
       .orderBy("probe_id", "rank")
   }
+
+  /** Oracle: identical SQL to q25 (quantized ints + IEEE division). */
+  val a01Sql: String = graft.queries.TextSim.q25Sql
 
   val NumPlanes = 6
 
@@ -229,9 +237,8 @@ object Ann {
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _)
 
-  /** a01 intentionally has no oracle entry (float-sum order across
-    * engines); the driver records its rows-only check. */
   val oracle: Map[String, String] = Map(
+    "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql)
 }

@@ -94,7 +94,9 @@ object Multimodal {
            |     CAST(ascii(substring(CAST(blob AS STRING), f * $FrameStride + 1, 1)) AS BIGINT),
            |     CAST(-1 AS BIGINT)))""".stripMargin))
       .select(col("doc_id"), col("n_frames_raw"),
-        col("frames"),
+        // stringified frame list: array/list output columns are not
+        // hashable by the driver's pandas comparison (round-1 m02 err)
+        expr("array_join(transform(frames, x -> CAST(x AS STRING)), ',')").as("frames"),
         expr(s"CAST(aggregate(frames, CAST(0 AS BIGINT), (a, x) -> a + IF(x >= 0, x, 0)) AS BIGINT)")
           .as("frame_sum"))
       .orderBy("doc_id")
@@ -102,10 +104,10 @@ object Multimodal {
   val m02Sql: String =
     s"""SELECT doc_id,
       |  CAST(length(text) // $FrameStride + 1 AS BIGINT) AS n_frames_raw,
-      |  list_transform(generate_series(0, $ClipLen - 1), f ->
+      |  array_to_string(list_transform(generate_series(0, $ClipLen - 1), f ->
       |    CASE WHEN f * $FrameStride < length(text)
       |         THEN CAST(ascii(substring(text, CAST(f * $FrameStride + 1 AS INT), 1)) AS BIGINT)
-      |         ELSE CAST(-1 AS BIGINT) END) AS frames,
+      |         ELSE CAST(-1 AS BIGINT) END), ',') AS frames,
       |  CAST(list_aggregate(list_transform(generate_series(0, $ClipLen - 1), f ->
       |    CASE WHEN f * $FrameStride < length(text)
       |         THEN CAST(ascii(substring(text, CAST(f * $FrameStride + 1 AS INT), 1)) AS BIGINT)

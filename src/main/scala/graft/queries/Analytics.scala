@@ -40,13 +40,13 @@ object Analytics {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey"),
-        dec2(col("o_totalprice")).as("top_price"))
+        col("o_totalprice").as("top_price"))
       .orderBy("o_custkey")
       .limit(50)
   }
 
   val q12Sql: String =
-    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS top_price
+    """SELECT o_custkey, o_orderkey, o_totalprice AS top_price
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
       |        ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders)
       |WHERE rn = 1 ORDER BY o_custkey LIMIT 50""".stripMargin
@@ -62,7 +62,7 @@ object Analytics {
   }
 
   val q13Sql: String =
-    """SELECT user_id, CAST(SUM(diff) AS DECIMAL(38,6)) AS sum_diff,
+    """SELECT user_id, CAST(SUM(diff) AS DOUBLE) AS sum_diff,
       |  CAST(COUNT(diff) AS BIGINT) AS n_diffs
       |FROM (SELECT user_id,
       |        CAST(value AS DECIMAL(12,2)) - LAG(CAST(value AS DECIMAL(12,2)), 1)
@@ -87,19 +87,19 @@ object Analytics {
     """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 50""".stripMargin
 
   /** Q15: global top-k by price with tie-breaks. */
   def q15(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
-        dec2(col("l_extendedprice")).as("price"))
+        col("l_extendedprice").as("price"))
       .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(10)
 
   val q15Sql: String =
-    """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+    """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
       |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
 
   /** Q16: set ops — INTERSECT / EXCEPT / UNION of two custkey sets. */
@@ -170,7 +170,7 @@ object Analytics {
       |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
       |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
       |  CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS total
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2, 3 ORDER BY month""".stripMargin
 
   /** Q19: math function suite — integer-exact combos. */
@@ -245,7 +245,7 @@ object Analytics {
   val q22Sql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
       |  CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

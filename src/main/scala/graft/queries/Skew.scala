@@ -37,7 +37,7 @@ object Skew {
   val q28Sql: String =
     """SELECT event_type,
       |  CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
       |  MAX(value) AS max_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -50,7 +50,7 @@ object Skew {
     customer(s, d).createOrReplaceTempView("customer")
     s.sql(
       """SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_bal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
         |  CAST(GROUPING(r_name) AS INT) AS g_r,
         |  CAST(GROUPING(c_mktsegment) AS INT) AS g_s
         |FROM region JOIN nation ON r_regionkey = n_regionkey
@@ -61,7 +61,7 @@ object Skew {
 
   val q29Sql: String =
     """SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
       |  CAST(GROUPING(r_name) AS INT) AS g_r,
       |  CAST(GROUPING(c_mktsegment) AS INT) AS g_s
       |FROM region JOIN nation ON r_regionkey = n_regionkey
@@ -79,7 +79,7 @@ object Skew {
     s.sql(
       """SELECT c_custkey,
         |  CAST((SELECT MAX(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders
-        |        WHERE o_custkey = c_custkey) AS DECIMAL(38,6)) AS max_order,
+        |        WHERE o_custkey = c_custkey) AS DOUBLE) AS max_order,
         |  CAST((SELECT COUNT(*) FROM orders
         |        WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
         |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin)
@@ -88,7 +88,7 @@ object Skew {
   val q30Sql: String =
     """SELECT c_custkey,
       |  CAST((SELECT MAX(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders
-      |        WHERE o_custkey = c_custkey) AS DECIMAL(38,6)) AS max_order,
+      |        WHERE o_custkey = c_custkey) AS DOUBLE) AS max_order,
       |  CAST((SELECT COUNT(*) FROM orders
       |        WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
       |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin
