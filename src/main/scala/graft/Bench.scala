@@ -20,6 +20,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // see Verify: byte-based AQE coalescing single-tasks the CPU-dense
+      // similarity kernels; AQE itself stays on.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT/codegen/IO paths, not counted

@@ -16,9 +16,11 @@ import graft.sink.KinesisWriter
 object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "ingest" :: stream :: rest =>
+      // reference CLI parity: `-partitionKey` defaults to the EMPTY
+      // string (`main.go:21`) and is passed through verbatim
       val key = rest match {
         case ("-p" | "-partitionKey") :: k :: _ => k
-        case _ => "pk"
+        case _ => ""
       }
       try {
         KinesisEmu.createStream(stream, shards = 4)

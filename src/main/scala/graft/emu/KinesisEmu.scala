@@ -85,9 +85,17 @@ object KinesisEmu {
   @volatile var failureInjector: (String, Seq[KinesisRecord]) => Seq[PerRecordFailure] =
     (_, _) => Seq.empty
 
-  /** Pluggable clock (nanos). Tests pin it to drive deterministic
-    * rate-limit windows; production uses the system clock. */
-  @volatile var clock: () => Long = () => System.nanoTime()
+  /** Epoch-anchored nano clock: wall-clock millis scaled to nanos, so
+    * `StoredRecord.arrivalNanos` is a real epoch timestamp. nanoTime()
+    * would be JVM/boot-relative — exposing that through `arrivalTs`
+    * (TimestampType) made watermarks/time filters on the source column
+    * meaningless. Millisecond granularity is plenty for arrival times
+    * and for the per-second rate windows. */
+  def epochClockNanos(): Long = System.currentTimeMillis() * 1000000L
+
+  /** Pluggable clock (nanos since the epoch). Tests pin it to drive
+    * deterministic rate-limit windows; production uses the wall clock. */
+  @volatile var clock: () => Long = () => epochClockNanos()
 
   /** When true, the per-shard ingest ceilings the reference declares
     * but never checks (`kinesis/kinesis.go:25,28`) are enforced:
@@ -108,8 +116,9 @@ object KinesisEmu {
   def reset(): Unit = {
     streams.clear()
     committedEpochs.clear()
+    epochLocks.clear()
     failureInjector = (_, _) => Seq.empty
-    clock = () => System.nanoTime()
+    clock = () => epochClockNanos()
     enforceShardRates = false
   }
 
@@ -150,23 +159,65 @@ object KinesisEmu {
   }
 
   private val committedEpochs = ConcurrentHashMap.newKeySet[String]()
+  private val epochLocks = new ConcurrentHashMap[String, Object]()
 
   /** Idempotent PutRecords for streaming epochs: the same
     * (stream, epoch, partition) token commits at most once, so Spark's
     * task/epoch retries don't duplicate records — exactly-once into the
     * emu log (SURVEY.md §7.4 decision; the reference's writer has no
-    * such guard and re-sends on upstream retry). Records for one token
-    * are appended atomically in batch order. */
+    * such guard and re-sends on upstream retry).
+    *
+    * Commit ordering matters: the token is recorded ONLY after every
+    * batch lands with zero per-record failures. If a batch throws
+    * (validation/size) or the service reports per-record failures
+    * (failure injector, shard-rate throttling), everything staged so far
+    * is rolled back out of the shard logs and the error propagates —
+    * the epoch stays uncommitted, so Spark's task retry re-runs it
+    * cleanly. (Round-1 version marked the token committed up front,
+    * which silently turned exactly-once into at-most-once under
+    * failure.) */
   def putRecordsIdempotent(streamName: String, epochId: Long, partitionId: Int,
                            records: Seq[KinesisRecord]): Boolean = {
     val token = s"$streamName/$epochId/$partitionId"
-    if (!committedEpochs.add(token)) return false // already committed
-    if (records.nonEmpty) {
-      // honor batching limits on the way in
-      graft.ingest.RecordBatcher.batch(records).foreach(b => putRecords(streamName, b))
+    val lock = epochLocks.computeIfAbsent(token, _ => new Object)
+    lock.synchronized {
+      if (committedEpochs.contains(token)) return false // already committed
+      if (records.nonEmpty) {
+        val staged = ArrayBuffer[PutResult]()
+        try {
+          // honor batching limits on the way in
+          graft.ingest.RecordBatcher.batch(records).foreach { b =>
+            val resp = putRecords(streamName, b)
+            staged ++= resp.results.collect { case Right(r) => r }
+            if (resp.failedCount > 0)
+              throw new IllegalStateException(
+                s"PutRecords partial failure: ${resp.failedCount} records; epoch $token rolled back")
+          }
+        } catch {
+          case e: Throwable =>
+            rollbackStaged(streamName, staged.toSeq)
+            throw e
+        }
+      }
+      committedEpochs.add(token)
+      true
     }
-    true
   }
+
+  /** Remove staged records of a failed epoch attempt from the shard
+    * logs (sequence numbers stay consumed — gaps are fine, the service
+    * guarantees monotonicity, not contiguity). */
+  private def rollbackStaged(streamName: String, staged: Seq[PutResult]): Unit =
+    stream(streamName).foreach { st =>
+      staged.groupBy(_.shardId).foreach { case (sid, rs) =>
+        st.shards.find(_.shardId == sid).foreach { shard =>
+          val seqs = rs.map(_.sequenceNumber).toSet
+          shard.log.synchronized {
+            shard.log.filterInPlace(r => !seqs.contains(r.sequenceNumber))
+          }
+        }
+      }
+    }
 
   /** Dump a stream's per-shard durable log as a DataFrame (the Kafka-like
     * relational view, SURVEY.md §1.2) — the batch-read counterpart of the

@@ -97,6 +97,17 @@ final case class DropStats(offered: Long, delivered: Long, dropped: Long, droppe
 }
 
 object DropPolicy {
+  /** Injectable per-drop hook, CLI/default-stack parity with the
+    * reference's `Dropped` variable (`kinesis/kinesis.go:151-155`): the
+    * default writes `dropping N bytes` to stderr exactly as the
+    * reference does (same text, no trailing newline). Replace for
+    * metrics-only behavior; the DSv2 sink additionally reports drops
+    * through SQL CustomSumMetrics + KinesisSinkStats regardless of this
+    * hook. */
+  val DefaultOnDrop: Long => Unit =
+    bytes => System.err.print(s"dropping $bytes bytes")
+  @volatile var onDrop: Long => Unit = DefaultOnDrop
+
   /** Given flush units (payload sizes) offered while `inFlight` units are
     * pending and the queue holds `queueDepth`, return (acceptedIdx,
     * droppedIdx). A unit is dropped iff the queue is full at offer time;
@@ -115,6 +126,7 @@ object DropPolicy {
       if (queued >= queueDepth) {
         dropped += i
         stats = stats.copy(dropped = stats.dropped + 1, droppedBytes = stats.droppedBytes + sz)
+        onDrop(sz)
       } else {
         accepted += i; queued += 1.0
         stats = stats.copy(delivered = stats.delivered + 1)

@@ -99,7 +99,8 @@ object Ann {
       |planes AS (
       |  SELECT p.p, i.i, CAST(((p.p * 73856093 + i.i * 19349663) % 2003) - 1001 AS BIGINT) AS wt
       |  FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS p) p,
-      |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+      |       (SELECT unnest(generate_series(0,
+      |          (SELECT MAX(len(embedding)) - 1 FROM embeddings))) AS i) i),
       |ex AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS v FROM n),
       |pdots AS (
       |  SELECT ex.vec_id, planes.p, CAST(SUM(ex.v * planes.wt) AS BIGINT) AS pdot

@@ -19,28 +19,38 @@ import graft.core.Tables._
   */
 object AsOfJoin {
 
-  /** Generic composition. `rightCols` are carried onto each left row. */
+  /** Generic composition. `rightCols` are carried onto each left row.
+    *
+    * The right columns travel as ONE struct filled by a single
+    * `last(ignoreNulls)` window, then get expanded — so every carried
+    * value comes from the SAME matched right row. (Filling each column
+    * with an independent window would pull a legitimately-NULL right
+    * value from an OLDER row, silently mixing rows.) */
   def asof(left: DataFrame, right: DataFrame,
            key: String, leftTs: String, rightTs: String,
            rightCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
+    val rStruct = StructType(rightCols.map(c => right.schema(c)))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__tie", lit(1))
       .select(Seq(col(key).as("__key"), col("__ts"), col("__tie")) ++
-        lCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        lCols.map(col) :+ lit(null).cast(rStruct).as("__r"): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__tie", lit(0))
       .select(Seq(col(key).as("__key"), col("__ts"), col("__tie")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(col): _*)
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy("__key")
       .orderBy(col("__ts"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    val expanded = rightCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__r").getField(c))
     }
-    filled.where(col("__tie") === 1).drop("__key", "__ts", "__tie")
+    expanded.where(col("__tie") === 1).drop("__key", "__ts", "__tie", "__r")
   }
 
   /** q27: every event joined as-of to the user's most recent order

@@ -55,63 +55,127 @@ object Dedup {
     * API-surface equivalent for ad-hoc Dataset use; this kernel is the
     * plan-shape a 100 TB run wants: O(docs) shuffle bytes, candidates
     * via bucket join, exact verify only on collisions. */
+  /** d02 implementation, scale-shaped end to end:
+    *
+    *  1. band rows (doc_id, band, band_sig) computed map-side in one
+    *     pass (MD5 signatures; repartition spreads the CPU-bound hash
+    *     work over all cores) — the candidate join stays SLIM: ids and
+    *     32-char sigs only, never token payloads;
+    *  2. candidates = bucket equi-join + distinct (O(docs) shuffle);
+    *  3. verify: token sets are dictionary-encoded against a global
+    *     vocab into per-doc BITMASKS (Array[Long]; |A∩B| and |A∪B| are
+    *     popcounts), and the candidate stream JOINS the tiny
+    *     (doc_id, mask, count) table twice — Spark auto-broadcasts it
+    *     at small corpus sizes and sort-merges when the doc table
+    *     outgrows the broadcast threshold, so there is NO driver
+    *     collect and NO unconditional whole-corpus broadcast (round 1's
+    *     `collect().toMap` — the anti-pattern the brief names).
+    *
+    * The bitmask verify assumes the vocab fits per-doc masks (true for
+    * word-level tokens even at web scale: mask bytes = vocab/8); for
+    * open-ended vocabularies swap step 3's mask for a sorted
+    * dictionary-id array and merge-intersect — same join shape. */
   def d02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val numBands = MinhashSeeds / BandRows
-    // (doc_id, sorted distinct tokens, band signatures) in one pass;
-    // repartition: the source parquet is a single row group, and the
-    // MD5 work is CPU-bound — spread it over all cores. persist(): the
-    // pass feeds bands AND the verify join; without it the lineage
-    // recomputes the signatures once per consumer.
-    val docBands = documents(s, d).select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+    val par = s.sparkContext.defaultParallelism
+    // One row per (doc, band): the bucket key for THIS band plus all
+    // band keys inline (s0..s3) for the first-match predicate. Band keys
+    // are the band-MD5 truncated to 60 bits in a BIGINT — a (vanishingly
+    // rare) truncation collision only adds a candidate pair, which the
+    // exact verify then rejects, so correctness is unaffected while the
+    // join key is 8 bytes instead of a 32-char string. Explicit
+    // partition count: the signature pass is CPU-bound (MD5 per
+    // seed x token) and the source is a single row group — without the
+    // pinned repartition it runs on one core.
+    val bandRows = documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(par, col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val HEX = "0123456789abcdef".toCharArray
+        // table-based hex; the naive per-byte format-interpolator costs
+        // ~10x the digest itself at millions of hashes per partition
         def hex(b: Array[Byte]): String = {
-          val sb = new StringBuilder(32)
-          b.foreach(x => sb.append(f"${x & 0xff}%02x")); sb.toString
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = HEX((b(i) >> 4) & 0xf); out(2 * i + 1) = HEX(b(i) & 0xf)
+            i += 1
+          }
+          new String(out)
         }
-        it.map { case (id, text) =>
+        it.flatMap { case (id, text) =>
           val toks = text.split(" ", -1).distinct
           val sigs = Array.tabulate(MinhashSeeds) { seed =>
-            var best: String = null
+            // min over hex strings == unsigned-lexicographic min over
+            // digest bytes (hex is monotone per byte): compare raw bytes,
+            // hexify only the winner
+            var best: Array[Byte] = null
             toks.foreach { w =>
-              val h = hex(md.digest(s"$seed:$w".getBytes("UTF-8")))
-              if (best == null || h < best) best = h
+              val h = md.digest(s"$seed:$w".getBytes("UTF-8"))
+              if (best == null || java.util.Arrays.compareUnsigned(h, best) < 0) best = h
             }
-            best
+            hex(best)
           }
-          val bandSigs = Array.tabulate(numBands) { b =>
-            hex(md.digest(sigs.slice(b * BandRows, (b + 1) * BandRows)
+          val bandKeys = Array.tabulate(numBands) { b =>
+            val h = hex(md.digest(sigs.slice(b * BandRows, (b + 1) * BandRows)
               .mkString("|").getBytes("UTF-8")))
+            java.lang.Long.parseLong(h.substring(0, 15), 16)
           }
-          java.util.Arrays.sort(toks, java.util.Comparator.naturalOrder[String]())
-          (id, toks, bandSigs)
+          Iterator.tabulate(numBands) { b =>
+            (id, b, bandKeys(b), bandKeys(0), bandKeys(1), bandKeys(2), bandKeys(3))
+          }
         }
       }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = docBands.flatMap { case (id, _, bs) =>
-      bs.iterator.zipWithIndex.map { case (sig, b) => (id, b, sig) }
-    }.toDF("doc_id", "band", "band_sig")
-    val a = bands.select(col("doc_id").as("i"), col("band"), col("band_sig"))
-    val b = bands.select(col("doc_id").as("j"), col("band").as("band_b"), col("band_sig").as("sig_b"))
+      .toDF("i", "band", "sig", "s0", "s1", "s2", "s3")
+    val a = bandRows
+    val b = bandRows.select(col("i").as("j"), col("band").as("band_b"),
+      col("sig").as("sig_b"), col("s0").as("t0"), col("s1").as("t1"),
+      col("s2").as("t2"), col("s3").as("t3"))
+    // first-match emission (same trick as d03): a pair colliding in
+    // several bands is emitted only from its lowest colliding band —
+    // unique pairs with NO distinct shuffle over the collision stream,
+    // and the predicate is plain codegen'd column comparisons.
+    def bandEq(k: Int): Column = col(s"s$k") === col(s"t$k")
+    val firstMatch = (1 until numBands)
+      .foldLeft(when(col("band") === 0, lit(true))) { (acc, idx) =>
+        acc.when(col("band") === idx, !(0 until idx).map(bandEq).reduce(_ || _))
+      }
+      .otherwise(lit(false))
     val cand = a.join(b, col("band") === col("band_b") &&
-        col("band_sig") === col("sig_b") && col("i") < col("j"))
-      .select("i", "j").distinct()
-    // verify: broadcast the token-set map (O(docs) small side) so the
-    // candidate-pair stream never shuffles token arrays. On a corpus too
-    // big to broadcast, replace with a sort-merge join of cand against
-    // the token table range-partitioned by doc_id — same arithmetic.
-    val tokMap = s.sparkContext.broadcast(
-      docBands.map { case (id, ts, _) => (id, ts) }.collect().toMap)
-    cand.as[(Long, Long)]
+        col("sig") === col("sig_b") && col("i") < col("j"))
+      .where(firstMatch)
+      .select("i", "j")
+
+    // vocab dictionary (tiny: distinct words) -> per-doc bitmask + count
+    val vocab = tokens(s, d).select("w").distinct()
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("w")) - 1)
+    val masks = tokens(s, d).join(vocab, "w")
+      .select(col("doc_id"), col("idx"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val idxs = it.map(_._2).toArray
+        val words = new Array[Long](idxs.max / 64 + 1)
+        idxs.foreach(i => words(i >> 6) |= 1L << (i & 63))
+        (id, words, idxs.length)
+      }
+      .toDF("doc_id", "mask", "cnt")
+
+    cand
+      .repartition(par, col("i"))
+      .join(masks.select(col("doc_id").as("i"), col("mask").as("ma"), col("cnt").as("ca")), "i")
+      .repartition(par, col("j"))
+      .join(masks.select(col("doc_id").as("j"), col("mask").as("mb"), col("cnt").as("cb")), "j")
+      .as[(Long, Long, Array[Long], Int, Array[Long], Int)]
       .mapPartitions { it =>
-        val m = tokMap.value
-        it.flatMap { case (i, j) =>
-          val fa = m(i); val fb = m(j)
-          val n = sortedIntersect(fa, fb)
-          val jac = n.toDouble / (fa.length + fb.length - n).toDouble
+        it.flatMap { case (j, i, ma, ca, mb, cb) =>
+          var n = 0; var k = 0
+          val m = math.min(ma.length, mb.length)
+          while (k < m) { n += java.lang.Long.bitCount(ma(k) & mb(k)); k += 1 }
+          val jac = n.toDouble / (ca + cb - n).toDouble
           if (jac >= 0.5) Iterator.single((i, j, jac)) else Iterator.empty
         }
       }
@@ -152,29 +216,90 @@ object Dedup {
   val HammingMax = 6
 
   /** 60-bit SimHash per doc: token hash = first 15 hex chars of MD5
-    * (fits a signed BIGINT), bit votes summed, fingerprint assembled
-    * with exact power-of-two shifts.
-    *
-    * The bit-vote loop is a nested HOF over the per-doc hash array, so
-    * the shuffle carries |tokens| rows once — not |tokens| x 60 (the
-    * naive bit-explode costs 60x the shuffle for the same answer). */
-  private def simhashes(s: SparkSession, d: String): DataFrame =
+    * (fits a signed BIGINT, codegen'd conv/substring/md5), bit votes
+    * summed per doc in a typed tight loop (groupByKey + primitive
+    * arrays — an interpreted HOF vote loop here costs seconds per
+    * million tokens; the kernel is nanoseconds per token). The shuffle
+    * carries |tokens| rows once — not |tokens| x 60 (the naive
+    * bit-explode costs 60x the shuffle for the same answer). */
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     tokens(s, d)
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType))
-      .groupBy("doc_id")
-      .agg(collect_list(col("h")).as("hs"))
-      .withColumn("simhash", expr(
-        s"""aggregate(sequence(0, ${SimhashBits - 1}), CAST(0 AS BIGINT), (acc, j) ->
-           |  acc + IF(aggregate(hs, CAST(0 AS BIGINT),
-           |             (v, h) -> v + IF((shiftright(h, j) & CAST(1 AS BIGINT)) = 1, 1, -1)) >= 0,
-           |           CAST(POWER(2, j) AS BIGINT), CAST(0 AS BIGINT)))""".stripMargin))
-      .select("doc_id", "simhash")
+      .select("doc_id", "h").as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val votes = new Array[Int](SimhashBits)
+        it.foreach { case (_, h) =>
+          var j = 0
+          while (j < SimhashBits) {
+            if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        var fp = 0L
+        var j = 0
+        while (j < SimhashBits) { if (votes(j) >= 0) fp |= 1L << j; j += 1 }
+        (id, fp)
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Multi-index (pigeonhole) banding: the 60-bit fingerprint is split
+    * into HammingMax+1 = 7 chunks (4x9 + 3x8 bits). Two fingerprints
+    * within hamming distance 6 differ in at most 6 chunks, so they MUST
+    * agree exactly on at least one chunk — candidate pairs come from an
+    * equi-join on (chunk_idx, chunk_value), then the exact bit_count
+    * verifies. Replaces the round-1 all-pairs theta join (a
+    * BroadcastNestedLoop, O(n^2) at any scale) with one hash shuffle of
+    * 7 rows/doc; recall is exact, not probabilistic. */
+  private val SimhashChunks: Seq[(Int, Int, Int)] = {
+    val n = HammingMax + 1
+    val base = SimhashBits / n
+    val extra = SimhashBits % n // first `extra` chunks get one more bit
+    val widths = Seq.tabulate(n)(i => if (i < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex.map {
+      case ((off, w), idx) => (idx, off, w)
+    }
+  }
 
   def d03(s: SparkSession, d: String): DataFrame = {
-    val f = simhashes(s, d)
-    val a = f.select(col("doc_id").as("doc_a"), col("simhash").as("fa"))
-    val b = f.select(col("doc_id").as("doc_b"), col("simhash").as("fb"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    // pinned partition count: the probe side of the bucket join is
+    // CPU-dense with tiny bytes (candidate evals, codegen predicate) —
+    // left to byte-based sizing it lands on one core.
+    val f = simhashes(s, d).repartition(
+      s.sparkContext.defaultParallelism, col("doc_id"))
+    val chunked = f.select(col("doc_id"), col("simhash"),
+      explode(array(SimhashChunks.map { case (idx, off, w) =>
+        struct(lit(idx).as("ck"),
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("cv"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
+      col("ck"), col("cv"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("fb"),
+      col("ck").as("ck_b"), col("cv").as("cv_b"))
+    // first-match emission: a pair agreeing on several chunks is emitted
+    // ONLY from its lowest agreeing chunk (both fingerprints are in the
+    // row, so "no earlier chunk agrees" is a cheap row-local predicate) —
+    // exactly-once output with no distinct shuffle over the pair stream.
+    // Built as a CASE chain of plain shift/and comparisons: these stay
+    // inside whole-stage codegen, where a HOF (exists/aggregate) lambda
+    // would be interpreted per joined row — measured 10x slower on the
+    // multi-million-row candidate stream.
+    def chunkEq(k: Int): Column = {
+      val (_, off, w) = SimhashChunks(k)
+      (shiftright(col("fa"), off).bitwiseAND(lit((1L << w) - 1))) ===
+        (shiftright(col("fb"), off).bitwiseAND(lit((1L << w) - 1)))
+    }
+    val firstMatch = (1 until SimhashChunks.length)
+      .foldLeft(when(col("ck") === 0, lit(true))) { (acc, idx) =>
+        acc.when(col("ck") === idx, !(0 until idx).map(chunkEq).reduce(_ || _))
+      }
+      .otherwise(lit(false))
+    a.join(b, col("ck") === col("ck_b") && col("cv") === col("cv_b") &&
+        col("doc_a") < col("doc_b"))
+      .where(firstMatch)
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType))
       .where(col("hamming") <= HammingMax)
       .select("doc_a", "doc_b", "hamming")
@@ -202,32 +327,62 @@ object Dedup {
 
   // ---- d04: character-3-gram Jaccard near-dup (blocked by source) ----
 
-  /** Blocked pairwise set-similarity kernel shared by d04/q26-style ops:
-    * group docs by blocking key, then merge-intersect sorted feature
-    * arrays pair-wise inside each block. One task per block — the
-    * shuffle carries each doc's feature set once, never the exploded
-    * feature-pair join (which is quadratic in shuffle bytes for
-    * low-cardinality vocabularies). */
-  private[ops] def blockedJaccard(s: SparkSession, feats: DataFrame,
-                                  threshold: Double): DataFrame = {
+  /** Pair-space salt fan-out: a block of B docs has B^2/2 pairs; round 1
+    * computed them all in ONE task (straggler/OOM when a block is big).
+    * Each doc gets salt doc_id % P and is replicated to the P triangle
+    * cells (s1,s2) it participates in; cell (s1,s2) computes only pairs
+    * between its salt-s1 and salt-s2 members — every pair exactly once,
+    * max task work ~ (B/P)^2, and the fan-out costs P copies of each
+    * feature set in the shuffle (bounded, vs unbounded task size). */
+  val JaccardSalts = 8
+
+  /** Blocked pairwise set-similarity kernel shared by d04/q26: group docs
+    * by (blocking key, salt-pair cell), then merge-intersect sorted
+    * feature arrays pair-wise inside each cell. The shuffle carries each
+    * doc's feature set P times, never the exploded feature-pair join
+    * (which is quadratic in shuffle bytes for low-cardinality
+    * vocabularies). Emits (doc_a, doc_b, inter_cnt, union_cnt, jaccard).
+    */
+  def blockedJaccard(s: SparkSession, feats: DataFrame,
+                     threshold: Double): DataFrame = {
     import s.implicits._
+    val P = JaccardSalts
     feats.as[(String, Long, Array[String])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val docs = it.map { case (_, id, fs) =>
-          java.util.Arrays.sort(fs, java.util.Comparator.naturalOrder[String]())
-          (id, fs)
-        }.toArray.sortBy(_._1)
-        for {
-          x <- docs.indices.iterator
-          y <- (x + 1 until docs.length).iterator
-          (ia, fa) = docs(x); (ib, fb) = docs(y)
-          n = sortedIntersect(fa, fb)
-          jac = n.toDouble / (fa.length + fb.length - n).toDouble
-          if jac >= threshold
-        } yield (ia, ib, jac)
+      .flatMap { case (src, id, fs) =>
+        java.util.Arrays.sort(fs, java.util.Comparator.naturalOrder[String]())
+        val sd = (id % P).toInt
+        Iterator.tabulate(P) { other =>
+          (src, math.min(sd, other), math.max(sd, other), id, fs)
+        }
       }
-      .toDF("doc_a", "doc_b", "jaccard")
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key: (String, Int, Int), it: Iterator[(String, Int, Int, Long, Array[String])]) =>
+        val (_, s1, s2) = key
+        val docs = it.map { case (_, _, _, id, fs) => (id, fs) }.toArray.sortBy(_._1)
+        val pairs =
+          if (s1 == s2) {
+            // diagonal cell: all unordered pairs within the salt class
+            for {
+              x <- docs.indices.iterator
+              y <- (x + 1 until docs.length).iterator
+            } yield (docs(x), docs(y))
+          } else {
+            val g1 = docs.filter { case (id, _) => id % P == s1 }
+            val g2 = docs.filter { case (id, _) => id % P == s2 }
+            for {
+              a <- g1.iterator
+              b <- g2.iterator
+            } yield if (a._1 < b._1) (a, b) else (b, a)
+          }
+        pairs.flatMap { case ((ia, fa), (ib, fb)) =>
+          val n = sortedIntersect(fa, fb)
+          val u = fa.length + fb.length - n
+          val jac = n.toDouble / u.toDouble
+          if (jac >= threshold) Iterator.single((ia, ib, n.toLong, u.toLong, jac))
+          else Iterator.empty
+        }
+      }
+      .toDF("doc_a", "doc_b", "inter_cnt", "union_cnt", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -245,7 +400,7 @@ object Dedup {
     val feats = documents(s, d).select(col("source"), col("doc_id"),
       array_distinct(
         expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("fs"))
-    blockedJaccard(s, feats, 0.6)
+    blockedJaccard(s, feats, 0.6).select("doc_a", "doc_b", "jaccard")
   }
 
   val d04Sql: String =
@@ -269,37 +424,64 @@ object Dedup {
 
   // ---- d05: embedding-cosine near-dup over quantized vectors ----
 
-  /** All-pairs cosine with a broadcast primitive-array kernel: one side
-    * is broadcast (quantized vectors are ~0.5 KB each; a 1M-vector side
-    * is ~0.5 GB — beyond that, switch to a block-matrix join on vector
-    * ranges), the other streams partition-wise with a tight long-array
-    * loop. ~100x faster than the HOF zip_with pair join and bit-exact
-    * identical (integer dots, IEEE double division). */
+  /** Exact all-pairs cosine is inherently O(n^2) in COMPUTE — the
+    * approximate scale paths are a02/a03 — but the DATA movement here is
+    * fully distributed block-matrix: vectors are grouped into
+    * CosineBlocks blocks (one shuffle), the B(B+1)/2 block PAIRS become
+    * the unit of parallelism (a second tiny shuffle of block rows), and
+    * each task runs the tight primitive long-array kernel over its two
+    * blocks. No driver collect, no whole-corpus broadcast (round 1
+    * collected every vector to the driver — OOM at scale); per-task
+    * memory is two blocks (~n/B vectors each), tunable via CosineBlocks.
+    * Arithmetic is unchanged: exact integer dots/norms, IEEE double
+    * division — bit-identical to the oracle. */
+  val CosineBlocks = 16
+
   def d05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val q = embeddings(s, d).select(col("vec_id"),
+    val B = CosineBlocks
+    // (block, id, quantized vector, norm2): norms computed once, map-side
+    val blocked = embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
-      .repartition(col("vec_id")) // CPU-bound kernel: spread over all cores
       .as[(Long, Array[Long])]
-    val all = q.collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(all.map { case (id, v) =>
-      var n = 0L; var i = 0
-      while (i < v.length) { n += v(i) * v(i); i += 1 }
-      (id, v, n)
-    })
-    q.mapPartitions { it =>
-      val cands = bc.value
-      it.flatMap { case (va, qa) =>
-        var na = 0L; var i = 0
-        while (i < qa.length) { na += qa(i) * qa(i); i += 1 }
-        cands.iterator.filter(_._1 > va).flatMap { case (vb, qb, nb) =>
+      .map { case (id, v) =>
+        var n = 0L; var i = 0
+        while (i < v.length) { n += v(i) * v(i); i += 1 }
+        ((id % B).toInt, id, v, n)
+      }
+    // one row per block, carrying its member vectors
+    val blocks = blocked
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        (b, it.map { case (_, id, v, n) => (id, v, n) }.toArray.sortBy(_._1))
+      }
+    // block-pair join (B x B tiny rows) -> repartition so every pair is
+    // its own task -> fused kernel
+    val left = blocks.toDF("pb", "va")
+    val right = blocks.toDF("qb", "vb")
+    left.join(right, col("pb") <= col("qb"))
+      .repartition(col("pb"), col("qb"))
+      .as[(Int, Array[(Long, Array[Long], Long)], Int, Array[(Long, Array[Long], Long)])]
+      .flatMap { case (pb, va, qb, vb) =>
+        val pairs =
+          if (pb == qb)
+            for {
+              x <- va.indices.iterator
+              y <- (x + 1 until va.length).iterator
+            } yield (va(x), va(y))
+          else
+            for {
+              a <- va.iterator
+              b <- vb.iterator
+            } yield if (a._1 < b._1) (a, b) else (b, a)
+        pairs.flatMap { case ((ia, qa, na), (ib, qb2, nb)) =>
           var dot = 0L; var j = 0
-          while (j < qa.length) { dot += qa(j) * qb(j); j += 1 }
+          while (j < qa.length) { dot += qa(j) * qb2(j); j += 1 }
           val cosine = dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
-          if (cosine >= 0.4) Iterator.single((va, vb, cosine)) else Iterator.empty
+          if (cosine >= 0.4) Iterator.single((ia, ib, cosine)) else Iterator.empty
         }
       }
-    }.toDF("vec_a", "vec_b", "cosine")
+      .toDF("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
 

@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("quantized_cosine"),
+      new ExpressionInfo(classOf[graft.functions.QuantizedCosineSimilarity].getName,
+        "quantized_cosine"),
+      (children: Seq[Expression]) =>
+        graft.functions.QuantizedCosineSimilarity(children(0), children(1))))
     e.injectOptimizerRule(_ => SelfCosineRule)
     e.injectOptimizerRule(_ => TopKRewriteRule)
     e.injectPlannerStrategy(_ => TopKStrategy)
@@ -36,12 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 /** cosine_similarity(x, x) == 1.0 for any non-degenerate x; fold it so
   * diagonal comparisons in self-join similarity pipelines disappear at
-  * plan time. (Degenerate all-zero vectors yield 0.0 at runtime but
-  * never survive the >= threshold filters this feeds; documented
-  * trade-off for the constant fold.) */
+  * plan time. The fold only fires on NON-NULLABLE inputs: the expression
+  * is null-propagating (NULL vector -> NULL sim), so folding a nullable
+  * column would silently rewrite NULL to 1.0. (Degenerate all-zero
+  * vectors still yield 0.0 at runtime but never survive the
+  * >= threshold filters this feeds; documented trade-off for the
+  * constant fold.) */
 object SelfCosineRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+    case CosineSimilarity(a, b) if a.deterministic && !a.nullable && a.semanticEquals(b) =>
       Literal(1.0)
   }
 }

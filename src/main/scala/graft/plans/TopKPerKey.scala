@@ -87,24 +87,98 @@ case class TopKPerKeyExec(child: SparkPlan, partitionExprs: Seq[Expression],
     val parts = partitionExprs
     val ord = order
     val kk = k
+    val budget = conf.getConfString(TopKPerKeyExec.MaxRetainedRowsKey,
+      TopKPerKeyExec.DefaultMaxRetainedRows.toString).toLong
     child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(parts, childOutput)
-      val ordering = RowOrdering.create(ord, childOutput)
-      // heap keeps the k BEST rows per key; head = worst of the kept
-      val heapOrd: Ordering[InternalRow] = (a, b) => ordering.compare(a, b)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(h) =>
-            if (h.size < kk) h.enqueue(row.copy())
-            else if (ordering.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
-          case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
-            h.enqueue(row.copy())
-            heaps.put(key.copy(), h)
-        }
+      TopKPerKeyExec.process(it, childOutput, parts, ord, kk, budget)
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+/** Per-partition top-k kernel with a spill path.
+  *
+  * Fast path: a K-bounded binary heap per key (O(n log K), no sort of
+  * non-surviving rows). The heap map is O(live keys x K) — at extreme
+  * key cardinality that would OOM where WindowExec's sorter spills, so
+  * retained rows are capped: when the cap is hit, the current heaps are
+  * flushed to a sorted run file on disk and pruning restarts fresh.
+  * Per-run pruning stays globally sound (a pruned row is beaten by k
+  * rows of its OWN run, all of which reach the merge), and the final
+  * k-way merge streams runs in (key, order) order, emitting ranks and
+  * skipping past-k rows. Memory is bounded by the cap regardless of key
+  * cardinality; zero run files means the pure in-memory path.
+  */
+object TopKPerKeyExec {
+  val MaxRetainedRowsKey = "graft.topk.maxRetainedRows"
+  val DefaultMaxRetainedRows = 4000000L
+
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private[plans] def process(it: Iterator[InternalRow], childOutput: Seq[Attribute],
+                             parts: Seq[Expression], ord: Seq[SortOrder], kk: Int,
+                             budget: Long): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(parts, childOutput)
+    val ordering = RowOrdering.create(ord, childOutput)
+    // heap keeps the k BEST rows per key; head = worst of the kept
+    val heapOrd: Ordering[InternalRow] = (a, b) => ordering.compare(a, b)
+    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+    var retained = 0L
+    val runs = mutable.ArrayBuffer.empty[java.io.File]
+    val numFields = childOutput.size
+
+    def spillHeaps(): Unit = {
+      val entries = heaps.iterator.flatMap { case (key, h) =>
+        val kb = key.getBytes
+        h.iterator.map(r => (kb, r.asInstanceOf[UnsafeRow]))
+      }.toArray
+      java.util.Arrays.sort(entries,
+        new java.util.Comparator[(Array[Byte], UnsafeRow)] {
+          override def compare(a: (Array[Byte], UnsafeRow),
+                               b: (Array[Byte], UnsafeRow)): Int = {
+            val c = compareBytes(a._1, b._1)
+            if (c != 0) c else ordering.compare(a._2, b._2)
+          }
+        })
+      val f = java.io.File.createTempFile("graft-topk-", ".run")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f), 1 << 16))
+      try entries.foreach { case (kb, r) =>
+        val rb = r.getBytes
+        out.writeInt(kb.length); out.write(kb)
+        out.writeInt(rb.length); out.write(rb)
+      } finally out.close()
+      runs += f
+      heaps.clear()
+      retained = 0L
+    }
+
+    it.foreach { row =>
+      val key = keyProj(row)
+      heaps.get(key) match {
+        case Some(h) =>
+          if (h.size < kk) { h.enqueue(row.copy()); retained += 1 }
+          else if (ordering.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+        case None =>
+          val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+          h.enqueue(row.copy())
+          heaps.put(key.copy(), h)
+          retained += 1
       }
+      if (retained > budget) spillHeaps()
+    }
+
+    if (runs.isEmpty) {
       heaps.iterator.flatMap { case (_, h) =>
         val sorted = h.dequeueAll.reverse // ascending in `ordering`
         sorted.iterator.zipWithIndex.map { case (row, i) =>
@@ -112,8 +186,74 @@ case class TopKPerKeyExec(child: SparkPlan, partitionExprs: Seq[Expression],
           joined(row, InternalRow(i + 1))
         }
       }
+    } else {
+      if (retained > 0) spillHeaps()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => runs.foreach(_.delete())))
+      mergeRuns(runs.toSeq, numFields, ordering, kk)
     }
   }
 
-  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+  /** One buffered reader over a sorted run file. */
+  private final class RunReader(f: java.io.File, numFields: Int) {
+    private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f), 1 << 16))
+    var keyBytes: Array[Byte] = _
+    var row: UnsafeRow = _
+    advance()
+    def advance(): Boolean = {
+      try {
+        val kl = in.readInt()
+        keyBytes = new Array[Byte](kl); in.readFully(keyBytes)
+        val rl = in.readInt()
+        val rb = new Array[Byte](rl); in.readFully(rb)
+        val r = new UnsafeRow(numFields)
+        r.pointTo(rb, rl)
+        row = r
+        true
+      } catch {
+        case _: java.io.EOFException => in.close(); keyBytes = null; row = null; false
+      }
+    }
+  }
+
+  private def mergeRuns(runs: Seq[java.io.File], numFields: Int,
+                        ordering: Ordering[InternalRow], kk: Int): Iterator[InternalRow] = {
+    val pq = mutable.PriorityQueue.empty[RunReader](new Ordering[RunReader] {
+      // min-heap: reverse of (keyBytes, row-order)
+      override def compare(a: RunReader, b: RunReader): Int = {
+        val c = compareBytes(b.keyBytes, a.keyBytes)
+        if (c != 0) c else ordering.compare(b.row, a.row)
+      }
+    })
+    runs.foreach { f =>
+      val r = new RunReader(f, numFields)
+      if (r.row != null) pq.enqueue(r)
+    }
+    new Iterator[InternalRow] {
+      private var curKey: Array[Byte] = null
+      private var rank = 0
+      private var nextRow: InternalRow = null
+      private def pump(): Unit = {
+        nextRow = null
+        while (nextRow == null && pq.nonEmpty) {
+          val r = pq.dequeue()
+          val kb = r.keyBytes
+          val row = r.row
+          if (r.advance()) pq.enqueue(r)
+          if (curKey == null || compareBytes(kb, curKey) != 0) { curKey = kb; rank = 1 }
+          else rank += 1
+          if (rank <= kk) {
+            val joined = new JoinedRow
+            nextRow = joined(row, InternalRow(rank))
+          }
+        }
+      }
+      pump()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; pump(); r
+      }
+    }
+  }
 }

@@ -129,10 +129,15 @@ object Tpch {
       |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Left anti join: customers with no orders; 20 smallest keys + total. */
+  /** Left anti join: customers with no RECENT orders (nothing after
+    * 1997-06-01); 20 smallest keys + total. The date filter keeps the
+    * result non-empty at sf0.01 (every customer has SOME order in this
+    * corpus, which made the unfiltered form pass vacuously in round 1).
+    */
   def q05(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d)
     val o = orders(s, d)
+      .where(col("o_orderdate") >= lit("1997-06-01").cast(TimestampType))
     import org.apache.spark.sql.expressions.Window
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"))
@@ -144,7 +149,8 @@ object Tpch {
   val q05Sql: String =
     """SELECT c_custkey, CAST(COUNT(*) OVER () AS BIGINT) AS total_missing
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
       |ORDER BY c_custkey LIMIT 20""".stripMargin
 
   /** TPC-H Q5-style star join: revenue per nation for one region.

@@ -63,11 +63,41 @@ class CosineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT cosine_similarity(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
         "array(CAST(2 AS FLOAT), CAST(4 AS FLOAT))) AS c").head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-9)
-    // self-cosine folds to a literal at plan time
+    // self-cosine folds to a literal at plan time — but ONLY for
+    // non-nullable inputs (the expression is null-propagating; folding
+    // a nullable column would rewrite NULL to 1.0)
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val plan = e.selectExpr("cosine_similarity(embedding, embedding) AS c")
+    val nonNullable = e.selectExpr(
+      "cosine_similarity(coalesce(embedding, array(CAST(1 AS FLOAT))), " +
+        "coalesce(embedding, array(CAST(1 AS FLOAT)))) AS c")
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("1.0"), s"expected folded literal in:\n$plan")
-    assert(!plan.toLowerCase.contains("cosine_similarity"), s"expression should be folded:\n$plan")
+    assert(nonNullable.contains("1.0"), s"expected folded literal in:\n$nonNullable")
+    assert(!nonNullable.toLowerCase.contains("cosine_similarity"),
+      s"expression should be folded:\n$nonNullable")
+    // nullable input: fold must NOT fire (null semantics preserved)
+    val nullable = e.selectExpr("cosine_similarity(embedding, embedding) AS c")
+      .queryExecution.optimizedPlan.toString
+    assert(nullable.toLowerCase.contains("cosine_similarity"),
+      s"fold must not fire on a nullable column:\n$nullable")
+  }
+
+  test("quantized_cosine matches the HOF integer-dot formula bit-for-bit") {
+    import graft.functions.CosineSimilarity.quantized_cosine
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+    val pairs = e.crossJoin(e.select(col("q").as("q2"), col("vec_id").as("v2")))
+      .where(col("vec_id") < col("v2")).limit(200)
+    val viaHof = pairs.selectExpr(
+      "CAST(aggregate(zip_with(q, q2, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) / " +
+        "SQRT(CAST(aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE) * " +
+        "     CAST(aggregate(q2, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) AS sim")
+      .collect().map(_.getDouble(0))
+    val viaExpr = pairs.withColumn("sim", quantized_cosine(col("q"), col("q2")))
+      .select("sim").collect().map(_.getDouble(0))
+    assert(viaHof.length == viaExpr.length && viaHof.length > 0)
+    viaHof.zip(viaExpr).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b))
+    }
   }
 }

@@ -32,8 +32,8 @@ class EntrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.queries.values.forall(_ != null))
   }
 
-  test("oracle coverage: only a01 (float-order ANN baseline) is rows-only") {
+  test("oracle coverage: every declared query has a full oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("a01_ann_bruteforce_topk"), s"unexpected rows-only set: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected rows-only set: $noOracle")
   }
 }

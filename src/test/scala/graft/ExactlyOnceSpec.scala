@@ -25,6 +25,45 @@ class ExactlyOnceSpec extends AnyFunSuite {
     KinesisEmu.reset()
   }
 
+  test("failed epoch attempt rolls back and a retry commits exactly once") {
+    KinesisEmu.reset()
+    KinesisEmu.createStream("eo3", 2)
+    val recs = (0 until 10).map(i => KinesisRecord(s"k$i", Array[Byte](i.toByte)))
+    // first attempt: the service reports a per-record failure mid-batch
+    KinesisEmu.failureInjector = (_, batch) =>
+      Seq(KinesisEmu.PerRecordFailure(batch.size - 1, "InternalFailure"))
+    intercept[IllegalStateException] {
+      KinesisEmu.putRecordsIdempotent("eo3", epochId = 1, partitionId = 0, recs)
+    }
+    // nothing of the failed attempt survives, and the epoch is NOT
+    // marked committed (round-1 bug: token added up front -> retry
+    // rejected -> records lost = at-most-once)
+    assert(KinesisEmu.stream("eo3").get.allRecords.isEmpty)
+    // retry after the fault clears: accepted, records land exactly once
+    KinesisEmu.failureInjector = (_, _) => Seq.empty
+    assert(KinesisEmu.putRecordsIdempotent("eo3", epochId = 1, partitionId = 0, recs))
+    assert(KinesisEmu.stream("eo3").get.allRecords.size == 10)
+    // and the successful commit is still idempotent
+    assert(!KinesisEmu.putRecordsIdempotent("eo3", epochId = 1, partitionId = 0, recs))
+    assert(KinesisEmu.stream("eo3").get.allRecords.size == 10)
+    KinesisEmu.reset()
+  }
+
+  test("exception mid-epoch (validation) rolls back earlier batches") {
+    KinesisEmu.reset()
+    KinesisEmu.createStream("eo4", 1)
+    // 501 small records batch fine (500 + 1), but make the SECOND batch
+    // invalid: one record over the 1 MiB record limit forces a
+    // validation throw after batch 1 already appended
+    val good = (0 until 500).map(i => KinesisRecord("k", Array[Byte]((i % 127).toByte)))
+    val tooBig = KinesisRecord("k", new Array[Byte](graft.ingest.Limits.RecordSizeLimit + 1))
+    intercept[IllegalArgumentException] {
+      KinesisEmu.putRecordsIdempotent("eo4", 2L, 0, good :+ tooBig)
+    }
+    assert(KinesisEmu.stream("eo4").get.allRecords.isEmpty)
+    KinesisEmu.reset()
+  }
+
   test("oversized staged epochs are re-batched to service limits") {
     KinesisEmu.reset()
     KinesisEmu.createStream("eo2", 1)

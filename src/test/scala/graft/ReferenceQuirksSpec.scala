@@ -68,6 +68,25 @@ class ReferenceQuirksSpec extends AnyFunSuite {
     assert(stats.droppedBytes % unit == 0L, "drops must be whole flush units")
   }
 
+  test("default Dropped hook parity: per-drop 'dropping N bytes' to stderr (kinesis.go:151-155)") {
+    // the hook fires once per dropped unit with the unit's byte size
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val prev = DropPolicy.onDrop
+    DropPolicy.onDrop = seen += _
+    try {
+      val (_, dropped, _) =
+        DropPolicy.decide(Seq.fill(10)(100L), queueDepth = 2, drainPerOffer = 0.0)
+      assert(seen.size == dropped.size && seen.forall(_ == 100L))
+    } finally DropPolicy.onDrop = prev
+    // and the DEFAULT hook writes the reference's exact stderr message
+    // (fmt.Fprintf(os.Stderr, "dropping %d bytes", len(p)) — no newline)
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    try DropPolicy.DefaultOnDrop(42L) finally System.setErr(old)
+    assert(buf.toString("UTF-8") == "dropping 42 bytes")
+  }
+
   test("quirk (f): the declared-but-unenforced service limits ARE enforced here") {
     // reference declares 5 MiB/request and shard-rate ceilings but never
     // checks them (kinesis.go:19-35). The emulator enforces the request

@@ -70,6 +70,20 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
 
+  test("spill fallback (tiny retained-rows budget) is bit-identical to the heap path") {
+    val want = topOrders(3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn").collect()
+    spark.conf.set(graft.plans.TopKPerKeyExec.MaxRetainedRowsKey, "7")
+    try {
+      val got = topOrders(3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn").collect()
+      assert(got.length == want.length && got.length > 0)
+      assert(got.map(_.toString).sameElements(want.map(_.toString)))
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxRetainedRowsKey)
+  }
+
   test("rank()/frames/other predicates do NOT rewrite (conservative matcher)") {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
     val r = graft.core.Tables.orders(spark, sfDir)
