@@ -20,9 +20,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // see Verify: byte-based AQE coalescing single-tasks the CPU-dense
-      // similarity kernels; AQE itself stays on.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // AQE coalescing stays ON (A/B measured best total): the CPU-dense
+      // kernels protect their own parallelism with pinned repartition(N)
+      // nodes, which AQE does not coalesce; everything else benefits.
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT/codegen/IO paths, not counted

@@ -13,11 +13,6 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // this corpus is CPU-dense per byte (similarity kernels over small
-      // files): AQE's byte-based partition coalescing collapses those
-      // shuffles to 1 task, serializing the box. Keep AQE (skew joins,
-      // runtime re-plan) but pin exchanges at shuffle.partitions.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
