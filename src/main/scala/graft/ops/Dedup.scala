@@ -48,14 +48,9 @@ object Dedup {
   val MinhashSeeds = 12
   val BandRows = 3 // -> 4 bands
 
-  /** d02 computes tokens, signatures and band hashes per document in a
-    * single partition-local pass (no exploded token shuffle at all);
-    * only the tiny (doc, band, band_sig) table and the candidate pairs
-    * ever shuffle. The typed MinHashAggregator (graft.functions) is the
-    * API-surface equivalent for ad-hoc Dataset use; this kernel is the
-    * plan-shape a 100 TB run wants: O(docs) shuffle bytes, candidates
-    * via bucket join, exact verify only on collisions. */
-  /** d02 implementation, scale-shaped end to end:
+  /** d02 implementation, scale-shaped end to end (the typed
+    * MinHashAggregator in graft.functions is the API-surface equivalent
+    * for ad-hoc Dataset use):
     *
     *  1. band rows (doc_id, band, band_sig) computed map-side in one
     *     pass (MD5 signatures; repartition spreads the CPU-bound hash

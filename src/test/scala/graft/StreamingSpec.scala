@@ -40,7 +40,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sq = spark.sqlContext
     val rows = graft.core.Tables.events(spark, sfDir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      .as[Ev].collect().sortBy(_.ts.getTime)
+      .as[Ev].collect().sortBy(r => (r.ts.getTime, r.event_id))
     val stream = MemoryStream[Ev]
     val out = job(stream.toDF())
     val qName = s"replay_${System.nanoTime()}"
@@ -223,5 +223,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("window_start", "event_type").collect()
     assert(streamed.length == batch.length)
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
+  test("S6: streaming dedup (watermark-bounded state) equals the batch first-per-key") {
+    import graft.streaming.StreamDedup
+    val keys = Seq("user_id", "event_type")
+    // horizon covering the whole replay -> no state expiry -> must be
+    // exactly the batch answer (first arrival per key in (ts, event_id)
+    // order; replayThrough feeds rows in that order)
+    val streamed = replayThrough(df =>
+      StreamDedup.dedupWithinWatermark(df, keys, "ts", "3650 days"))
+      .filter(col("event_type") =!= "closer")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("user_id", "event_type").collect()
+    val batch = StreamDedup.batchFirstPerKey(spark, sfDir, keys)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("user_id", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
+  test("S6b: tiny watermark horizon bounds state but may re-emit expired keys") {
+    import graft.streaming.StreamDedup
+    val keys = Seq("user_id", "event_type")
+    val streamed = replayThrough(df =>
+      StreamDedup.dedupWithinWatermark(df, keys, "ts", "1 minute"))
+      .filter(col("event_type") =!= "closer")
+    val n = streamed.count()
+    val distinctKeys = graft.core.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    val total = graft.core.Tables.events(spark, sfDir).count()
+    // at least one row per key survives; expiry can only ADD rows, and
+    // never more than the input
+    assert(n >= distinctKeys && n <= total, s"n=$n keys=$distinctKeys total=$total")
   }
 }
