@@ -48,8 +48,86 @@ object Pipeline {
       |WHERE n_tok >= 15 AND uniq_ratio >= 0.3
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** p02: deterministic stratified sampling — the reproducible
+    * downsample every training-data pipeline needs. The sampling
+    * decision is a pure function of the row key (MD5(doc_id) bucket),
+    * so it is reproducible across runs/engines/cluster sizes, needs no
+    * RNG state, pushes no data movement (row-local filter before the
+    * single stats aggregation), and stays exactly re-computable for
+    * lineage audits. 2-of-10 buckets ~ 20% per source stratum. */
+  val SampleBuckets = 10
+  val SampleKeep = 2
+
+  def p02(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("sample:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+          .cast(LongType))
+      .withColumn("sampled", pmod(col("h"), lit(SampleBuckets)) < SampleKeep)
+      .groupBy("source")
+      .agg(
+        big(count(lit(1))).as("total_docs"),
+        big(sum(when(col("sampled"), 1L).otherwise(0L))).as("sampled_docs"),
+        big(sum(when(col("sampled"), col("n_tok")).otherwise(0L))).as("sampled_tokens"),
+        big(min(when(col("sampled"), col("doc_id")))).as("min_sampled_id"),
+        big(max(when(col("sampled"), col("doc_id")))).as("max_sampled_id"))
+      .orderBy("source")
+
+  val p02Sql: String =
+    s"""WITH docs AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % $SampleBuckets < $SampleKeep AS sampled
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS total_docs,
+      |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+      |  CAST(SUM(CASE WHEN sampled THEN n_tok ELSE 0 END) AS BIGINT) AS sampled_tokens,
+      |  CAST(MIN(CASE WHEN sampled THEN doc_id END) AS BIGINT) AS min_sampled_id,
+      |  CAST(MAX(CASE WHEN sampled THEN doc_id END) AS BIGINT) AS max_sampled_id
+      |FROM docs GROUP BY source ORDER BY source""".stripMargin
+
+  /** p03: deterministic train/val/test split (80/10/10) by salted key
+    * hash — membership is a pure row-local function of doc_id, so the
+    * split is stable under reruns, re-partitioning, and incremental
+    * appends (a new doc never moves an old doc between splits), and any
+    * engine can recompute it for audit. */
+  def p03(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+          .cast(LongType))
+      .withColumn("bucket", pmod(col("h"), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(
+        big(count(lit(1))).as("docs"),
+        big(sum(col("n_tok"))).as("tokens"))
+      .orderBy("source", "split")
+
+  val p03Sql: String =
+    """WITH docs AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % 100 AS bucket
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens
+      |FROM docs GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_clean_corpus" -> p01 _)
+    "p01_clean_corpus" -> p01 _,
+    "p02_stratified_sample" -> p02 _,
+    "p03_split_assign" -> p03 _)
   val oracle: Map[String, String] = Map(
-    "p01_clean_corpus" -> p01Sql)
+    "p01_clean_corpus" -> p01Sql,
+    "p02_stratified_sample" -> p02Sql,
+    "p03_split_assign" -> p03Sql)
 }
