@@ -124,6 +124,10 @@ object Dedup {
         }
       }
       .toDF("i", "band", "sig", "s0", "s1", "s2", "s3")
+      // both sides of the self-join (broadcast build + probe) would
+      // otherwise re-run the MD5 pass; the table is 4 rows/doc of 7
+      // numeric columns, cheap to keep
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bandRows
     val b = bandRows.select(col("i").as("j"), col("band").as("band_b"),
       col("sig").as("sig_b"), col("s0").as("t0"), col("s1").as("t1"),

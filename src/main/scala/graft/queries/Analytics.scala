@@ -248,7 +248,74 @@ object Analytics {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Q31: ntile window — per-customer order-price quartiles, then a
+    * global profile of each quartile. Same scale shape as every window
+    * here: one shuffle on the partition key. */
+  def q31(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .groupBy("quartile")
+      .agg(big(count(lit(1))).as("cnt"),
+        money(sum(dec2(col("o_totalprice")))).as("sum_price"))
+      .orderBy("quartile")
+  }
+
+  val q31Sql: String =
+    """SELECT quartile, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM (SELECT CAST(NTILE(4) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile,
+      |        o_totalprice FROM orders)
+      |GROUP BY quartile ORDER BY quartile""".stripMargin
+
+  /** Q32: pivot — per-user event counts widened by event_type (the
+    * relational pivot operator; Spark plans it as a single hash agg
+    * over pivot-conditional aggregates, one shuffle). The value list is
+    * explicit, which is also the scale rule: an unlisted pivot makes
+    * Spark run a distinct scan first. */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q32(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(big(count(lit(1))))
+      .na.fill(0L)
+      .orderBy("user_id")
+      .limit(50)
+
+  val q32Sql: String =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id LIMIT 50""".stripMargin
+
+  /** Q33: positional explode (Generate with ordinality) — the
+    * UDTF-shaped operator; quantized values keep the oracle exact. */
+  def q33(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .where(col("vec_id") < 10)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .where(col("pos") < 5)
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        floor(col("col").cast(DoubleType) * 1000).cast(LongType).as("q"))
+      .orderBy("vec_id", "pos")
+
+  val q33Sql: String =
+    """SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+      |  CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q
+      |FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |        unnest(embedding) AS v FROM embeddings WHERE vec_id < 10)
+      |WHERE i - 1 < 5 ORDER BY vec_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_ntile_quartiles" -> q31 _,
+    "q32_pivot_event_counts" -> q32 _,
+    "q33_posexplode_ordinality" -> q33 _,
     "q11_distinct_users" -> q11 _,
     "q12_window_rank_top_order" -> q12 _,
     "q13_window_lag_diff" -> q13 _,
@@ -263,6 +330,9 @@ object Analytics {
     "q22_hourly_tumbling" -> q22 _)
 
   val oracle: Map[String, String] = Map(
+    "q31_ntile_quartiles" -> q31Sql,
+    "q32_pivot_event_counts" -> q32Sql,
+    "q33_posexplode_ordinality" -> q33Sql,
     "q11_distinct_users" -> q11Sql,
     "q12_window_rank_top_order" -> q12Sql,
     "q13_window_lag_diff" -> q13Sql,
