@@ -233,13 +233,55 @@ object Ann {
       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
+  /** a04: symmetric int8 quantization of the embedding column — the
+    * standard ANN-index compression step (scale = 127/amax per vector,
+    * q_i = floor(v_i * 127 / amax)). Row-local, partition-parallel, one
+    * stats aggregation; all math is float->double exact conversions and
+    * IEEE double multiply/divide/floor, so the DuckDB oracle matches
+    * bit-for-bit. Emits per-vector quantization stats (the index
+    * builder's sanity report), not the raw arrays (array output columns
+    * are not driver-hashable). */
+  def a04(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("amax", array_max(transform(col("embedding"),
+        x => abs(x.cast(DoubleType)))))
+      .where(col("amax") > 0)
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(127.0) / col("amax")).cast(LongType)))
+      .select(
+        col("vec_id"),
+        col("amax"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
+      .limit(100)
+
+  val a04Sql: String =
+    """SELECT vec_id, amax,
+      |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+      |  CAST(list_aggregate(q, 'min') AS BIGINT) AS q_min,
+      |  CAST(list_aggregate(q, 'max') AS BIGINT) AS q_max
+      |FROM (SELECT vec_id, amax,
+      |        list_transform(embedding,
+      |          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / amax) AS BIGINT)) AS q
+      |      FROM (SELECT vec_id,
+      |              list_aggregate(list_transform(embedding,
+      |                x -> ABS(CAST(x AS DOUBLE))), 'max') AS amax
+      |              , embedding
+      |            FROM embeddings)
+      |      WHERE amax > 0)
+      |ORDER BY vec_id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
-    "a03_ann_ivf" -> a03 _)
+    "a03_ann_ivf" -> a03 _,
+    "a04_int8_quantize" -> a04 _)
 
   val oracle: Map[String, String] = Map(
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
-    "a03_ann_ivf" -> a03Sql)
+    "a03_ann_ivf" -> a03Sql,
+    "a04_int8_quantize" -> a04Sql)
 }

@@ -527,7 +527,58 @@ object Dedup {
       |WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---- d06: benchmark decontamination (n-gram overlap vs a held-out set) ----
+
+  /** d06: training-corpus decontamination — flag corpus documents whose
+    * word-3-gram shingles overlap a benchmark/eval set (here: docs with
+    * doc_id < ContamBenchIds stand in for the benchmark). The join is
+    * the standard decontamination shape: explode both sides to distinct
+    * shingles, equi-join on the shingle, aggregate per corpus doc. At
+    * 100 TB the shingle column would be a 64-bit hash with a bloom-filter
+    * pre-join on the benchmark side — same plan shape, smaller shuffle;
+    * the string join here keeps the oracle exact. */
+  val ContamBenchIds = 20
+  val ShingleWords = 3
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      // guard BEFORE sequence(): Spark's sequence(1, n) with n < 1 counts
+      // DOWN (yielding bogus indexes) while DuckDB's generate_series is
+      // empty — short docs must not reach the expression
+      .where(size(col("toks")) >= ShingleWords)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(toks) - ${ShingleWords - 1}), i -> concat_ws(' ', slice(toks, i, $ShingleWords)))")))
+        .as("sh"))
+
+  def d06(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val bench = sh.where(col("doc_id") < ContamBenchIds)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val corpus = sh.where(col("doc_id") >= ContamBenchIds)
+    corpus.join(bench, "sh")
+      .groupBy("doc_id")
+      .agg(
+        big(countDistinct(col("sh"))).as("matched_shingles"),
+        big(countDistinct(col("bench_id"))).as("benchmarks_hit"))
+      .orderBy("doc_id")
+  }
+
+  val d06Sql: String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - ${ShingleWords - 1}),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + ${ShingleWords - 1}), ' ')))) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleWords)
+      |SELECT c.doc_id,
+      |  CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS matched_shingles,
+      |  CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS benchmarks_hit
+      |FROM sh c JOIN sh b ON c.sh = b.sh
+      |WHERE c.doc_id >= $ContamBenchIds AND b.doc_id < $ContamBenchIds
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d06_contamination" -> d06 _,
     "d01_dedup_exact_stats" -> d01 _,
     "d02_minhash_lsh_neardup" -> d02 _,
     "d03_simhash_hamming" -> d03 _,
@@ -535,6 +586,7 @@ object Dedup {
     "d05_cosine_neardup" -> d05 _)
 
   val oracle: Map[String, String] = Map(
+    "d06_contamination" -> d06Sql,
     "d01_dedup_exact_stats" -> d01Sql,
     "d02_minhash_lsh_neardup" -> d02Sql,
     "d03_simhash_hamming" -> d03Sql,

@@ -159,15 +159,45 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY fingerprint ORDER BY min_doc_id LIMIT 100""".stripMargin
 
+  /** t05: corpus token-length histogram — the length-distribution
+    * profile every curation run reports (sequence-length planning,
+    * truncation-rate estimates). Bucketed (10-token bins) so the whole
+    * profile is one partial-agg-friendly groupBy. */
+  def t05(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("bucket_start", (col("n_tok") - pmod(col("n_tok"), lit(10L))))
+      .groupBy("bucket_start")
+      .agg(
+        big(count(lit(1))).as("n_docs"),
+        big(sum(col("n_tok"))).as("sum_tokens"),
+        big(min(col("n_tok"))).as("min_tokens"),
+        big(max(col("n_tok"))).as("max_tokens"))
+      .orderBy("bucket_start")
+
+  val t05Sql: String =
+    """SELECT bucket_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+      |  CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+      |  CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+      |FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT)
+      |          - CAST(len(string_split(text, ' ')) AS BIGINT) % 10 AS bucket_start
+      |      FROM documents)
+      |GROUP BY bucket_start ORDER BY bucket_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01 _,
     "t02_quality_score" -> t02 _,
     "t03_token_count" -> t03 _,
-    "t04_fingerprint" -> t04 _)
+    "t04_fingerprint" -> t04 _,
+    "t05_length_histogram" -> t05 _)
 
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
-    "t04_fingerprint" -> t04Sql)
+    "t04_fingerprint" -> t04Sql,
+    "t05_length_histogram" -> t05Sql)
 }
