@@ -49,6 +49,33 @@ object Windows {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** S7: stream-stream inner join — each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks
+    * and the join has an explicit event-time range, so Spark bounds the
+    * join state on both sides (the required shape for an unbounded
+    * stream-stream join; without the range constraint state grows
+    * forever). Takes the two sides as arguments so batch equivalence
+    * (same code over bounded frames) is testable. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("purchase_id"), col("click_id"))
+  }
+
   /** Batch reference answers for the streaming jobs, over the events
     * table (used by tests and the S1/S3 oracle equivalence check). */
   def batchTumbling(s: SparkSession, dir: String): DataFrame =

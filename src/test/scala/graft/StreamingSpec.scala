@@ -225,6 +225,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("S7: stream-stream interval join equals the batch answer") {
+    // purchases joined to same-user clicks in the preceding hour; both
+    // sides derived from the same replayed stream (self-join), state
+    // bounded by the watermark + time-range constraint
+    val streamed = replayThrough(df => Windows.clickToPurchase(df, df))
+      .orderBy("purchase_id", "click_id").collect()
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val batch = Windows.clickToPurchase(ev, ev)
+      .orderBy("purchase_id", "click_id").collect()
+    assert(streamed.length == batch.length && streamed.length > 0,
+      s"stream=${streamed.length} batch=${batch.length}")
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
   test("S6: streaming dedup (watermark-bounded state) equals the batch first-per-key") {
     import graft.streaming.StreamDedup
     val keys = Seq("user_id", "event_type")
