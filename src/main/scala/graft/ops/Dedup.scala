@@ -147,10 +147,18 @@ object Dedup {
       .where(firstMatch)
       .select("i", "j")
 
-    // vocab dictionary (tiny: distinct words) -> per-doc bitmask + count
-    val vocab = tokens(s, d).select("w").distinct()
-      .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("w")) - 1)
+    // vocab dictionary (distinct words) -> per-doc bitmask + count.
+    // Index assignment via distributed sort + zipWithIndex (deterministic:
+    // rank in the sorted order) — a row_number window with no partition
+    // key would single-task the whole vocabulary at scale. RDD use here
+    // is deliberate: zipWithIndex is the canonical distributed ranking
+    // and touches only the vocab table.
+    val vocab = {
+      val sorted = tokens(s, d).select("w").distinct().orderBy("w")
+        .as[String].rdd.zipWithIndex()
+      s.createDataFrame(sorted.map { case (w, i) => (w, i.toInt) })
+        .toDF("w", "idx")
+    }
     val masks = tokens(s, d).join(vocab, "w")
       .select(col("doc_id"), col("idx"))
       .as[(Long, Int)]

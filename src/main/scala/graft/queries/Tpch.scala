@@ -138,10 +138,13 @@ object Tpch {
     val c = customer(s, d)
     val o = orders(s, d)
       .where(col("o_orderdate") >= lit("1997-06-01").cast(TimestampType))
-    import org.apache.spark.sql.expressions.Window
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+    val missing = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"))
-      .withColumn("total_missing", big(count(lit(1)).over(Window.partitionBy())))
+    // global count attached via broadcast cross join of a 1-row agg —
+    // NOT `count() OVER ()`, which moves every surviving row to a
+    // single partition at scale
+    val total = missing.agg(big(count(lit(1))).as("total_missing"))
+    missing.crossJoin(broadcast(total))
       .orderBy("c_custkey")
       .limit(20)
   }
