@@ -260,7 +260,7 @@ object Dedup {
     * verifies. Replaces the round-1 all-pairs theta join (a
     * BroadcastNestedLoop, O(n^2) at any scale) with one hash shuffle of
     * 7 rows/doc; recall is exact, not probabilistic. */
-  private val SimhashChunks: Seq[(Int, Int, Int)] = {
+  val SimhashChunks: Seq[(Int, Int, Int)] = {
     val n = HammingMax + 1
     val base = SimhashBits / n
     val extra = SimhashBits % n // first `extra` chunks get one more bit

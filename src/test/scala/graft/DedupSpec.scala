@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.Dedup
+
+/** Unit coverage for the dedup kernels beyond the DuckDB oracle gate:
+  * the pigeonhole banding invariants, exactly-once pair emission, and
+  * the salted blocked-Jaccard kernel vs a brute-force reference. */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("SimhashChunks tile the 60-bit fingerprint exactly") {
+    val chunks = Dedup.SimhashChunks
+    assert(chunks.length == Dedup.HammingMax + 1)
+    assert(chunks.map(_._3).sum == Dedup.SimhashBits)
+    // contiguous, non-overlapping
+    chunks.sliding(2).foreach {
+      case Seq((_, o1, w1), (_, o2, _)) => assert(o1 + w1 == o2)
+      case _ => ()
+    }
+    assert(chunks.head._2 == 0)
+  }
+
+  test("pigeonhole: any pair within hamming <= HammingMax shares a chunk") {
+    val rnd = new scala.util.Random(42)
+    val mask60 = (1L << Dedup.SimhashBits) - 1
+    def chunkVals(fp: Long): Seq[Long] =
+      Dedup.SimhashChunks.map { case (_, off, w) => (fp >>> off) & ((1L << w) - 1) }
+    (0 until 2000).foreach { _ =>
+      val a = rnd.nextLong() & mask60
+      // flip up to HammingMax random bits
+      val nFlips = rnd.nextInt(Dedup.HammingMax + 1)
+      val b = (0 until nFlips).foldLeft(a)((v, _) => v ^ (1L << rnd.nextInt(Dedup.SimhashBits)))
+      val shared = chunkVals(a).zip(chunkVals(b)).exists { case (x, y) => x == y }
+      assert(shared, f"no shared chunk for a=$a%x b=$b%x ham=${java.lang.Long.bitCount(a ^ b)}")
+    }
+  }
+
+  test("d03 emits each qualifying pair exactly once (crafted collisions)") {
+    // many docs sharing identical text -> identical fingerprints ->
+    // every chunk collides for every pair; first-match must still emit
+    // each (a, b) exactly once with hamming 0
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 6L).map(i => (i, "alpha beta gamma delta epsilon zeta")) ++
+      Seq((10L, "totally different words entirely unrelated content"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-d03").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.d03(spark, dir).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length, "duplicate pairs emitted")
+    // all 15 identical-text pairs present with hamming 0
+    val identical = out.filter(r => r.getLong(0) < 6 && r.getLong(1) < 6)
+    assert(identical.length == 15)
+    assert(identical.forall(_.getLong(2) == 0L))
+  }
+
+  test("blockedJaccardTyped matches a brute-force reference and bounds cells") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString)
+    val docs = (0L until 40L).map { i =>
+      val src = if (i % 2 == 0) "s0" else "s1"
+      val fs = rnd.shuffle(vocab).take(8 + rnd.nextInt(10)).toArray
+      (src, i, fs)
+    }
+    val got = Dedup.blockedJaccardTyped(s, docs.toDS(), 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    // brute force within the same source
+    val want = (for {
+      x <- docs; y <- docs
+      if x._1 == y._1 && x._2 < y._2
+      sa = x._3.toSet; sb = y._3.toSet
+      n = sa.intersect(sb).size; u = sa.union(sb).size
+      jac = n.toDouble / u
+      if jac >= 0.3
+    } yield (x._2, y._2, n.toLong, u.toLong, jac)).sortBy(t => (t._1, t._2))
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
+  test("d02 band keys: identical texts collide, verify is exact on a known pair") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"), // identical -> jac 1.0
+      (3L, "one two three four five six seven nine"),  // 7/9 overlap
+      (4L, "completely different words here entirely distinct"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-d02").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.d02(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.contains((1L, 2L, 1.0)))
+    // (1,3): inter 7, union 9 -> 0.777... >= 0.5 IF minhash bands collide
+    // (identical on most seeds — not guaranteed, so only check value when present)
+    out.filter(t => t._1 == 1L && t._2 == 3L).foreach { t =>
+      assert(math.abs(t._3 - 7.0 / 9.0) < 1e-15)
+    }
+    assert(!out.exists(t => t._2 == 4L || t._1 == 4L))
+  }
+}
