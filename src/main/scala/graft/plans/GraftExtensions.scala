@@ -20,7 +20,13 @@ import graft.functions.CosineSimilarity
   *  - `SelfCosineRule`, an optimizer rule folding
   *    cosine_similarity(x, x) to 1.0 — a self-join ANN pipeline emits
   *    exactly this on the diagonal, and folding it prunes the dominant
-  *    branch of the filter.
+  *    branch of the filter;
+  *  - `TopKRewriteRule`/`TopKStrategy`: Filter(row_number<=K) over a
+  *    Window becomes the bounded-heap TopKPerKeyExec;
+  *  - `HammingJoinRule`: `bit_count(a ^ b) <= k` theta joins (planned
+  *    as nested loops by stock Spark) become pigeonhole chunk
+  *    equi-joins with exact recall (see graft.ops.Dedup.d03 for the
+  *    hand-written instance of the same construction).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -36,6 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.QuantizedCosineSimilarity(children(0), children(1))))
     e.injectOptimizerRule(_ => SelfCosineRule)
     e.injectOptimizerRule(_ => TopKRewriteRule)
+    e.injectOptimizerRule(_ => HammingJoinRule)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

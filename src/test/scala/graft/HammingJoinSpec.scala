@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** HammingJoinRule: a `bit_count(a ^ b) <= k` theta join — which Spark
+  * alone plans as a BroadcastNestedLoopJoin — must be rewritten into the
+  * pigeonhole chunk equi-join with identical results, exactly once per
+  * pair; unsupported shapes must be left alone. */
+class HammingJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-hamming-join-spec")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** run `body` with HammingJoinRule excluded from the optimizer — the
+    * honest baseline in the same session (a second getOrCreate would
+    * just return the extensions session). */
+  private def withoutRule[A](body: => A): A = {
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.HammingJoinRule")
+    try body finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  private def fingerprints(s: SparkSession) = {
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // clusters of near-identical fingerprints + noise
+    val base = Seq.fill(8)(rnd.nextLong())
+    (0L until 200L).map { i =>
+      val b = base((i % 8).toInt)
+      val flips = rnd.nextInt(6)
+      val fp = (0 until flips).foldLeft(b)((v, _) => v ^ (1L << rnd.nextInt(64)))
+      (i, fp)
+    }.toDF("id", "fp")
+  }
+
+  private def joined(s: SparkSession) = {
+    val df = fingerprints(s)
+    val a = df.select(col("id").as("id_a"), col("fp").as("fa"))
+    val b = df.select(col("id").as("id_b"), col("fp").as("fb"))
+    a.join(b, bit_count(col("fa").bitwiseXOR(col("fb"))) <= 4 && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  test("rewrite fires: no nested-loop join, Generate present, results identical") {
+    val plan = joined(spark).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ survived:\n$plan")
+    assert(plan.contains("Generate"), s"chunk explode missing:\n$plan")
+    val got = joined(spark).orderBy("id_a", "id_b").collect().map(_.toString)
+    val (want, basePlan) = withoutRule {
+      (joined(spark).orderBy("id_a", "id_b").collect().map(_.toString),
+        joined(spark).queryExecution.executedPlan.toString)
+    }
+    assert(want.nonEmpty)
+    // without the rule this join really is the nested loop
+    assert(basePlan.contains("BroadcastNestedLoopJoin"), s"baseline plan:\n$basePlan")
+    assert(got.length == want.length, s"got=${got.length} want=${want.length}")
+    assert(got.sameElements(want))
+  }
+
+  test("exactly-once: no duplicate pairs even for identical fingerprints") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 42L), (2L, 42L), (3L, 42L), (4L, -1L)).toDF("id", "fp")
+    val a = df.select(col("id").as("id_a"), col("fp").as("fa"))
+    val b = df.select(col("id").as("id_b"), col("fp").as("fb"))
+    val out = a.join(b,
+        bit_count(col("fa").bitwiseXOR(col("fb"))) <= 2 && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length)
+    assert(out.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("k too large for the chunk cap is NOT rewritten") {
+    val df = fingerprints(spark)
+    val a = df.select(col("id").as("id_a"), col("fp").as("fa"))
+    val b = df.select(col("id").as("id_b"), col("fp").as("fb"))
+    val plan = a.join(b,
+        bit_count(col("fa").bitwiseXOR(col("fb"))) <= 20 && col("id_a") < col("id_b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"should be left alone:\n$plan")
+  }
+}
