@@ -93,12 +93,39 @@ object Skew {
       |        WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
       |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin
 
+  /** q34: CUBE — completes the grouping family (ROLLUP q10, GROUPING
+    * SETS q29): all 2^2 subtotal combinations over (event_type, lang of
+    * the user's region? no — keep single-table) (event_type, weekday).
+    * Spark expands CUBE the same way as grouping sets: one Expand + one
+    * hash agg, one shuffle. */
+  def q34(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      // ISO weekday as an integer (1=Mon..7=Sun): locale-proof, unlike
+      // day NAMES (date_format "E" depends on the JVM locale)
+      .withColumn("weekday", (weekday(col("ts")) + lit(1)).cast(LongType))
+      .cube(col("event_type"), col("weekday"))
+      .agg(
+        big(count(lit(1))).as("cnt"),
+        grouping(col("event_type")).cast(IntegerType).as("g_t"),
+        grouping(col("weekday")).cast(IntegerType).as("g_w"))
+      .orderBy(col("event_type").asc_nulls_first, col("weekday").asc_nulls_first)
+
+  val q34Sql: String =
+    """SELECT event_type, weekday, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(GROUPING(event_type) AS INTEGER) AS g_t,
+      |  CAST(GROUPING(weekday) AS INTEGER) AS g_w
+      |FROM (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS weekday FROM events)
+      |GROUP BY CUBE(event_type, weekday)
+      |ORDER BY event_type ASC NULLS FIRST, weekday ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_skew_salted_agg" -> q28 _,
     "q29_grouping_sets" -> q29 _,
-    "q30_correlated_subquery" -> q30 _)
+    "q30_correlated_subquery" -> q30 _,
+    "q34_cube_weekday" -> q34 _)
   val oracle: Map[String, String] = Map(
     "q28_skew_salted_agg" -> q28Sql,
     "q29_grouping_sets" -> q29Sql,
-    "q30_correlated_subquery" -> q30Sql)
+    "q30_correlated_subquery" -> q30Sql,
+    "q34_cube_weekday" -> q34Sql)
 }
