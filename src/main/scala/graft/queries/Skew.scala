@@ -118,14 +118,37 @@ object Skew {
       |GROUP BY CUBE(event_type, weekday)
       |ORDER BY event_type ASC NULLS FIRST, weekday ASC NULLS FIRST""".stripMargin
 
+  /** q35: discrete percentiles (PERCENTILE_DISC) — median and p90
+    * account balance per market segment. Discrete percentiles return an
+    * ACTUAL data value (no interpolation arithmetic), so the oracle is
+    * exact as long as both engines pick by the same rank rule. */
+  def q35(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_mktsegment,
+        |  PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS p50_bal,
+        |  PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS p90_bal,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q35Sql: String =
+    """SELECT c_mktsegment,
+      |  quantile_disc(c_acctbal, 0.5) AS p50_bal,
+      |  quantile_disc(c_acctbal, 0.9) AS p90_bal,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_skew_salted_agg" -> q28 _,
     "q29_grouping_sets" -> q29 _,
     "q30_correlated_subquery" -> q30 _,
-    "q34_cube_weekday" -> q34 _)
+    "q34_cube_weekday" -> q34 _,
+    "q35_percentile_disc" -> q35 _)
   val oracle: Map[String, String] = Map(
     "q28_skew_salted_agg" -> q28Sql,
     "q29_grouping_sets" -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
-    "q34_cube_weekday" -> q34Sql)
+    "q34_cube_weekday" -> q34Sql,
+    "q35_percentile_disc" -> q35Sql)
 }
