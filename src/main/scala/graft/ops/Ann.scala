@@ -56,8 +56,12 @@ object Ann {
 
   /** bucket id for a quantized vector: sign bits of the 6 plane dots. */
   def a02(s: SparkSession, d: String): DataFrame = {
-    val q = embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+    val q = embeddings(s, d)
+      // single-row-group source + CPU-heavy HOF bucket math: pin the
+      // partition count or the whole pass runs on one core
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
       .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
     // bucket = sum over planes of sign-bit * 2^p; plane dot uses the
     // deterministic weight formula over quantized components
@@ -140,8 +144,10 @@ object Ann {
     * All similarity math is quantized-integer + IEEE division, so the
     * DuckDB oracle matches exactly. */
   def a03(s: SparkSession, d: String): DataFrame = {
-    val q = embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+    val q = embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // see a02
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
       .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = q.where(col("vec_id") < IvfCentroids)

@@ -490,7 +490,7 @@ object Dedup {
     val left = blocks.toDF("pb", "va")
     val right = blocks.toDF("qb", "vb")
     left.join(right, col("pb") <= col("qb"))
-      .repartition(col("pb"), col("qb"))
+      .repartition(s.sparkContext.defaultParallelism, col("pb"), col("qb"))
       .as[(Int, Array[(Long, Array[Long], Long)], Int, Array[(Long, Array[Long], Long)])]
       .flatMap { case (pb, va, qb, vb) =>
         val pairs =

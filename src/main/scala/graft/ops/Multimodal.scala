@@ -50,7 +50,9 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .as[(Long, Array[Byte])]
     blobs
-      .repartition(col("doc_id")) // spread decode work by key, no skew on doc_id
+      // spread decode work by key with a pinned count (the source is one
+      // row group; byte-based AQE sizing would coalesce to one task)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { it =>
         it.grouped(DecodeBatchSize).flatMap { batch =>
           // one "codec call" per batch of blobs

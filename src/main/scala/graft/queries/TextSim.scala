@@ -59,11 +59,15 @@ object TextSim {
       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin
 
-  /** Quantized integer embedding + its exact squared norm. */
+  /** Quantized integer embedding + its exact squared norm. Pinned
+    * repartition: the source is one row group and the HOF math is
+    * CPU-bound — unpinned it runs on one core. */
   private def quantized(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(
-      col("vec_id"),
-      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+    embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
       .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
 
   /** Q25: exact k-NN — top-5 cosine neighbors for probe vectors id<10.
