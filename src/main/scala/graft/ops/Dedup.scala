@@ -57,29 +57,34 @@ object Dedup {
     *     work over all cores) — the candidate join stays SLIM: ids and
     *     32-char sigs only, never token payloads;
     *  2. candidates = bucket equi-join + distinct (O(docs) shuffle);
-    *  3. verify: token sets are dictionary-encoded against a global
-    *     vocab into per-doc BITMASKS (Array[Long]; |A∩B| and |A∪B| are
-    *     popcounts), and the candidate stream JOINS the tiny
-    *     (doc_id, mask, count) table twice — Spark auto-broadcasts it
-    *     at small corpus sizes and sort-merges when the doc table
-    *     outgrows the broadcast threshold, so there is NO driver
-    *     collect and NO unconditional whole-corpus broadcast (round 1's
-    *     `collect().toMap` — the anti-pattern the brief names).
-    *
-    * The bitmask verify assumes the vocab fits per-doc masks (true for
-    * word-level tokens even at web scale: mask bytes = vocab/8); for
-    * open-ended vocabularies swap step 3's mask for a sorted
-    * dictionary-id array and merge-intersect — same join shape. */
+    *  3. verify: tokens are dictionary-encoded (distributed rank over
+    *     the distinct vocab) into ONE SORTED INT-ID ARRAY per doc, and
+    *     the candidate stream JOINS the slim (doc_id, ids) table
+    *     twice — Spark auto-broadcasts it at small corpus sizes and
+    *     sort-merges when the doc table outgrows the broadcast
+    *     threshold, so there is NO driver collect and NO whole-corpus
+    *     broadcast. |A∩B| is a linear merge-intersect of the two sorted
+    *     id arrays (the d04 kernel shape), so per-doc verify memory is
+    *     O(doc tokens) — independent of global vocabulary size (the
+    *     round-2 bitmask verify sized per-doc masks by the doc's max
+    *     global vocab rank, O(vocab) worst case at open vocabularies).
+    *     The pair stream is repartitioned ONCE while still slim (i,j
+    *     only); the id arrays ride broadcast-hash lookups, never an
+    *     array-carrying shuffle of the candidate stream. */
   def d02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val numBands = MinhashSeeds / BandRows
+    // the (id, band, sig, s0..s3) row shape below hardcodes 4 carried
+    // band keys; changing MinhashSeeds/BandRows must update it in step
+    require(numBands == 4, s"band row shape is written for 4 bands, got $numBands")
     val par = s.sparkContext.defaultParallelism
     // One row per (doc, band): the bucket key for THIS band plus all
     // band keys inline (s0..s3) for the first-match predicate. Band keys
-    // are the band-MD5 truncated to 60 bits in a BIGINT — a (vanishingly
-    // rare) truncation collision only adds a candidate pair, which the
-    // exact verify then rejects, so correctness is unaffected while the
-    // join key is 8 bytes instead of a 32-char string. Explicit
+    // are the band-MD5 truncated to 60 bits in a BIGINT. A truncation
+    // collision usually only adds a candidate pair that exact verify
+    // rejects; the residual risk is a falsely-bucketed pair whose true
+    // Jaccard >= 0.5 — emitted here but absent from the full-128-bit
+    // oracle — at ~2^-60 per pair, accepted as negligible. Explicit
     // partition count: the signature pass is CPU-bound (MD5 per
     // seed x token) and the source is a single row group — without the
     // pinned repartition it runs on one core.
@@ -147,8 +152,8 @@ object Dedup {
       .where(firstMatch)
       .select("i", "j")
 
-    // vocab dictionary (distinct words) -> per-doc bitmask + count.
-    // Index assignment via distributed sort + zipWithIndex (deterministic:
+    // vocab dictionary (distinct words -> dense int rank). Index
+    // assignment via distributed sort + zipWithIndex (deterministic:
     // rank in the sorted order) — a row_number window with no partition
     // key would single-task the whole vocabulary at scale. RDD use here
     // is deliberate: zipWithIndex is the canonical distributed ranking
@@ -159,35 +164,42 @@ object Dedup {
       s.createDataFrame(sorted.map { case (w, i) => (w, i.toInt) })
         .toDF("w", "idx")
     }
-    val masks = tokens(s, d).join(vocab, "w")
+    // per-doc SORTED dictionary-id array: O(doc tokens) memory per doc
+    val docSets = tokens(s, d).join(vocab, "w")
       .select(col("doc_id"), col("idx"))
       .as[(Long, Int)]
       .groupByKey(_._1)
       .mapGroups { (id, it) =>
         val idxs = it.map(_._2).toArray
-        val words = new Array[Long](idxs.max / 64 + 1)
-        idxs.foreach(i => words(i >> 6) |= 1L << (i & 63))
-        (id, words, idxs.length)
+        java.util.Arrays.sort(idxs)
+        (id, idxs)
       }
-      .toDF("doc_id", "mask", "cnt")
+      .toDF("doc_id", "toks")
 
     cand
-      .repartition(par, col("i"))
-      .join(masks.select(col("doc_id").as("i"), col("mask").as("ma"), col("cnt").as("ca")), "i")
-      .repartition(par, col("j"))
-      .join(masks.select(col("doc_id").as("j"), col("mask").as("mb"), col("cnt").as("cb")), "j")
-      .as[(Long, Long, Array[Long], Int, Array[Long], Int)]
+      .repartition(par, col("i"), col("j"))
+      .join(docSets.select(col("doc_id").as("i"), col("toks").as("ta")), "i")
+      .join(docSets.select(col("doc_id").as("j"), col("toks").as("tb")), "j")
+      .as[(Long, Long, Array[Int], Array[Int])]
       .mapPartitions { it =>
-        it.flatMap { case (j, i, ma, ca, mb, cb) =>
-          var n = 0; var k = 0
-          val m = math.min(ma.length, mb.length)
-          while (k < m) { n += java.lang.Long.bitCount(ma(k) & mb(k)); k += 1 }
-          val jac = n.toDouble / (ca + cb - n).toDouble
+        it.flatMap { case (j, i, ta, tb) =>
+          val n = sortedIntersectInt(ta, tb)
+          val jac = n.toDouble / (ta.length + tb.length - n).toDouble
           if (jac >= 0.5) Iterator.single((i, j, jac)) else Iterator.empty
         }
       }
       .toDF("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  private def sortedIntersectInt(a: Array[Int], b: Array[Int]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i) - b(j)
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1 else j += 1
+    }
+    n
   }
 
   val d02Sql: String =
@@ -340,8 +352,32 @@ object Dedup {
     * cells (s1,s2) it participates in; cell (s1,s2) computes only pairs
     * between its salt-s1 and salt-s2 members — every pair exactly once,
     * max task work ~ (B/P)^2, and the fan-out costs P copies of each
-    * feature set in the shuffle (bounded, vs unbounded task size). */
-  val JaccardSalts = 8
+    * feature set in the shuffle (bounded, vs unbounded task size).
+    *
+    * P is DERIVED PER BLOCK from a cheap pre-aggregation of block sizes
+    * (round 2 hardcoded P=8, so task work grew quadratically with block
+    * size): the work bound keeps the salt-class size G = ceil(B/P) near
+    * sqrt(JaccardPairBudget) so no cell exceeds ~JaccardPairBudget
+    * pairwise intersects, and the fill bound keeps the total cell count
+    * >= 2x the cluster parallelism even when blocks are small. */
+  val JaccardPairBudget: Long = 4L * 1000 * 1000
+  val JaccardMaxSalts: Int = 256
+
+  /** Salts for one block of `blockDocs` docs among `numBlocks` blocks on
+    * a cluster with `par` slots. Deterministic pure function of corpus
+    * stats — every replica of a doc computes the same P for its block.
+    * The JaccardMaxSalts cap bounds shuffle duplication (each feature
+    * set is shuffled P times); a block big enough to hit the cap at the
+    * pair budget (~512M intra-block pairs) is past the point where
+    * exact all-pairs is sane and the LSH path (d02) is the answer. */
+  def jaccardSalts(blockDocs: Long, numBlocks: Long, par: Int): Int = {
+    val targetClass = math.sqrt(JaccardPairBudget.toDouble) // G: docs per salt class
+    val pWork = math.ceil(blockDocs.toDouble / targetClass).toInt
+    // fill: numBlocks * P(P+1)/2 cells >= 2*par  =>  quadratic in P
+    val cellsNeeded = math.max(1.0, 2.0 * par / math.max(1L, numBlocks).toDouble)
+    val pFill = math.ceil((math.sqrt(8.0 * cellsNeeded + 1) - 1) / 2).toInt
+    math.min(JaccardMaxSalts, math.max(1, math.max(pWork, pFill)))
+  }
 
   /** Blocked pairwise set-similarity kernel shared by d04/q26: group docs
     * by (blocking key, salt-pair cell), then merge-intersect sorted
@@ -359,25 +395,40 @@ object Dedup {
   /** Typed variant: callers with JVM-side feature extraction (cheaper
     * than interpreted HOF lambdas for per-char work) pass the Dataset
     * directly. A pinned round-robin repartition spreads the CPU-bound
-    * sort/replicate map work regardless of source file layout. */
+    * sort/replicate map work regardless of source file layout.
+    *
+    * Per-block salt counts come from a map-side-combined groupBy count
+    * of the block keys (one cheap extra pass), joined back to the
+    * feature stream — Spark auto-broadcasts the tiny count table, the
+    * derived P rides along in each replica row, and no block census
+    * ever lands on the driver (only the scalar block COUNT does). */
   def blockedJaccardTyped(s: SparkSession,
                           feats: org.apache.spark.sql.Dataset[(String, Long, Array[String])],
                           threshold: Double): DataFrame = {
     import s.implicits._
-    val P = JaccardSalts
-    feats
-      .repartition(s.sparkContext.defaultParallelism)
-      .flatMap { case (src, id, fs) =>
+    val par = s.sparkContext.defaultParallelism
+    val counts = feats.groupByKey(_._1).count().toDF("bk", "bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val numBlocks = counts.count()
+    val withCnt = feats.toDF("src", "id", "fs")
+      .join(counts, col("src") === col("bk"))
+      .select(col("src"), col("id"), col("fs"), col("bn"))
+      .as[(String, Long, Array[String], Long)]
+    withCnt
+      .repartition(par)
+      .flatMap { case (src, id, fs, bn) =>
         java.util.Arrays.sort(fs, java.util.Comparator.naturalOrder[String]())
-        val sd = (id % P).toInt
-        Iterator.tabulate(P) { other =>
-          (src, math.min(sd, other), math.max(sd, other), id, fs)
+        val p = jaccardSalts(bn, numBlocks, par)
+        val sd = (id % p).toInt
+        Iterator.tabulate(p) { other =>
+          (src, math.min(sd, other), math.max(sd, other), id, fs, p)
         }
       }
       .groupByKey(t => (t._1, t._2, t._3))
-      .flatMapGroups { (key: (String, Int, Int), it: Iterator[(String, Int, Int, Long, Array[String])]) =>
+      .flatMapGroups { (key: (String, Int, Int), it: Iterator[(String, Int, Int, Long, Array[String], Int)]) =>
         val (_, s1, s2) = key
-        val docs = it.map { case (_, _, _, id, fs) => (id, fs) }.toArray.sortBy(_._1)
+        var p = 1
+        val docs = it.map { case (_, _, _, id, fs, pp) => p = pp; (id, fs) }.toArray.sortBy(_._1)
         val pairs =
           if (s1 == s2) {
             // diagonal cell: all unordered pairs within the salt class
@@ -386,8 +437,8 @@ object Dedup {
               y <- (x + 1 until docs.length).iterator
             } yield (docs(x), docs(y))
           } else {
-            val g1 = docs.filter { case (id, _) => id % P == s1 }
-            val g2 = docs.filter { case (id, _) => id % P == s2 }
+            val g1 = docs.filter { case (id, _) => id % p == s1 }
+            val g2 = docs.filter { case (id, _) => id % p == s2 }
             for {
               a <- g1.iterator
               b <- g2.iterator
@@ -457,19 +508,37 @@ object Dedup {
   /** Exact all-pairs cosine is inherently O(n^2) in COMPUTE — the
     * approximate scale paths are a02/a03 — but the DATA movement here is
     * fully distributed block-matrix: vectors are grouped into
-    * CosineBlocks blocks (one shuffle), the B(B+1)/2 block PAIRS become
+    * B blocks (one shuffle), the B(B+1)/2 block PAIRS become
     * the unit of parallelism (a second tiny shuffle of block rows), and
     * each task runs the tight primitive long-array kernel over its two
     * blocks. No driver collect, no whole-corpus broadcast (round 1
     * collected every vector to the driver — OOM at scale); per-task
-    * memory is two blocks (~n/B vectors each), tunable via CosineBlocks.
+    * memory is two blocks (~n/B vectors each).
     * Arithmetic is unchanged: exact integer dots/norms, IEEE double
-    * division — bit-identical to the oracle. */
-  val CosineBlocks = 16
+    * division — bit-identical to the oracle.
+    *
+    * B is DERIVED from the corpus size (round 2 hardcoded B=16, so
+    * per-task memory grew linearly with the corpus): the memory bound
+    * caps blocks at CosineBlockTargetVecs vectors (two blocks of 32-dim
+    * quantized longs ~= a few MB per task, constant in n), and the fill
+    * bound keeps B(B+1)/2 block-pair tasks >= 2x cluster parallelism.
+    * Block membership (id % B) changes with B but the enumerated pair
+    * set — all unordered pairs — does not, so output is B-invariant. */
+  val CosineBlockTargetVecs: Long = 4096L
+
+  /** Block count for an n-vector corpus on a `par`-slot cluster. */
+  def cosineBlocks(n: Long, par: Int): Int = {
+    val bMem = math.ceil(n.toDouble / CosineBlockTargetVecs.toDouble).toInt
+    // fill: B(B+1)/2 >= 2*par  =>  B >= (sqrt(16*par + 1) - 1) / 2
+    val bFill = math.ceil((math.sqrt(16.0 * par + 1) - 1) / 2).toInt
+    math.max(1, math.max(bMem, bFill))
+  }
 
   def d05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val B = CosineBlocks
+    // scalar count only (parquet metadata read) — never the vectors
+    val B = cosineBlocks(embeddings(s, d).count(),
+      s.sparkContext.defaultParallelism)
     // (block, id, quantized vector, norm2): norms computed once, map-side
     val blocked = embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))

@@ -94,6 +94,66 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
+  test("jaccardSalts: per-cell work stays bounded as blocks grow/skew") {
+    val par = 32
+    for (b <- Seq(10L, 1000L, 5000L, 50000L, 200000L)) {
+      val p = Dedup.jaccardSalts(b, 5, par)
+      assert(p >= 1 && p <= Dedup.JaccardMaxSalts)
+      val g = math.ceil(b.toDouble / p) // salt-class size
+      // off-diagonal cell work ~ G^2 intersects: bounded by the budget
+      // (until the replication cap, far past the sane all-pairs range)
+      if (p < Dedup.JaccardMaxSalts)
+        assert(g * g <= Dedup.JaccardPairBudget * 1.1,
+          s"block=$b p=$p g=$g exceeds pair budget")
+    }
+    // a 10x skewed block gets proportionally more salts, keeping its
+    // cell size at the same bound as the small blocks
+    val pSmall = Dedup.jaccardSalts(5000, 5, par)
+    val pBig = Dedup.jaccardSalts(50000, 5, par)
+    assert(pBig > pSmall)
+    assert(math.ceil(50000.0 / pBig) <= math.sqrt(Dedup.JaccardPairBudget.toDouble))
+    // small-corpus fill bound: enough cells to occupy the cluster
+    val pTiny = Dedup.jaccardSalts(100, 4, par)
+    assert(4L * pTiny * (pTiny + 1) / 2 >= 2L * par)
+  }
+
+  test("cosineBlocks: per-task memory constant in n, enough block pairs") {
+    val par = 32
+    for (n <- Seq(100L, 5000L, 100000L, 10000000L)) {
+      val b = Dedup.cosineBlocks(n, par)
+      assert(math.ceil(n.toDouble / b) <= Dedup.CosineBlockTargetVecs,
+        s"n=$n b=$b block exceeds target vecs")
+      assert(b.toLong * (b + 1) / 2 >= 2L * par)
+    }
+  }
+
+  test("blockedJaccardTyped: 10x skewed block matches brute force") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'z').map(_.toString)
+    // block s0 has 10x the docs of s1 -> different derived salt counts
+    val docs = (0L until 110L).map { i =>
+      val src = if (i < 100) "s0" else "s1"
+      val fs = rnd.shuffle(vocab).take(8 + rnd.nextInt(10)).toArray
+      (src, i, fs)
+    }
+    val got = Dedup.blockedJaccardTyped(s, docs.toDS(), 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val want = (for {
+      x <- docs; y <- docs
+      if x._1 == y._1 && x._2 < y._2
+      sa = x._3.toSet; sb = y._3.toSet
+      n = sa.intersect(sb).size; u = sa.union(sb).size
+      jac = n.toDouble / u
+      if jac >= 0.3
+    } yield (x._2, y._2, n.toLong, u.toLong, jac)).sortBy(t => (t._1, t._2))
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
   test("d02 band keys: identical texts collide, verify is exact on a known pair") {
     val s = spark
     import s.implicits._
