@@ -30,3 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 
 run / connectInput := true
+// Pass the forked JVM's stdout through UNWRAPPED (default BufferedOutput
+// re-logs it with an [info] prefix, which broke the driver's machine
+// parse of Bench's single JSON line in rounds 1-2). Child stderr — all
+// Spark log noise — still goes through the logger.
+run / outputStrategy := Some(StdoutOutput)
