@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, NonZeroVector}
 
 /** SparkSessionExtensions entry point:
   *
@@ -47,17 +47,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** cosine_similarity(x, x) == 1.0 for any non-degenerate x; fold it so
-  * diagonal comparisons in self-join similarity pipelines disappear at
-  * plan time. The fold only fires on NON-NULLABLE inputs: the expression
-  * is null-propagating (NULL vector -> NULL sim), so folding a nullable
-  * column would silently rewrite NULL to 1.0. (Degenerate all-zero
-  * vectors still yield 0.0 at runtime but never survive the
-  * >= threshold filters this feeds; documented trade-off for the
-  * constant fold.) */
+/** cosine_similarity(x, x) == 1.0 for any non-degenerate x; fold the
+  * diagonal of self-join similarity pipelines to
+  * `IF(non_zero_vector(x), 1.0, 0.0)` — exact on the all-zero vector
+  * (runtime cosine yields 0.0 there, matching CosineSimilarity's
+  * `nx == 0 => 0.0` branch) while still eliminating the O(n)
+  * dot-product loop: NonZeroVector short-circuits at the first non-zero
+  * element. The fold only fires on NON-NULLABLE inputs: the expression
+  * is null-propagating (NULL vector -> NULL sim), and If(NULL, ..)
+  * would take the else branch instead of propagating. */
 object SelfCosineRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case CosineSimilarity(a, b) if a.deterministic && !a.nullable && a.semanticEquals(b) =>
-      Literal(1.0)
+      If(NonZeroVector(a), Literal(1.0), Literal(0.0))
   }
 }

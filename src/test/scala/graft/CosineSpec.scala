@@ -81,6 +81,35 @@ class CosineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fold must not fire on a nullable column:\n$nullable")
   }
 
+  test("self-cosine fold is exact on the all-zero vector") {
+    val s = spark
+    import s.implicits._
+    // Non-nullable column (Dataset of case-class arrays) so the fold
+    // fires; one zero vector and one normal vector on the diagonal.
+    val df = Seq(Array(0.0f, 0.0f, 0.0f), Array(3.0f, 4.0f, 0.0f)).toDF("v")
+    val folded = df.selectExpr("cosine_similarity(v, v) AS c")
+    // On a LocalRelation the whole fold constant-folds away (the
+    // optimizer evaluates NonZeroVector's interpreted path); the VALUES
+    // must match runtime cosine semantics: zero vector -> 0.0.
+    val got = folded.collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.0, 1.0), s"folded diagonal mismatch: $got")
+    // Parquet-backed (non-foldable) input: the If(non_zero_vector(..))
+    // guard must survive into the plan and execute via codegen. Zero
+    // out the embeddings at runtime so the guard's false branch runs.
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val zeroed = e.selectExpr(
+      "coalesce(transform(embedding, x -> CAST(0 AS FLOAT)), array(CAST(0 AS FLOAT))) AS z")
+      .selectExpr("cosine_similarity(z, z) AS c")
+    val plan = zeroed.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cosine_similarity"),
+      s"fold should fire on non-nullable z:\n$plan")
+    assert(plan.contains("non_zero_vector"),
+      s"fold should guard via non_zero_vector:\n$plan")
+    val zs = zeroed.limit(20).collect().map(_.getDouble(0))
+    assert(zs.nonEmpty && zs.forall(_ == 0.0),
+      s"zeroed diagonal must be 0.0: ${zs.mkString(",")}")
+  }
+
   test("quantized_cosine matches the HOF integer-dot formula bit-for-bit") {
     import graft.functions.CosineSimilarity.quantized_cosine
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
