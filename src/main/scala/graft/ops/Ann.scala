@@ -49,40 +49,32 @@ object Ann {
 
   val NumPlanes = 6
 
-  /** plane weight for (plane p, dimension i): pseudo-random but fully
-    * deterministic integers in [-1001, 1001]. */
-  private def weightExpr: String =
-    "((p * 73856093 + i * 19349663) % 2003) - 1001"
-
-  /** bucket id for a quantized vector: sign bits of the 6 plane dots. */
+  /** bucket id for a quantized vector: sign bits of the 6 plane dots,
+    * via the native codegen [[graft.functions.HyperplaneBucket]] kernel
+    * (one fused primitive loop; the round-3 interpreted nested-HOF
+    * formulation was the last interpreted hot loop in the ANN suite).
+    * The pair similarity runs through QuantizedCosineSimilarity — the
+    * same exact-integer dot/norm + IEEE division the oracle computes. */
   def a02(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CosineSimilarity.quantized_cosine
+    import graft.functions.HyperplaneBucket.hyperplane_bucket
     val q = embeddings(s, d)
-      // single-row-group source + CPU-heavy HOF bucket math: pin the
+      // single-row-group source + CPU-heavy bucket math: pin the
       // partition count or the whole pass runs on one core
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"),
         transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
-      .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
-    // bucket = sum over planes of sign-bit * 2^p; plane dot uses the
-    // deterministic weight formula over quantized components
-    val bucketed = q.withColumn("bucket",
-      expr(s"""aggregate(sequence(0, ${NumPlanes - 1}), CAST(0 AS BIGINT), (acc, p) ->
-        acc + CAST(POWER(2, p) AS BIGINT) * (CASE WHEN
-          aggregate(sequence(0, size(q)-1), CAST(0 AS BIGINT),
-            (s2, i) -> s2 + q[i] * ($weightExpr)) >= 0 THEN 1 ELSE 0 END))"""))
-      // probes AND candidates both read this; persist so the non-codegen
-      // HOF bucket computation runs once per vector, not once per consumer
+    val bucketed = q.withColumn("bucket", hyperplane_bucket(col("q"), NumPlanes))
+      // probes AND candidates both read this; persist so the quantize +
+      // bucket pass runs once per vector, not once per consumer
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = bucketed.where(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"),
-        col("norm2").as("pnorm2"), col("bucket").as("pbucket"))
-    val cands = bucketed.select(col("vec_id"), col("q"), col("norm2"), col("bucket"))
+        col("bucket").as("pbucket"))
+    val cands = bucketed.select(col("vec_id"), col("q"), col("bucket"))
     val pairs = cands.join(broadcast(probes),
         col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
-      .withColumn("dot", aggregate(zip_with(col("pq"), col("q"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("sim", col("dot").cast(DoubleType) /
-        sqrt(col("pnorm2").cast(DoubleType) * col("norm2").cast(DoubleType)))
+      .withColumn("sim", quantized_cosine(col("pq"), col("q")))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)

@@ -57,17 +57,21 @@ object Dedup {
     *     work over all cores) — the candidate join stays SLIM: ids and
     *     32-char sigs only, never token payloads;
     *  2. candidates = bucket equi-join + distinct (O(docs) shuffle);
-    *  3. verify: tokens are dictionary-encoded (distributed rank over
-    *     the distinct vocab) into ONE SORTED INT-ID ARRAY per doc, and
-    *     the candidate stream JOINS the slim (doc_id, ids) table
+    *  3. verify: tokens are hash-encoded (first 8 MD5 bytes as a signed
+    *     64-bit id — no global dictionary, so no vocab distinct/sort/
+    *     zipWithIndex stages; a pairwise id collision mis-counts one
+    *     intersection element at ~2^-64, the same accepted class as the
+    *     60-bit band keys) into ONE SORTED LONG-ID ARRAY per doc,
+    *     computed inside the SAME mapPartitions pass that already
+    *     tokenizes for the signatures and carried on the band-0 row of
+    *     the persisted band table — zero extra corpus scans. The
+    *     candidate stream JOINS the slim (doc_id, ids) projection
     *     twice — Spark auto-broadcasts it at small corpus sizes and
     *     sort-merges when the doc table outgrows the broadcast
     *     threshold, so there is NO driver collect and NO whole-corpus
     *     broadcast. |A∩B| is a linear merge-intersect of the two sorted
     *     id arrays (the d04 kernel shape), so per-doc verify memory is
-    *     O(doc tokens) — independent of global vocabulary size (the
-    *     round-2 bitmask verify sized per-doc masks by the doc's max
-    *     global vocab rank, O(vocab) worst case at open vocabularies).
+    *     O(doc tokens) — independent of global vocabulary size.
     *     The pair stream is repartitioned ONCE while still slim (i,j
     *     only); the id arrays ride broadcast-hash lookups, never an
     *     array-carrying shuffle of the candidate stream. */
@@ -107,6 +111,17 @@ object Dedup {
         }
         it.flatMap { case (id, text) =>
           val toks = text.split(" ", -1).distinct
+          // sorted 64-bit token-id array for the verify kernel, from the
+          // tokenization this pass already did (first 8 MD5 bytes,
+          // big-endian signed long — internal ids, Spark-side only)
+          val ids = toks.map { w =>
+            val h = md.digest(w.getBytes("UTF-8"))
+            var v = 0L
+            var k = 0
+            while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+            v
+          }
+          java.util.Arrays.sort(ids)
           val sigs = Array.tabulate(MinhashSeeds) { seed =>
             // min over hex strings == unsigned-lexicographic min over
             // digest bytes (hex is monotone per byte): compare raw bytes,
@@ -124,11 +139,14 @@ object Dedup {
             java.lang.Long.parseLong(h.substring(0, 15), 16)
           }
           Iterator.tabulate(numBands) { b =>
-            (id, b, bandKeys(b), bandKeys(0), bandKeys(1), bandKeys(2), bandKeys(3))
+            (id, b, bandKeys(b), bandKeys(0), bandKeys(1), bandKeys(2), bandKeys(3),
+              // carry the id array once per doc (band 0 only) so the
+              // persisted table stays slim on the other 3 rows
+              if (b == 0) ids else Array.emptyLongArray)
           }
         }
       }
-      .toDF("i", "band", "sig", "s0", "s1", "s2", "s3")
+      .toDF("i", "band", "sig", "s0", "s1", "s2", "s3", "toks")
       // both sides of the self-join (broadcast build + probe) would
       // otherwise re-run the MD5 pass; the table is 4 rows/doc of 7
       // numeric columns, cheap to keep
@@ -152,38 +170,19 @@ object Dedup {
       .where(firstMatch)
       .select("i", "j")
 
-    // vocab dictionary (distinct words -> dense int rank). Index
-    // assignment via distributed sort + zipWithIndex (deterministic:
-    // rank in the sorted order) — a row_number window with no partition
-    // key would single-task the whole vocabulary at scale. RDD use here
-    // is deliberate: zipWithIndex is the canonical distributed ranking
-    // and touches only the vocab table.
-    val vocab = {
-      val sorted = tokens(s, d).select("w").distinct().orderBy("w")
-        .as[String].rdd.zipWithIndex()
-      s.createDataFrame(sorted.map { case (w, i) => (w, i.toInt) })
-        .toDF("w", "idx")
-    }
-    // per-doc SORTED dictionary-id array: O(doc tokens) memory per doc
-    val docSets = tokens(s, d).join(vocab, "w")
-      .select(col("doc_id"), col("idx"))
-      .as[(Long, Int)]
-      .groupByKey(_._1)
-      .mapGroups { (id, it) =>
-        val idxs = it.map(_._2).toArray
-        java.util.Arrays.sort(idxs)
-        (id, idxs)
-      }
-      .toDF("doc_id", "toks")
+    // per-doc sorted 64-bit id arrays: the band-0 projection of the
+    // already-persisted band table — no extra corpus scan, no vocab
+    // stages (the cache scan prunes to just (i, toks))
+    val docSets = bandRows.where(col("band") === 0).select(col("i"), col("toks"))
 
     cand
       .repartition(par, col("i"), col("j"))
-      .join(docSets.select(col("doc_id").as("i"), col("toks").as("ta")), "i")
-      .join(docSets.select(col("doc_id").as("j"), col("toks").as("tb")), "j")
-      .as[(Long, Long, Array[Int], Array[Int])]
+      .join(docSets.select(col("i"), col("toks").as("ta")), "i")
+      .join(docSets.select(col("i").as("j"), col("toks").as("tb")), "j")
+      .as[(Long, Long, Array[Long], Array[Long])]
       .mapPartitions { it =>
         it.flatMap { case (j, i, ta, tb) =>
-          val n = sortedIntersectInt(ta, tb)
+          val n = sortedIntersectLong(ta, tb)
           val jac = n.toDouble / (ta.length + tb.length - n).toDouble
           if (jac >= 0.5) Iterator.single((i, j, jac)) else Iterator.empty
         }
@@ -192,10 +191,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def sortedIntersectInt(a: Array[Int], b: Array[Int]): Int = {
+  private def sortedIntersectLong(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0
     while (i < a.length && j < b.length) {
-      val c = a(i) - b(j)
+      val c = java.lang.Long.compare(a(i), b(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1 else j += 1
     }
