@@ -65,15 +65,22 @@ object HammingJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** All-ones mask of `w` low bits. `(1L << 64) - 1` is NOT it — JVM
+    * shift counts are mod 64, so it evaluates to 0 and a k=0 rewrite
+    * (one 64-bit chunk) would degenerate into a constant-key cross
+    * join. With -1L the k=0 case becomes an exact equi-join on the
+    * whole fingerprint. */
+  private def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+
   private def chunkArray(fp: Expression, defs: Seq[(Int, Int, Int)]): Expression =
     CreateArray(defs.map { case (idx, off, w) =>
       CreateNamedStruct(Seq(
         Literal("ck"), Literal(idx),
-        Literal("cv"), BitwiseAnd(ShiftRight(fp, Literal(off)), Literal((1L << w) - 1))))
+        Literal("cv"), BitwiseAnd(ShiftRight(fp, Literal(off)), Literal(mask(w)))))
     })
 
   private def chunkOf(fp: Expression, d: (Int, Int, Int)): Expression =
-    BitwiseAnd(ShiftRight(fp, Literal(d._2)), Literal((1L << d._3) - 1))
+    BitwiseAnd(ShiftRight(fp, Literal(d._2)), Literal(mask(d._3)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)

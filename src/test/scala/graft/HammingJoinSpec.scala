@@ -80,6 +80,63 @@ class HammingJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("property: rewritten join == naive theta join for random fingerprints, k in 0..12") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 0 until 13) {
+      val k = trial // covers k=0 (single 64-bit chunk), the cap boundary k=7, and bail k>7
+      val rnd = new scala.util.Random(1000 + trial)
+      val nBase = 1 + rnd.nextInt(6)
+      val base = Seq.fill(nBase)(rnd.nextLong())
+      val df = (0L until 120L).map { i =>
+        val b = base((i % nBase).toInt)
+        // flip counts straddling k so both sides of the predicate occur
+        val flips = rnd.nextInt(2 * k + 3)
+        val fp = (0 until flips).foldLeft(b)((v, _) => v ^ (1L << rnd.nextInt(64)))
+        (i, fp)
+      }.toDF("id", "fp")
+      val a = df.select(col("id").as("id_a"), col("fp").as("fa"))
+      val b = df.select(col("id").as("id_b"), col("fp").as("fb"))
+      def q = a.join(b,
+          bit_count(col("fa").bitwiseXOR(col("fb"))) <= k && col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val plan = q.queryExecution.executedPlan.toString
+      if (k + 1 <= graft.plans.HammingJoinRule.MaxChunks) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"k=$k: BNLJ survived:\n$plan")
+        assert(plan.contains("Generate"), s"k=$k: chunk explode missing:\n$plan")
+      } else {
+        assert(plan.contains("BroadcastNestedLoopJoin"), s"k=$k: should have bailed:\n$plan")
+      }
+      val got = q.orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = withoutRule {
+        q.orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      assert(got.length == got.distinct.length, s"k=$k: duplicate pairs emitted")
+      assert(got.sameElements(want),
+        s"k=$k: got=${got.length} want=${want.length} diff=${(got.toSet diff want.toSet).take(5)}/${(want.toSet diff got.toSet).take(5)}")
+    }
+  }
+
+  test("k=0 rewrites to an exact fingerprint equi-join (no degenerate constant key)") {
+    val s = spark
+    import s.implicits._
+    // regression: width-64 mask was (1L<<64)-1 == 0, collapsing every
+    // chunk value to 0 — a single-key cross join on one task
+    val df = Seq((1L, 42L), (2L, 42L), (3L, 7L), (4L, -1L)).toDF("id", "fp")
+    val a = df.select(col("id").as("id_a"), col("fp").as("fa"))
+    val b = df.select(col("id").as("id_b"), col("fp").as("fb"))
+    val q = a.join(b,
+        bit_count(col("fa").bitwiseXOR(col("fb"))) <= 0 && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"k=0 BNLJ survived:\n$plan")
+    // the degenerate mask showed up as a literal 0 chunk value; the fixed
+    // mask keeps the full fingerprint as the key
+    assert(!plan.contains("& 0)"), s"degenerate zero mask in plan:\n$plan")
+    val out = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)), s"k=0 pairs: $out")
+  }
+
   test("k too large for the chunk cap is NOT rewritten") {
     val df = fingerprints(spark)
     val a = df.select(col("id").as("id_a"), col("fp").as("fa"))
