@@ -54,11 +54,16 @@ object Tables {
   /** Canonical OUTPUT type for money aggregates: DOUBLE (matches the
     * oracle SQL's outer `CAST(... AS DOUBLE)`). The aggregate itself is
     * computed in exact decimal (order-independent); only the final
-    * column is cast. A decimal value that is exact at scale<=6 converts
-    * to the same correctly-rounded float64 in both Spark and DuckDB,
-    * whereas DECIMAL output columns hash differently in the driver's
-    * pandas comparison (round-1 verdict: 15 bit-exact results flagged
-    * red purely by representation). */
+    * column is cast. Spark's decimal->double (BigDecimal.doubleValue)
+    * is correctly rounded, but DuckDB 1.0's direct decimal->double cast
+    * is NOT once the scaled value needs >53 significand bits (~26% of
+    * such values misround by 1 ulp, measured) — so every oracle-side
+    * decimal aggregate is cast via `CAST(CAST(x AS VARCHAR) AS DOUBLE)`
+    * (decimal->varchar prints exact digits; varchar->double is a
+    * correctly-rounded strtod; 0/3000 mismatches measured). DECIMAL
+    * output columns themselves hash differently in the driver's pandas
+    * comparison (round-1 verdict: 15 bit-exact results flagged red
+    * purely by representation), hence DOUBLE. */
   def money(c: Column): Column = c.cast(DoubleType)
 
   /** canonical BIGINT for counts/sums of integers. */

@@ -83,7 +83,7 @@ object AsOfJoin {
       |SELECT user_id,
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
       |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_matched,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_matched_price,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_matched_price,
       |  CAST(MAX(o_orderkey) AS BIGINT) AS max_matched_order
       |FROM events ASOF LEFT JOIN r
       |  ON events.user_id = r.o_custkey AND events.ts >= r.o_orderdate

@@ -62,7 +62,7 @@ object Analytics {
   }
 
   val q13Sql: String =
-    """SELECT user_id, CAST(SUM(diff) AS DOUBLE) AS sum_diff,
+    """SELECT user_id, CAST(CAST(SUM(diff) AS VARCHAR) AS DOUBLE) AS sum_diff,
       |  CAST(COUNT(diff) AS BIGINT) AS n_diffs
       |FROM (SELECT user_id,
       |        CAST(value AS DECIMAL(12,2)) - LAG(CAST(value AS DECIMAL(12,2)), 1)
@@ -85,9 +85,9 @@ object Analytics {
 
   val q14Sql: String =
     """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 50""".stripMargin
 
   /** Q15: global top-k by price with tie-breaks. */
@@ -170,7 +170,7 @@ object Analytics {
       |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
       |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
       |  CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2, 3 ORDER BY month""".stripMargin
 
   /** Q19: math function suite — integer-exact combos. */
@@ -245,7 +245,7 @@ object Analytics {
   val q22Sql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
       |  CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   /** Q31: ntile window — per-customer order-price quartiles, then a
@@ -263,7 +263,7 @@ object Analytics {
 
   val q31Sql: String =
     """SELECT quartile, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM (SELECT CAST(NTILE(4) OVER (PARTITION BY o_custkey
       |        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile,
       |        o_totalprice FROM orders)

@@ -37,7 +37,7 @@ object Skew {
   val q28Sql: String =
     """SELECT event_type,
       |  CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
       |  MAX(value) AS max_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -50,7 +50,7 @@ object Skew {
     customer(s, d).createOrReplaceTempView("customer")
     s.sql(
       """SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_bal,
         |  CAST(GROUPING(r_name) AS INT) AS g_r,
         |  CAST(GROUPING(c_mktsegment) AS INT) AS g_s
         |FROM region JOIN nation ON r_regionkey = n_regionkey
@@ -61,7 +61,7 @@ object Skew {
 
   val q29Sql: String =
     """SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_bal,
       |  CAST(GROUPING(r_name) AS INT) AS g_r,
       |  CAST(GROUPING(c_mktsegment) AS INT) AS g_s
       |FROM region JOIN nation ON r_regionkey = n_regionkey

@@ -48,13 +48,13 @@ object Tpch {
 
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(price) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(price*(o-disc)) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(price*(o-disc)*(o+tax)) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(qty) AS DOUBLE)/COUNT(*) AS avg_qty,
-      |  CAST(SUM(price) AS DOUBLE)/COUNT(*) AS avg_price,
-      |  CAST(SUM(disc) AS DOUBLE)/COUNT(*) AS avg_disc,
+      |  CAST(CAST(SUM(qty) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(price*(o-disc)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(price*(o-disc)*(o+tax)) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(qty) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_qty,
+      |  CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_price,
+      |  CAST(CAST(SUM(disc) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_disc,
       |  CAST(COUNT(*) AS BIGINT) AS count_order
       |FROM (SELECT l_returnflag, l_linestatus,
       |        CAST(l_quantity AS DECIMAL(12,2)) qty,
@@ -78,7 +78,7 @@ object Tpch {
 
   val q02Sql: String =
     """SELECT
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -103,7 +103,7 @@ object Tpch {
 
   val q03Sql: String =
     """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -177,7 +177,7 @@ object Tpch {
 
   val q06Sql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM region JOIN nation ON r_regionkey = n_regionkey
       |  JOIN customer ON n_nationkey = c_nationkey
       |  JOIN orders ON c_custkey = o_custkey
@@ -198,8 +198,8 @@ object Tpch {
 
   val q07Sql: String =
     """SELECT p_brand,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
       |  CAST(COUNT(*) AS BIGINT) AS cnt
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
@@ -232,7 +232,7 @@ object Tpch {
 
   val q09Sql: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2)) - CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_gap
+      |  CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2)) - CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_gap
       |FROM supplier JOIN customer
       |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal""".stripMargin
 
