@@ -378,6 +378,36 @@ object Dedup {
     math.min(JaccardMaxSalts, math.max(1, math.max(pWork, pFill)))
   }
 
+  /** Largest block size the salt cap can still bound: past
+    * `sqrt(pairBudget) * maxSalts` docs (~512M intra-block pairs at the
+    * defaults) the derived P saturates at [[JaccardMaxSalts]] and task
+    * work starts growing quadratically again. */
+  def jaccardCapDocs: Long =
+    (math.sqrt(JaccardPairBudget.toDouble) * JaccardMaxSalts).toLong
+
+  /** Census check for the salt-cap cliff: given the (bk, bn) block-count
+    * table, returns a warning message naming the worst offending block
+    * and the over-cap count when any block exceeds [[jaccardCapDocs]] —
+    * the signal that exact all-pairs is no longer sane for that block
+    * and the LSH path (d02) should be used instead. Aggregate-only
+    * (three scalars reach the driver, never the census rows). */
+  def jaccardCapWarning(counts: DataFrame): Option[String] = {
+    val over = counts.where(col("bn") > jaccardCapDocs)
+      .agg(count(lit(1)).as("n"), max(col("bn")).as("worst_n"),
+        expr("max_by(bk, bn)").as("worst_bk"))
+      .head()
+    if (over.getLong(0) == 0L) None
+    else {
+      val worstN = over.getLong(1)
+      Some(s"blockedJaccard: ${over.getLong(0)} block(s) exceed the " +
+        s"JaccardMaxSalts=$JaccardMaxSalts work bound (cap $jaccardCapDocs docs/block); " +
+        s"worst block '${over.getString(2)}' has $worstN docs " +
+        s"(~${worstN * worstN / 2} intra-block pairs). Task work grows past the " +
+        s"${JaccardPairBudget}-pair budget — use the MinHash-LSH path (d02) for this corpus, " +
+        "or set spark.graft.jaccard.strict=true to fail fast.")
+    }
+  }
+
   /** Blocked pairwise set-similarity kernel shared by d04/q26: group docs
     * by (blocking key, salt-pair cell), then merge-intersect sorted
     * feature arrays pair-wise inside each cell. The shuffle carries each
@@ -409,6 +439,13 @@ object Dedup {
     val counts = feats.groupByKey(_._1).count().toDF("bk", "bn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numBlocks = counts.count()
+    // salt-cap cliff guard: warn (or fail fast under the strict conf)
+    // instead of silently letting task work grow past the pair budget
+    jaccardCapWarning(counts).foreach { msg =>
+      if (s.conf.getOption("spark.graft.jaccard.strict").exists(_.toBoolean))
+        throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     val withCnt = feats.toDF("src", "id", "fs")
       .join(counts, col("src") === col("bk"))
       .select(col("src"), col("id"), col("fs"), col("bn"))

@@ -154,6 +154,33 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
+  test("salt-cap cliff: over-cap block trips the census warning and strict mode") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // synthetic census: one block past the cap, one under it — the
+    // warning must fire, name the worst block, and strict mode must
+    // fail fast before any kernel work
+    val cap = Dedup.jaccardCapDocs
+    val counts = Seq(("huge", cap + 1), ("ok", 10L)).toDF("bk", "bn")
+    val msg = Dedup.jaccardCapWarning(counts)
+    assert(msg.isDefined, "over-cap block must trip the census")
+    assert(msg.get.contains("huge"), s"worst block not named: ${msg.get}")
+    assert(Dedup.jaccardCapWarning(Seq(("ok", cap)).toDF("bk", "bn")).isEmpty,
+      "at-cap block must NOT trip the census")
+    // strict conf: the kernel must throw during planning, not run over-cap
+    val feats = s.range(cap + 1)
+      .select(lit("huge").as("src"), col("id"), array().cast("array<string>").as("fs"))
+      .as[(String, Long, Array[String])]
+    s.conf.set("spark.graft.jaccard.strict", "true")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Dedup.blockedJaccardTyped(s, feats, 0.5)
+      }
+      assert(ex.getMessage.contains("JaccardMaxSalts"))
+    } finally s.conf.unset("spark.graft.jaccard.strict")
+  }
+
   test("d02 band keys: identical texts collide, verify is exact on a known pair") {
     val s = spark
     import s.implicits._
