@@ -8,13 +8,15 @@ import graft.core.Tables._
   * with typed metadata, decode/feature-extract in batched per-partition
   * workers.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/
-  * audio codecs exist in this container): it derives pseudo-metadata
-  * from the bytes with exact integer arithmetic, so the Spark-side
-  * plumbing that matters at scale — binary schema, partitioned batch
-  * iteration, worker-side batching, typed output schema — is real and
-  * oracle-checkable, and the stub body is the single function a real
-  * deployment replaces with an actual codec.
+  * The decode dispatcher tries a REAL image decode first —
+  * `javax.imageio` ships in the JDK, so PNG/JPEG/GIF/BMP blobs yield
+  * their true width/height/channels plus a deterministic sampled-
+  * luminance feature — and falls back to a clearly-marked deterministic
+  * STUB for any other payload (audio/video codecs do not exist in this
+  * container). The driver's oracle corpus stores text bytes in the
+  * binary column, so every oracle row takes the stub path and the
+  * DuckDB oracle stays exact; MultimodalSpec drives the real path with
+  * generated PNG/JPEG fixtures through the same Spark plumbing.
   */
 object Multimodal {
 
@@ -23,8 +25,9 @@ object Multimodal {
                                 height: Long, channels: Long, n_frames: Long,
                                 feature: Double)
 
-  /** STUB decoder: replace with a real codec (e.g. JNI image lib) in a
-    * real deployment. Deterministic pure function of the bytes. */
+  /** STUB decoder for non-image payloads: replace with a real codec
+    * (e.g. an audio/video JNI lib) in a real deployment. Deterministic
+    * pure function of the bytes. */
   def decodeStub(docId: Long, blob: Array[Byte]): DecodedMedia = {
     val len = blob.length.toLong
     var h = 0L
@@ -39,28 +42,88 @@ object Multimodal {
       feature = (h % 997).toDouble / 997.0)
   }
 
+  /** Cheap magic-number sniff so the common non-image case never pays
+    * an ImageIO reader probe. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) || // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // GIF
+      (b(0) == 'B' && b(1) == 'M'))                                          // BMP
+
+  /** Real decode path via the JDK's javax.imageio: true dimensions and
+    * channel count, plus a deterministic feature (mean luminance over an
+    * 8x8 sample grid, exact integer accumulation then one division).
+    * Returns None when the payload is not a decodable image. */
+  def decodeImage(docId: Long, blob: Array[Byte]): Option[DecodedMedia] = {
+    if (!looksLikeImage(blob)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val stepX = math.max(1, w / 8)
+      val stepY = math.max(1, h / 8)
+      var sum = 0L
+      var cnt = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          cnt += 3
+          x += stepX
+        }
+        y += stepY
+      }
+      Some(DecodedMedia(
+        doc_id = docId,
+        byte_len = blob.length.toLong,
+        width = w.toLong,
+        height = h.toLong,
+        channels = img.getColorModel.getNumComponents.toLong,
+        n_frames = 1L,
+        feature = if (cnt == 0) 0.0 else sum.toDouble / (cnt.toDouble * 255.0)))
+    } catch {
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** decode dispatcher: real image decode when the bytes are a decodable
+    * image, deterministic stub otherwise. */
+  def decode(docId: Long, blob: Array[Byte]): DecodedMedia =
+    decodeImage(docId, blob).getOrElse(decodeStub(docId, blob))
+
   val DecodeBatchSize = 64
 
-  /** m01: binary column -> batched partition-wise decode -> typed rows.
-    * The batch loop mirrors how a vectorized codec UDF consumes record
-    * batches (decode N blobs per call, amortizing codec setup). */
+  /** Batched partition-wise decode over any (id, blob) dataset — the
+    * shared plumbing for m01 and the real-image spec fixtures. The batch
+    * loop mirrors how a vectorized codec UDF consumes record batches
+    * (decode N blobs per call, amortizing codec setup). */
+  def decodeAll(s: SparkSession,
+                blobs: Dataset[(Long, Array[Byte])]): Dataset[DecodedMedia] = {
+    import s.implicits._
+    blobs
+      // spread decode work by key with a pinned count (the source is one
+      // row group; byte-based AQE sizing would coalesce to one task);
+      // first column = the id, whatever the caller named it
+      .repartition(s.sparkContext.defaultParallelism, col(blobs.columns.head))
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          // one "codec call" per batch of blobs
+          batch.map { case (id, blob) => decode(id, blob) }
+        }
+      }
+  }
+
+  /** m01: binary column -> batched partition-wise decode -> typed rows. */
   def m01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val blobs: Dataset[(Long, Array[Byte])] = documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .as[(Long, Array[Byte])]
-    blobs
-      // spread decode work by key with a pinned count (the source is one
-      // row group; byte-based AQE sizing would coalesce to one task)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .mapPartitions { it =>
-        it.grouped(DecodeBatchSize).flatMap { batch =>
-          // one "codec call" per batch of blobs
-          batch.map { case (id, blob) => decodeStub(id, blob) }
-        }
-      }
-      .toDF()
-      .orderBy("doc_id")
+    decodeAll(s, blobs).toDF().orderBy("doc_id")
   }
 
   val m01Sql: String =
