@@ -117,6 +117,7 @@ object KinesisEmu {
     streams.clear()
     committedEpochs.clear()
     epochLocks.clear()
+    maxSeenEpoch.set(Long.MinValue)
     failureInjector = (_, _) => Seq.empty
     clock = () => epochClockNanos()
     enforceShardRates = false
@@ -161,63 +162,107 @@ object KinesisEmu {
   private val committedEpochs = ConcurrentHashMap.newKeySet[String]()
   private val epochLocks = new ConcurrentHashMap[String, Object]()
 
+  /** Commit tokens older than this many epochs behind the newest one
+    * seen are evicted (the lock/token maps would otherwise grow without
+    * bound on long-running streams). Spark only replays epochs at or
+    * after its last checkpoint, far inside this horizon. */
+  val EpochRetention = 1000L
+  private val maxSeenEpoch = new AtomicLong(Long.MinValue)
+
   /** Idempotent PutRecords for streaming epochs: the same
     * (stream, epoch, partition) token commits at most once, so Spark's
     * task/epoch retries don't duplicate records — exactly-once into the
     * emu log (SURVEY.md §7.4 decision; the reference's writer has no
     * such guard and re-sends on upstream retry).
     *
-    * Commit ordering matters: the token is recorded ONLY after every
-    * batch lands with zero per-record failures. If a batch throws
-    * (validation/size) or the service reports per-record failures
-    * (failure injector, shard-rate throttling), everything staged so far
-    * is rolled back out of the shard logs and the error propagates —
-    * the epoch stays uncommitted, so Spark's task retry re-runs it
-    * cleanly. (Round-1 version marked the token committed up front,
-    * which silently turned exactly-once into at-most-once under
-    * failure.) */
+    * Two phases under the epoch lock: STAGE validates every batch
+    * (service limits, failure injector, shard-rate admission) and routes
+    * each record to its shard without touching any shard log; APPEND
+    * then lands all records and records the token. Commit is therefore
+    * the visibility point — a concurrent reader (dumpStream, the DSv2
+    * source) can never observe records of an epoch that subsequently
+    * fails. (Round-1 marked the token committed up front — at-most-once
+    * under failure; round-2 appended during validation and rolled back
+    * on failure — exactly-once for committed data but with a dirty-read
+    * window this rewrite closes.) */
   def putRecordsIdempotent(streamName: String, epochId: Long, partitionId: Int,
                            records: Seq[KinesisRecord]): Boolean = {
     val token = s"$streamName/$epochId/$partitionId"
     val lock = epochLocks.computeIfAbsent(token, _ => new Object)
-    lock.synchronized {
-      if (committedEpochs.contains(token)) return false // already committed
-      if (records.nonEmpty) {
-        val staged = ArrayBuffer[PutResult]()
-        try {
-          // honor batching limits on the way in
+    val committed = lock.synchronized {
+      if (committedEpochs.contains(token)) false // already committed
+      else {
+        if (records.nonEmpty) {
+          // phase 1: stage — validate and route, no shard log mutation.
+          // A throw here propagates with NOTHING to roll back.
+          val staged = ArrayBuffer[(Shard, KinesisRecord)]()
           graft.ingest.RecordBatcher.batch(records).foreach { b =>
-            val resp = putRecords(streamName, b)
-            staged ++= resp.results.collect { case Right(r) => r }
-            if (resp.failedCount > 0)
-              throw new IllegalStateException(
-                s"PutRecords partial failure: ${resp.failedCount} records; epoch $token rolled back")
+            staged ++= stageBatch(streamName, b, token)
           }
-        } catch {
-          case e: Throwable =>
-            rollbackStaged(streamName, staged.toSeq)
-            throw e
+          // phase 2: append — the visibility point
+          val now = clock()
+          staged.foreach { case (shard, r) => shard.append(r.partitionKey, r.data, now) }
         }
+        committedEpochs.add(token)
+        true
       }
-      committedEpochs.add(token)
-      true
+    }
+    if (committed) evictOldEpochs(epochId)
+    committed
+  }
+
+  /** Validate one service-limit-sized batch and resolve shard routing,
+    * mutating nothing but the rate windows (admission consumes rate
+    * budget whether or not the epoch later commits, like the real
+    * service). Throws on any validation error or per-record failure. */
+  private def stageBatch(streamName: String, records: Seq[KinesisRecord],
+                         token: String): Seq[(Shard, KinesisRecord)] = {
+    val st = stream(streamName).getOrElse(
+      throw new IllegalArgumentException(s"ResourceNotFoundException: stream $streamName"))
+    require(records.nonEmpty, "ValidationException: empty record list")
+    require(records.size <= Limits.PutRecordsLimit,
+      s"ValidationException: ${records.size} records exceeds limit ${Limits.PutRecordsLimit}")
+    records.foreach { r =>
+      val sz = r.partitionKey.getBytes("UTF-8").length + r.data.length
+      require(sz <= Limits.RecordSizeLimit,
+        s"ValidationException: record of $sz bytes exceeds ${Limits.RecordSizeLimit}")
+    }
+    val total = records.map(r => r.partitionKey.getBytes("UTF-8").length.toLong + r.data.length).sum
+    require(total <= Limits.PutRecordsSizeLimit,
+      s"ValidationException: request of $total bytes exceeds ${Limits.PutRecordsSizeLimit}")
+    val failures = failureInjector(streamName, records)
+    if (failures.nonEmpty)
+      throw new IllegalStateException(
+        s"PutRecords partial failure: ${failures.size} records; epoch $token aborted before append")
+    val now = clock()
+    records.map { r =>
+      val shard = st.shardFor(r.partitionKey)
+      val sz = r.partitionKey.getBytes("UTF-8").length.toLong + r.data.length
+      if (enforceShardRates && !shard.admit(sz, now))
+        throw new IllegalStateException(
+          s"PutRecords partial failure: ProvisionedThroughputExceeded; epoch $token aborted before append")
+      (shard, r)
     }
   }
 
-  /** Remove staged records of a failed epoch attempt from the shard
-    * logs (sequence numbers stay consumed — gaps are fine, the service
-    * guarantees monotonicity, not contiguity). */
-  private def rollbackStaged(streamName: String, staged: Seq[PutResult]): Unit =
-    stream(streamName).foreach { st =>
-      staged.groupBy(_.shardId).foreach { case (sid, rs) =>
-        st.shards.find(_.shardId == sid).foreach { shard =>
-          val seqs = rs.map(_.sequenceNumber).toSet
-          shard.log.synchronized {
-            shard.log.filterInPlace(r => !seqs.contains(r.sequenceNumber))
-          }
+  /** Evict commit tokens/locks more than [[EpochRetention]] epochs
+    * behind the newest committed epoch. Amortized: the sweep only runs
+    * when the horizon advances. */
+  private def evictOldEpochs(epochId: Long): Unit = {
+    val prev = maxSeenEpoch.getAndUpdate(m => math.max(m, epochId))
+    if (epochId > prev && prev != Long.MinValue) {
+      val horizon = maxSeenEpoch.get() - EpochRetention
+      if (horizon > Long.MinValue + EpochRetention) {
+        def epochOf(token: String): Long = {
+          val parts = token.split('/')
+          if (parts.length >= 2) parts(parts.length - 2).toLongOption.getOrElse(Long.MaxValue)
+          else Long.MaxValue
         }
+        committedEpochs.removeIf(t => epochOf(t) < horizon)
+        epochLocks.keySet().removeIf(t => epochOf(t) < horizon)
       }
     }
+  }
 
   /** Dump a stream's per-shard durable log as a DataFrame (the Kafka-like
     * relational view, SURVEY.md §1.2) — the batch-read counterpart of the

@@ -87,10 +87,11 @@ case class TopKPerKeyExec(child: SparkPlan, partitionExprs: Seq[Expression],
     val parts = partitionExprs
     val ord = order
     val kk = k
+    val out = output
     val budget = conf.getConfString(TopKPerKeyExec.MaxRetainedRowsKey,
       TopKPerKeyExec.DefaultMaxRetainedRows.toString).toLong
     child.execute().mapPartitions { it =>
-      TopKPerKeyExec.process(it, childOutput, parts, ord, kk, budget)
+      TopKPerKeyExec.process(it, childOutput, parts, ord, kk, budget, out)
     }
   }
 
@@ -109,6 +110,17 @@ case class TopKPerKeyExec(child: SparkPlan, partitionExprs: Seq[Expression],
   * k-way merge streams runs in (key, order) order, emitting ranks and
   * skipping past-k rows. Memory is bounded by the cap regardless of key
   * cardinality; zero run files means the pure in-memory path.
+  *
+  * Ordering note: the operator promises no outputOrdering. The
+  * in-memory path emits keys in first-seen order; the spill path emits
+  * them in key-byte-sorted order (the run-merge order). Callers that
+  * need an order sort above this operator — as every graft query does.
+  *
+  * Run-file lifecycle: deleted eagerly when the merge iterator
+  * exhausts; a TaskContext completion listener covers partial
+  * consumption (limit), and deleteOnExit covers direct invocation
+  * outside a task (unit tests, driver-local execution), so no path
+  * leaks files for the JVM lifetime.
   */
 object TopKPerKeyExec {
   val MaxRetainedRowsKey = "graft.topk.maxRetainedRows"
@@ -127,9 +139,13 @@ object TopKPerKeyExec {
 
   private[plans] def process(it: Iterator[InternalRow], childOutput: Seq[Attribute],
                              parts: Seq[Expression], ord: Seq[SortOrder], kk: Int,
-                             budget: Long): Iterator[InternalRow] = {
+                             budget: Long, outAttrs: Seq[Attribute]): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(parts, childOutput)
     val ordering = RowOrdering.create(ord, childOutput)
+    // SparkPlan contract: emitted rows must be UnsafeRow (a parent-less
+    // collect()/shuffle consumes row BYTES directly; a raw JoinedRow
+    // ClassCastExceptions there). One reused projection per partition.
+    val outProj = UnsafeProjection.create(outAttrs, outAttrs)
     // heap keeps the k BEST rows per key; head = worst of the kept
     val heapOrd: Ordering[InternalRow] = (a, b) => ordering.compare(a, b)
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
@@ -179,18 +195,25 @@ object TopKPerKeyExec {
     }
 
     if (runs.isEmpty) {
+      val joined = new JoinedRow
       heaps.iterator.flatMap { case (_, h) =>
         val sorted = h.dequeueAll.reverse // ascending in `ordering`
         sorted.iterator.zipWithIndex.map { case (row, i) =>
-          val joined = new JoinedRow
-          joined(row, InternalRow(i + 1))
+          outProj(joined(row, InternalRow(i + 1)))
         }
       }
     } else {
       if (retained > 0) spillHeaps()
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => runs.foreach(_.delete())))
-      mergeRuns(runs.toSeq, numFields, ordering, kk)
+      // cleanup ladder: task completion listener for the normal executor
+      // path (covers partially consumed iterators, e.g. under a limit);
+      // deleteOnExit as the fallback when there is no TaskContext
+      // (direct/unit invocation, driver-local execution); and the merge
+      // iterator deletes eagerly at exhaustion
+      org.apache.spark.TaskContext.get() match {
+        case null => runs.foreach(_.deleteOnExit())
+        case tc => tc.addTaskCompletionListener[Unit](_ => runs.foreach(_.delete()))
+      }
+      mergeRuns(runs.toSeq, numFields, ordering, kk, outProj)
     }
   }
 
@@ -218,7 +241,8 @@ object TopKPerKeyExec {
   }
 
   private def mergeRuns(runs: Seq[java.io.File], numFields: Int,
-                        ordering: Ordering[InternalRow], kk: Int): Iterator[InternalRow] = {
+                        ordering: Ordering[InternalRow], kk: Int,
+                        outProj: UnsafeProjection): Iterator[InternalRow] = {
     val pq = mutable.PriorityQueue.empty[RunReader](new Ordering[RunReader] {
       // min-heap: reverse of (keyBytes, row-order)
       override def compare(a: RunReader, b: RunReader): Int = {
@@ -234,6 +258,7 @@ object TopKPerKeyExec {
       private var curKey: Array[Byte] = null
       private var rank = 0
       private var nextRow: InternalRow = null
+      private var cleaned = false
       private def pump(): Unit = {
         nextRow = null
         while (nextRow == null && pq.nonEmpty) {
@@ -245,8 +270,17 @@ object TopKPerKeyExec {
           else rank += 1
           if (rank <= kk) {
             val joined = new JoinedRow
-            nextRow = joined(row, InternalRow(rank))
+            // copy: this iterator pumps the NEXT row before the consumer
+            // is done with the current one, so the projection buffer
+            // cannot be reused here (spill path only — rare)
+            nextRow = outProj(joined(row, InternalRow(rank))).copy()
           }
+        }
+        // merge exhausted: every reader hit EOF (and closed); delete the
+        // run files eagerly instead of waiting for task end / JVM exit
+        if (nextRow == null && pq.isEmpty && !cleaned) {
+          cleaned = true
+          runs.foreach(_.delete())
         }
       }
       pump()

@@ -64,6 +64,45 @@ class ExactlyOnceSpec extends AnyFunSuite {
     KinesisEmu.reset()
   }
 
+  test("no dirty-read window: staged records are invisible until commit") {
+    KinesisEmu.reset()
+    KinesisEmu.createStream("eo5", 1)
+    // 501 records -> two service batches; fail the SECOND one and
+    // observe, from inside the service, that batch 1 is still invisible
+    val many = (0 until 501).map(i => KinesisRecord("k", Array[Byte]((i % 100).toByte)))
+    @volatile var seenDuringBatch2 = -1
+    var calls = 0
+    KinesisEmu.failureInjector = (_, _) => {
+      calls += 1
+      if (calls == 2) {
+        seenDuringBatch2 = KinesisEmu.stream("eo5").get.allRecords.size
+        Seq(KinesisEmu.PerRecordFailure(0, "InternalFailure"))
+      } else Seq.empty
+    }
+    intercept[IllegalStateException] {
+      KinesisEmu.putRecordsIdempotent("eo5", 1L, 0, many)
+    }
+    assert(seenDuringBatch2 == 0,
+      s"batch-1 records visible before commit: $seenDuringBatch2")
+    assert(KinesisEmu.stream("eo5").get.allRecords.isEmpty)
+    KinesisEmu.reset()
+  }
+
+  test("epoch tokens are evicted past the retention horizon") {
+    KinesisEmu.reset()
+    KinesisEmu.createStream("ev", 1)
+    val r = Seq(KinesisRecord("k", Array[Byte](1)))
+    assert(KinesisEmu.putRecordsIdempotent("ev", 0L, 0, r))
+    assert(!KinesisEmu.putRecordsIdempotent("ev", 0L, 0, r)) // in horizon: rejected
+    // advancing far past the retention horizon sweeps the old token
+    assert(KinesisEmu.putRecordsIdempotent("ev", KinesisEmu.EpochRetention + 5, 0, r))
+    assert(KinesisEmu.putRecordsIdempotent("ev", KinesisEmu.EpochRetention + 6, 0, r))
+    // the out-of-horizon token is gone: a (pathological) replay is
+    // accepted again — the documented retention trade-off
+    assert(KinesisEmu.putRecordsIdempotent("ev", 0L, 0, r))
+    KinesisEmu.reset()
+  }
+
   test("oversized staged epochs are re-batched to service limits") {
     KinesisEmu.reset()
     KinesisEmu.createStream("eo2", 1)

@@ -84,6 +84,22 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxRetainedRowsKey)
   }
 
+  test("spill run files are deleted once the query completes") {
+    def runFiles(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft-topk-") && f.getName.endsWith(".run"))
+        .map(_.getName).toSet
+    }
+    val before = runFiles()
+    spark.conf.set(graft.plans.TopKPerKeyExec.MaxRetainedRowsKey, "7")
+    try {
+      assert(topOrders(3).collect().nonEmpty)
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxRetainedRowsKey)
+    val leaked = runFiles() -- before
+    assert(leaked.isEmpty, s"run files leaked: $leaked")
+  }
+
   test("rank()/frames/other predicates do NOT rewrite (conservative matcher)") {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
     val r = graft.core.Tables.orders(spark, sfDir)
