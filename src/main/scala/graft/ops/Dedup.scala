@@ -281,7 +281,12 @@ object Dedup {
     }
   }
 
-  def d03(s: SparkSession, d: String): DataFrame = {
+  def d03(s: SparkSession, d: String): DataFrame =
+    d03Pairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** Unordered d03 pair stream — shared by d03 (which orders it for the
+    * oracle) and d07 (which feeds it to connected components). */
+  def d03Pairs(s: SparkSession, d: String): DataFrame = {
     // pinned partition count: the probe side of the bucket join is
     // CPU-dense with tiny bytes (candidate evals, codegen predicate) —
     // left to byte-based sizing it lands on one core.
@@ -321,7 +326,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType))
       .where(col("hamming") <= HammingMax)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
   }
 
   val d03Sql: String =
@@ -342,6 +346,123 @@ object Dedup {
       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- d07: near-dup CLUSTERS — connected components over d03 pairs ----
+
+  /** d07: the dedup endgame — pairwise matches are only half the
+    * pipeline; canonicalization needs CLUSTERS (pick one representative
+    * per group of mutual near-dups). Components of the d03 similarity
+    * graph via iterative min-label propagation, the standard distributed
+    * CC construction (each round every vertex takes the min label among
+    * itself and its neighbors; fixpoint = every vertex holds its
+    * component's min doc_id):
+    *
+    *  - per-round cost is ONE equi-join of the edge list against the
+    *    current labels plus a groupBy-min — all shuffles on keys, no
+    *    driver data;
+    *  - rounds = graph diameter. Near-dup clusters are dense (band
+    *    collisions make them near-cliques), so diameter is small; the
+    *    corpus converges in <= 4 rounds. (At adversarial diameters the
+    *    classic fix is alternating small-star/large-star, same join
+    *    shape; documented, not needed here.)
+    *  - each round localCheckpoints the label table: truncates the
+    *    growing lineage (iterative plans re-optimize the whole history
+    *    otherwise) and drops the shuffle dependency chain;
+    *  - convergence check is a LIMIT-1 count of labels that shrank — a
+    *    driver scalar, never rows.
+    *
+    * Output: (doc_id, cluster_id = component min doc_id, cluster_size),
+    * singletons included — exactly the table a canonicalizer joins
+    * against to keep `doc_id == cluster_id` rows. */
+  def d07(s: SparkSession, d: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val pairs = d03Pairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .repartition(par, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = documents(s, d)
+      .select(col("doc_id").as("doc"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    // The label table is (doc, label) for every document — broadcast it
+    // into the edge join while it fits (checkpointed plans carry no
+    // stats, so Catalyst would otherwise sort-merge and re-shuffle the
+    // FULL edge table every round — measured 2x the whole loop). Past
+    // the broadcast regime (~tens of millions of docs) the hint is
+    // skipped and the rounds run as co-partitioned shuffle joins — the
+    // standard large-graph CC shape.
+    val labelsBroadcastable = labels.count() <= 4L * 1000 * 1000
+    def hinted(df: DataFrame): DataFrame = if (labelsBroadcastable) broadcast(df) else df
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 64) {
+      // pointer-jumping step on the MATERIALIZED label table (both join
+      // sides read the checkpoint, so the dual consumption is free):
+      // follow label -> label(label). Labels are always doc ids, so the
+      // lookup always hits; each jump halves the remaining distance to
+      // the component min, turning the diameter-bounded flood into
+      // O(log diameter) rounds.
+      val jumped = labels.as("x")
+        .join(hinted(labels.select(col("doc").as("ldoc"), col("label").as("llabel"))),
+          col("x.label") === col("ldoc"))
+        .select(col("x.doc").as("doc"), col("llabel").as("label"))
+      // neighbor round: min label over incident edges (partial aggs
+      // shrink the shuffle to <= |V| rows)
+      val prop = edges.join(hinted(jumped), col("src") === col("doc"))
+        .select(col("dst").as("doc"), col("label"))
+      val next = jumped.union(prop)
+        .groupBy("doc").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("doc"), col("label").as("old")), "doc")
+        .where(col("label") < col("old"))
+        .limit(1).count() // scalar: did ANY label shrink this round?
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"d07 connected components converged in $iter rounds")
+    edges.unpersist()
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n"))
+    labels.join(sizes, "label")
+      .select(col("doc").as("doc_id"), col("label").as("cluster_id"),
+        big(col("n")).as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE (labels flood the
+    * component; MIN per doc = component min), over the same d03 pair
+    * predicate. */
+  val d07Sql: String =
+    s"""WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+      |votes AS (
+      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM th, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)
+      |  GROUP BY doc_id, j),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+      |  WHERE r.label <> e.dst),
+      |lab AS (SELECT doc, MIN(label) AS cluster_id FROM reach GROUP BY doc)
+      |SELECT doc AS doc_id, cluster_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      |FROM lab ORDER BY doc_id""".stripMargin
 
   // ---- d04: character-3-gram Jaccard near-dup (blocked by source) ----
 
@@ -696,7 +817,8 @@ object Dedup {
     "d02_minhash_lsh_neardup" -> d02 _,
     "d03_simhash_hamming" -> d03 _,
     "d04_ngram_jaccard" -> d04 _,
-    "d05_cosine_neardup" -> d05 _)
+    "d05_cosine_neardup" -> d05 _,
+    "d07_neardup_clusters" -> d07 _)
 
   val oracle: Map[String, String] = Map(
     "d06_contamination" -> d06Sql,
@@ -704,5 +826,6 @@ object Dedup {
     "d02_minhash_lsh_neardup" -> d02Sql,
     "d03_simhash_hamming" -> d03Sql,
     "d04_ngram_jaccard" -> d04Sql,
-    "d05_cosine_neardup" -> d05Sql)
+    "d05_cosine_neardup" -> d05Sql,
+    "d07_neardup_clusters" -> d07Sql)
 }

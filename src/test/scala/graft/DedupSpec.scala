@@ -181,6 +181,32 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally s.conf.unset("spark.graft.jaccard.strict")
   }
 
+  test("d07 clusters == driver union-find over the d03 pair graph (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = graft.ops.Dedup.d03Pairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    // reference: classic union-find on the driver
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // canonical label = min doc in component
+    val byRoot = docs.groupBy(find)
+    val want = byRoot.values.flatMap { members =>
+      val label = members.min
+      members.map(m => (m, label, members.length.toLong))
+    }.toSeq.sortBy(_._1)
+    val got = graft.ops.Dedup.d07(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    assert(byRoot.size > 1 && byRoot.values.exists(_.length > 1),
+      "fixture should have both singletons and real clusters")
+  }
+
   test("d02 band keys: identical texts collide, verify is exact on a known pair") {
     val s = spark
     import s.implicits._
