@@ -122,12 +122,49 @@ object Pipeline {
       |  CAST(SUM(n_tok) AS BIGINT) AS tokens
       |FROM docs GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  /** p04: deterministic sharded epoch shuffle — the data-loading step of
+    * a training run. Each document gets a pseudo-random position from a
+    * salted hash (seeded by the epoch tag, so epoch 1 is a DIFFERENT but
+    * equally deterministic permutation), is routed to one of
+    * [[ShuffleShards]] loader shards by that hash, and ranked within its
+    * shard by a partitioned window — every shard's read order is a
+    * shuffled, reproducible stream, and no global single-partition sort
+    * exists anywhere (the classic scale trap of `ORDER BY rand()`).
+    * Output: one row per (shard, position) with the doc assignment. */
+  val ShuffleShards = 8
+
+  def p04(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h", "doc_id")
+    documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+          .cast(LongType))
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast(LongType))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
+  val p04Sql: String =
+    s"""SELECT shard, pos, doc_id
+      |FROM (SELECT doc_id,
+      |        h % $ShuffleShards AS shard,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY h % $ShuffleShards
+      |          ORDER BY h, doc_id) AS BIGINT) AS pos
+      |      FROM (SELECT doc_id,
+      |              CAST(('0x' || substring(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |            FROM documents))
+      |ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_corpus" -> p01 _,
     "p02_stratified_sample" -> p02 _,
-    "p03_split_assign" -> p03 _)
+    "p03_split_assign" -> p03 _,
+    "p04_epoch_shuffle" -> p04 _)
   val oracle: Map[String, String] = Map(
     "p01_clean_corpus" -> p01Sql,
     "p02_stratified_sample" -> p02Sql,
-    "p03_split_assign" -> p03Sql)
+    "p03_split_assign" -> p03Sql,
+    "p04_epoch_shuffle" -> p04Sql)
 }

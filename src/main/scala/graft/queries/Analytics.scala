@@ -312,7 +312,37 @@ object Analytics {
       |        unnest(embedding) AS v FROM embeddings WHERE vec_id < 10)
       |WHERE i - 1 < 5 ORDER BY vec_id, pos""".stripMargin
 
+  /** q36: percent_rank + cume_dist — the two distribution-position
+    * window functions (complements ntile/percentile_disc). Unique total
+    * order inside each partition (price, then key) so rank == row
+    * position and both functions are deterministic; their int/int
+    * double divisions are IEEE-identical across engines. Output thinned
+    * by a deterministic key filter AFTER the window so the full
+    * partition still defines the distribution. */
+  def q36(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("pr"), col("cd"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val q36Sql: String =
+    """SELECT o_orderpriority, o_orderkey, pr, cd
+      |FROM (SELECT o_orderpriority, o_orderkey,
+      |        percent_rank() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice, o_orderkey) AS pr,
+      |        cume_dist() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice, o_orderkey) AS cd
+      |      FROM orders)
+      |WHERE o_orderkey % 97 = 0
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_percent_rank" -> q36 _,
     "q31_ntile_quartiles" -> q31 _,
     "q32_pivot_event_counts" -> q32 _,
     "q33_posexplode_ordinality" -> q33 _,
@@ -330,6 +360,7 @@ object Analytics {
     "q22_hourly_tumbling" -> q22 _)
 
   val oracle: Map[String, String] = Map(
+    "q36_percent_rank" -> q36Sql,
     "q31_ntile_quartiles" -> q31Sql,
     "q32_pivot_event_counts" -> q32Sql,
     "q33_posexplode_ordinality" -> q33Sql,
