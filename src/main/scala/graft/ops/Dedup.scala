@@ -75,6 +75,46 @@ object Dedup {
     *     The pair stream is repartitioned ONCE while still slim (i,j
     *     only); the id arrays ride broadcast-hash lookups, never an
     *     array-carrying shuffle of the candidate stream. */
+  /** Table-based hex of an MD5 digest; the naive per-byte
+    * format-interpolator costs ~10x the digest itself at millions of
+    * hashes per partition. */
+  private[graft] def hexMd5(b: Array[Byte]): String = {
+    val HEX = "0123456789abcdef"
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX.charAt((b(i) >> 4) & 0xf); out(2 * i + 1) = HEX.charAt(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The pure per-doc MinHash band-key kernel d02 runs in its
+    * mapPartitions pass — one 60-bit BIGINT key per band. Factored out
+    * so the streaming near-dup flagger (streaming.StreamNearDup, S8)
+    * buckets arriving documents with EXACTLY the batch operator's keys.
+    * `md` is the caller's thread-local digest instance. */
+  private[graft] def docBandKeys(md: java.security.MessageDigest,
+                                 toks: Array[String]): Array[Long] = {
+    val numBands = MinhashSeeds / BandRows
+    val sigs = Array.tabulate(MinhashSeeds) { seed =>
+      // min over hex strings == unsigned-lexicographic min over digest
+      // bytes (hex is monotone per byte): compare raw bytes, hexify
+      // only the winner
+      var best: Array[Byte] = null
+      toks.foreach { w =>
+        val h = md.digest(s"$seed:$w".getBytes("UTF-8"))
+        if (best == null || java.util.Arrays.compareUnsigned(h, best) < 0) best = h
+      }
+      hexMd5(best)
+    }
+    Array.tabulate(numBands) { b =>
+      val h = hexMd5(md.digest(sigs.slice(b * BandRows, (b + 1) * BandRows)
+        .mkString("|").getBytes("UTF-8")))
+      java.lang.Long.parseLong(h.substring(0, 15), 16)
+    }
+  }
+
   def d02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val numBands = MinhashSeeds / BandRows
@@ -97,18 +137,6 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val HEX = "0123456789abcdef".toCharArray
-        // table-based hex; the naive per-byte format-interpolator costs
-        // ~10x the digest itself at millions of hashes per partition
-        def hex(b: Array[Byte]): String = {
-          val out = new Array[Char](32)
-          var i = 0
-          while (i < 16) {
-            out(2 * i) = HEX((b(i) >> 4) & 0xf); out(2 * i + 1) = HEX(b(i) & 0xf)
-            i += 1
-          }
-          new String(out)
-        }
         it.flatMap { case (id, text) =>
           val toks = text.split(" ", -1).distinct
           // sorted 64-bit token-id array for the verify kernel, from the
@@ -122,22 +150,7 @@ object Dedup {
             v
           }
           java.util.Arrays.sort(ids)
-          val sigs = Array.tabulate(MinhashSeeds) { seed =>
-            // min over hex strings == unsigned-lexicographic min over
-            // digest bytes (hex is monotone per byte): compare raw bytes,
-            // hexify only the winner
-            var best: Array[Byte] = null
-            toks.foreach { w =>
-              val h = md.digest(s"$seed:$w".getBytes("UTF-8"))
-              if (best == null || java.util.Arrays.compareUnsigned(h, best) < 0) best = h
-            }
-            hex(best)
-          }
-          val bandKeys = Array.tabulate(numBands) { b =>
-            val h = hex(md.digest(sigs.slice(b * BandRows, (b + 1) * BandRows)
-              .mkString("|").getBytes("UTF-8")))
-            java.lang.Long.parseLong(h.substring(0, 15), 16)
-          }
+          val bandKeys = docBandKeys(md, toks)
           Iterator.tabulate(numBands) { b =>
             (id, b, bandKeys(b), bandKeys(0), bandKeys(1), bandKeys(2), bandKeys(3),
               // carry the id array once per doc (band 0 only) so the

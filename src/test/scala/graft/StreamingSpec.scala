@@ -257,6 +257,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("S8: streaming minhash near-dup flags equal the batch bucket answer") {
+    import graft.streaming.StreamNearDup
+    import graft.streaming.StreamNearDup.DocIn
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[DocIn]
+      .collect().sortBy(_.doc_id)
+    val stream = MemoryStream[DocIn]
+    val qName = s"s8_${System.nanoTime()}"
+    val q = StreamNearDup.flags(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    // two micro-batches: state must carry bucket minima across the split
+    val (a, b) = docs.splitAt(docs.length / 2)
+    stream.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(qName)
+      .select("doc_id", "band", "dup_of")
+      .collect().map(_.toString).sorted
+    val batch = StreamNearDup.batchFlags(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length && streamed.nonEmpty,
+      s"streamed=${streamed.length} batch=${batch.length}")
+    assert(streamed.sameElements(batch))
+    // and the flags really are d02 candidates: every flagged doc shares
+    // a band bucket with its dup_of by construction (kernel identity) —
+    // spot-check that dup_of is always the bucket minimum
+    assert(spark.table(qName).where(col("dup_of") >= col("doc_id")).count() == 0)
+  }
+
   test("S6b: tiny watermark horizon bounds state but may re-emit expired keys") {
     import graft.streaming.StreamDedup
     val keys = Seq("user_id", "event_type")
