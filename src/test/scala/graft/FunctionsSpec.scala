@@ -69,4 +69,58 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[String](0) == Seq("the", "fast", "fox"))
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
+
+  test("HyperplaneBucket: codegen == interpreted == HOF formula on real vectors") {
+    import graft.functions.HyperplaneBucket.hyperplane_bucket
+    val planes = graft.ops.Ann.NumPlanes
+    val q = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+    // the interpreted-HOF reference formula (the pre-round-4 a02 shape)
+    val viaHof = q.withColumn("bucket", expr(
+      s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) ->
+        acc + CAST(POWER(2, p) AS BIGINT) * (CASE WHEN
+          aggregate(sequence(0, size(q)-1), CAST(0 AS BIGINT),
+            (s2, i) -> s2 + q[i] * (((p * 73856093 + i * 19349663) % 2003) - 1001)) >= 0
+          THEN 1 ELSE 0 END))"""))
+      .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // codegen path (whole-stage) and interpreted eval of the expression
+    val viaExpr = q.withColumn("bucket", hyperplane_bucket(col("q"), planes))
+      .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaExpr.nonEmpty && viaExpr == viaHof)
+    // interpreted eval (optimizer constant-folds a literal input)
+    val lit2 = spark.sql(
+      "SELECT array(CAST(5 AS BIGINT), CAST(-3 AS BIGINT), CAST(7 AS BIGINT)) AS q")
+      .withColumn("bucket", hyperplane_bucket(col("q"), planes))
+      .head().getLong(1)
+    val direct = graft.functions.HyperplaneBucket(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(5L, -3L, 7L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      planes).eval(null)
+    assert(lit2 == direct.asInstanceOf[Long])
+    assert(lit2 >= 0 && lit2 < (1L << planes), s"bucket $lit2 out of range")
+  }
+
+  test("NonZeroVector: codegen == interpreted, short-circuit semantics") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.GraftInterop
+    def nzv(c: org.apache.spark.sql.Column) =
+      GraftInterop.column(graft.functions.NonZeroVector(GraftInterop.expression(c)))
+    // parquet-backed (codegen path) vs driver re-check
+    val e = graft.core.Tables.embeddings(spark, sfDir).limit(100)
+    val got = e.select(col("vec_id"), nzv(col("embedding")).as("nz"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = e.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).exists(_ != 0.0f)).toMap
+    assert(got.nonEmpty && got == want)
+    // explicit edges: all-zero, empty, leading-zero vectors
+    val edges = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array.empty[Float]),
+      (3L, Array(0.0f, 0.0f, 1e-30f)), (4L, Array(-0.0f, 0.0f))).toDF("id", "v")
+    val r = edges.select(col("id"), nzv(col("v")).as("nz"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(r == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
+  }
 }
