@@ -387,6 +387,10 @@ object Dedup {
     * Output: (doc_id, cluster_id = component min doc_id, cluster_size),
     * singletons included — exactly the table a canonicalizer joins
     * against to keep `doc_id == cluster_id` rows. */
+  /** rounds of the last d07 run on this JVM — observability for specs
+    * and perf triage (the INFO log is usually filtered). */
+  @volatile private[graft] var lastD07Rounds: Int = -1
+
   def d07(s: SparkSession, d: String): DataFrame = {
     val par = s.sparkContext.defaultParallelism
     val pairs = d03Pairs(s, d).select(col("doc_a"), col("doc_b"))
@@ -424,16 +428,28 @@ object Dedup {
       // shrink the shuffle to <= |V| rows)
       val prop = edges.join(hinted(jumped), col("src") === col("doc"))
         .select(col("dst").as("doc"), col("label"))
-      val next = jumped.union(prop)
-        .groupBy("doc").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.select(col("doc"), col("label").as("old")), "doc")
-        .where(col("label") < col("old"))
-        .limit(1).count() // scalar: did ANY label shrink this round?
-      converged = changed == 0L
+      // convergence detection rides the SAME job that materializes the
+      // round (join the old label back — broadcast-cheap — and count
+      // shrunk labels in an accumulator) instead of a second action
+      val shrunk = s.sparkContext.longAccumulator("d07-shrunk")
+      val next = {
+        import s.implicits._
+        jumped.union(prop)
+          .groupBy("doc").agg(min("label").as("label"))
+          .join(hinted(labels.select(col("doc"), col("label").as("old"))), "doc")
+          .as[(Long, Long, Long)]
+          .map { case (doc, label, old) =>
+            if (label < old) shrunk.add(1L)
+            (doc, label)
+          }
+          .toDF("doc", "label")
+          .localCheckpoint(true)
+      }
+      converged = shrunk.value == 0L
       labels = next
       iter += 1
     }
+    lastD07Rounds = iter
     org.slf4j.LoggerFactory.getLogger(getClass)
       .info(s"d07 connected components converged in $iter rounds")
     edges.unpersist()
