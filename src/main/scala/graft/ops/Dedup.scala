@@ -827,6 +827,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d08: d06's documented 100 TB shape made real — a Bloom filter built
+    * over the benchmark shingles (distributed sketch aggregation; the
+    * driver holds only the bitset, which then broadcasts) pre-filters
+    * the corpus shingle stream BEFORE the equi-join, so the shuffle
+    * carries only shingles that might hit the benchmark instead of the
+    * whole exploded corpus. Bloom false positives are dropped by the
+    * exact join that follows, so the result — and the oracle — are
+    * IDENTICAL to d06; at a 1% fpp the join input shrinks by ~99% of
+    * the non-contaminated volume at scale. */
+  def d08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    val bench = sh.where(col("doc_id") < ContamBenchIds)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val corpus = sh.where(col("doc_id") >= ContamBenchIds)
+    val nBench = math.max(bench.select("sh").distinct().count(), 1L)
+    val bloom = bench.stat.bloomFilter("sh", nBench, 0.01)
+    val bcBloom = s.sparkContext.broadcast(bloom)
+    val pre = corpus.as[(Long, String)]
+      .filter(t => bcBloom.value.mightContainString(t._2))
+      .toDF("doc_id", "sh")
+    pre.join(bench, "sh")
+      .groupBy("doc_id")
+      .agg(
+        big(countDistinct(col("sh"))).as("matched_shingles"),
+        big(countDistinct(col("bench_id"))).as("benchmarks_hit"))
+      .orderBy("doc_id")
+  }
+
+  /** d08 emits exactly d06's rows (bloom only prunes the join input). */
+  def d08Sql: String = d06Sql
+
   val d06Sql: String =
     s"""WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -847,7 +879,8 @@ object Dedup {
     "d03_simhash_hamming" -> d03 _,
     "d04_ngram_jaccard" -> d04 _,
     "d05_cosine_neardup" -> d05 _,
-    "d07_neardup_clusters" -> d07 _)
+    "d07_neardup_clusters" -> d07 _,
+    "d08_contamination_bloom" -> d08 _)
 
   val oracle: Map[String, String] = Map(
     "d06_contamination" -> d06Sql,
@@ -856,5 +889,6 @@ object Dedup {
     "d03_simhash_hamming" -> d03Sql,
     "d04_ngram_jaccard" -> d04Sql,
     "d05_cosine_neardup" -> d05Sql,
-    "d07_neardup_clusters" -> d07Sql)
+    "d07_neardup_clusters" -> d07Sql,
+    "d08_contamination_bloom" -> d08Sql)
 }
