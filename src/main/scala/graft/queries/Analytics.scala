@@ -341,7 +341,42 @@ object Analytics {
       |WHERE o_orderkey % 97 = 0
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** q37: RANGE window frame — trailing 30-day revenue per customer
+    * (q14 covers ROWS frames; RANGE frames bound by the ORDER-BY VALUE
+    * are the other frame type, and the only one whose peers-inclusion
+    * semantics make results independent of tie order). Spark needs a
+    * numeric order column for rangeBetween, so the timestamp is ordered
+    * as epoch seconds with a -30-day lower bound — the identical row
+    * set DuckDB's INTERVAL framing selects. Decimal window sum, final
+    * correctly-rounded double cast. */
+  def q37(s: SparkSession, d: String): DataFrame = {
+    val secs = 30L * 24 * 3600
+    val w = Window.partitionBy("o_custkey")
+      // NTZ has no direct long cast; NTZ -> TIMESTAMP (UTC session) ->
+      // epoch seconds is exact and matches DuckDB's tz-free INTERVAL math
+      .orderBy(col("o_orderdate").cast(TimestampType).cast(LongType))
+      .rangeBetween(-secs, 0)
+    orders(s, d)
+      .withColumn("trail30", money(sum(dec2(col("o_totalprice"))).over(w)))
+      .where(col("o_orderkey") % 53 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("trail30"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q37Sql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+      |    AS trail30
+      |FROM orders
+      |QUALIFY o_orderkey % 53 = 0
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_range_frame" -> q37 _,
     "q36_percent_rank" -> q36 _,
     "q31_ntile_quartiles" -> q31 _,
     "q32_pivot_event_counts" -> q32 _,
@@ -360,6 +395,7 @@ object Analytics {
     "q22_hourly_tumbling" -> q22 _)
 
   val oracle: Map[String, String] = Map(
+    "q37_range_frame" -> q37Sql,
     "q36_percent_rank" -> q36Sql,
     "q31_ntile_quartiles" -> q31Sql,
     "q32_pivot_event_counts" -> q32Sql,
