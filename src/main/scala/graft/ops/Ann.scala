@@ -271,15 +271,92 @@ object Ann {
       |      WHERE amax > 0)
       |ORDER BY vec_id LIMIT 100""".stripMargin
 
+  // ---- a05: product quantization (PQ) encoding ----
+
+  val PqSubspaces = 4
+  val PqCentroids = 8
+
+  /** a05: product-quantization encoding — the compression half of an
+    * IVF-PQ index (a03 is the coarse quantizer; PQ compresses the
+    * residual-free vectors here). Each quantized vector splits into
+    * [[PqSubspaces]] subvectors; each subvector is assigned its nearest
+    * of [[PqCentroids]] deterministic codebook entries (the first K
+    * vectors' subvectors, as in a03's coarse codebook) by exact integer
+    * L2 distance with centroid-id tie-breaks. Output per vector: the PQ
+    * code (one BIGINT per subspace) and the total integer distortion —
+    * the index builder's compression-quality report.
+    *
+    * Scale shape: the codebook is K=8 rows broadcast; distance math is
+    * per-(vector, centroid) HOFs over 16-element slices (per-doc work,
+    * where interpreted HOFs are fine), then a (vec, subspace) window
+    * picks the argmin — all shuffles are on vec_id, never all-pairs. */
+  def a05(s: SparkSession, d: String): DataFrame = {
+    val wExpr = s"CAST(size(q) / $PqSubspaces AS INT)"
+    val q = embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")) // see a02
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+    val cents = q.where(col("vec_id") < PqCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val distCols = (0 until PqSubspaces).map { sub =>
+      expr(s"""aggregate(zip_with(
+        slice(q, 1 + $sub * $wExpr, $wExpr),
+        slice(cq, 1 + $sub * $wExpr, $wExpr),
+        (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as(s"d$sub")
+    }
+    val pairs = q.join(broadcast(cents), lit(true))
+      .select(col("vec_id") +: col("cid") +: distCols: _*)
+    val long = pairs.selectExpr("vec_id", "cid",
+      s"stack($PqSubspaces, ${(0 until PqSubspaces).map(i => s"$i, d$i").mkString(", ")}) AS (sub, dist)")
+    val best = long
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cid"))))
+      .where(col("rn") === 1)
+    best.groupBy("vec_id")
+      .agg(
+        sum(when(col("sub") === 0, col("cid"))).cast(LongType).as("code0"),
+        sum(when(col("sub") === 1, col("cid"))).cast(LongType).as("code1"),
+        sum(when(col("sub") === 2, col("cid"))).cast(LongType).as("code2"),
+        sum(when(col("sub") === 3, col("cid"))).cast(LongType).as("code3"),
+        sum(col("dist")).cast(LongType).as("distortion"))
+      .orderBy("vec_id")
+  }
+
+  val a05Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS v,
+      |         len(qv) // $PqSubspaces AS w FROM q),
+      |dists AS (
+      |  SELECT e.vec_id, c.vec_id AS cid, CAST((e.i - 1) // e.w AS BIGINT) AS sub,
+      |    CAST(SUM((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS dist
+      |  FROM ex e JOIN ex c ON c.i = e.i AND c.vec_id < $PqCentroids
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, sub, cid, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |  FROM dists)
+      |SELECT vec_id,
+      |  CAST(SUM(CASE WHEN sub = 0 THEN cid END) AS BIGINT) AS code0,
+      |  CAST(SUM(CASE WHEN sub = 1 THEN cid END) AS BIGINT) AS code1,
+      |  CAST(SUM(CASE WHEN sub = 2 THEN cid END) AS BIGINT) AS code2,
+      |  CAST(SUM(CASE WHEN sub = 3 THEN cid END) AS BIGINT) AS code3,
+      |  CAST(SUM(dist) AS BIGINT) AS distortion
+      |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
-    "a04_int8_quantize" -> a04 _)
+    "a04_int8_quantize" -> a04 _,
+    "a05_pq_encode" -> a05 _)
 
   val oracle: Map[String, String] = Map(
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql,
-    "a04_int8_quantize" -> a04Sql)
+    "a04_int8_quantize" -> a04Sql,
+    "a05_pq_encode" -> a05Sql)
 }
