@@ -346,17 +346,168 @@ object Ann {
       |  CAST(SUM(dist) AS BIGINT) AS distortion
       |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- a06: IVF-PQ search (coarse pruning + ADC over PQ codes) ----
+
+  /** a06: the industry-standard ANN query path end-to-end — IVF coarse
+    * pruning (a03) composed with PQ compression (a05) and asymmetric
+    * distance computation: each probe searches only its nearest
+    * [[IvfProbeClusters]] clusters, and candidate distances are NOT
+    * computed against the raw vectors but against the probe's
+    * 8-entry-per-subspace distance TABLE (integer L2 probe-subvector ->
+    * codebook-entry), summed over the candidate's 4 PQ code lookups —
+    * the memory-bound trick that lets a real index scan billions of
+    * compressed codes. Everything is exact integer arithmetic, so the
+    * full composite has a DuckDB oracle. Output: top-3 candidates per
+    * probe by ADC distance (ascending, tie on vec_id).
+    *
+    * Scale shape: codebooks broadcast (8 + 16 rows); the ADC table is
+    * probes x 8 x 4 = tiny broadcast; candidates come from the cluster
+    * equi-join (partition pruning), never a scan of all codes. */
+  def a06(s: SparkSession, d: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val wExpr = s"CAST(size(q) / $PqSubspaces AS INT)"
+    val q = embeddings(s, d)
+      .repartition(par, col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coarse codebook + assignment (a03's construction)
+    val cents = q.where(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("norm2").as("cnorm2"))
+    val assigned = q.join(broadcast(cents), lit(true))
+      .withColumn("dot", aggregate(zip_with(col("q"), col("cq"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("csim", col("dot").cast(DoubleType) /
+        sqrt(col("norm2").cast(DoubleType) * col("cnorm2").cast(DoubleType)))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("q"), col("cid").as("cluster"))
+    // PQ codebook + per-vector codes (a05's construction, codes only)
+    val pqCents = q.where(col("vec_id") < PqCentroids)
+      .select(col("vec_id").as("pcid"), col("q").as("cq"))
+    val distCols = (0 until PqSubspaces).map { sub =>
+      expr(s"""aggregate(zip_with(
+        slice(q, 1 + $sub * $wExpr, $wExpr),
+        slice(cq, 1 + $sub * $wExpr, $wExpr),
+        (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as(s"d$sub")
+    }
+    def subDists(vecs: DataFrame, idCol: String): DataFrame =
+      vecs.join(broadcast(pqCents), lit(true))
+        .select(col(idCol) +: col("pcid") +: distCols: _*)
+        .selectExpr(idCol, "pcid",
+          s"stack($PqSubspaces, ${(0 until PqSubspaces).map(i => s"$i, d$i").mkString(", ")}) AS (sub, dist)")
+    val codes = subDists(q.select(col("vec_id"), col("q")), "vec_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("pcid"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("pcid").as("code"))
+    // probes: nearest IvfProbeClusters clusters (a03's construction)
+    val probeClusters = q.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("norm2").as("pnorm2"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("dot", aggregate(zip_with(col("pq"), col("cq"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("csim", col("dot").cast(DoubleType) /
+        sqrt(col("pnorm2").cast(DoubleType) * col("cnorm2").cast(DoubleType)))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("csim").desc, col("cid"))))
+      .where(col("crank") <= IvfProbeClusters)
+      .select(col("probe_id"), col("pq"), col("cid").as("pcluster"))
+    // probe-side ADC distance table: (probe, sub, codebook entry) -> dist
+    val adcTable = subDists(
+      probeClusters.select(col("probe_id"), col("pq").as("q")).distinct(), "probe_id")
+      .select(col("probe_id"), col("sub"), col("pcid"), col("dist"))
+    // candidates from the probed clusters, scored by 4 table lookups
+    val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    cands
+      .join(codes, "vec_id")
+      .join(broadcast(adcTable), Seq("probe_id", "sub"))
+      .where(col("pcid") === col("code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("dist")).cast(LongType).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val a06Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_aggregate(list_transform(qv, x -> x*x), 'sum') AS BIGINT) AS norm2
+      |  FROM q),
+      |ex AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS v,
+      |         len(qv) // $PqSubspaces AS w FROM q),
+      |cents AS (SELECT vec_id AS cid, norm2 AS cnorm2 FROM n WHERE vec_id < $IvfCentroids),
+      |cdots AS (
+      |  SELECT a.vec_id, c.vec_id AS cid, CAST(SUM(a.v * c.v) AS BIGINT) AS dot
+      |  FROM ex a JOIN ex c ON c.i = a.i AND c.vec_id < $IvfCentroids
+      |  GROUP BY 1, 2),
+      |csims AS (
+      |  SELECT cdots.vec_id, cdots.cid,
+      |    CAST(dot AS DOUBLE) / SQRT(CAST(nv.norm2 AS DOUBLE) * CAST(cents.cnorm2 AS DOUBLE)) AS csim
+      |  FROM cdots JOIN n nv ON nv.vec_id = cdots.vec_id
+      |             JOIN cents ON cents.cid = cdots.cid),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
+      |    FROM csims) WHERE crank = 1),
+      |probe_clusters AS (
+      |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
+      |    FROM csims WHERE vec_id < 10) WHERE crank <= $IvfProbeClusters),
+      |subdists AS (
+      |  SELECT e.vec_id, c.vec_id AS pcid, CAST((e.i - 1) // e.w AS BIGINT) AS sub,
+      |    CAST(SUM((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS dist
+      |  FROM ex e JOIN ex c ON c.i = e.i AND c.vec_id < $PqCentroids
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, sub, pcid AS code FROM (
+      |    SELECT vec_id, sub, pcid, dist,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, pcid) AS rn
+      |    FROM subdists) WHERE rn = 1),
+      |cand AS (
+      |  SELECT pc.probe_id, a.vec_id
+      |  FROM probe_clusters pc JOIN assigned a
+      |    ON a.cluster = pc.cluster AND a.vec_id <> pc.probe_id),
+      |scored AS (
+      |  SELECT cand.probe_id, cand.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adist
+      |  FROM cand
+      |    JOIN codes k ON k.vec_id = cand.vec_id
+      |    JOIN subdists t ON t.vec_id = cand.probe_id AND t.sub = k.sub AND t.pcid = k.code
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT probe_id, vec_id AS neighbor_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank
+      |  FROM scored)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
+      |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
     "a04_int8_quantize" -> a04 _,
-    "a05_pq_encode" -> a05 _)
+    "a05_pq_encode" -> a05 _,
+    "a06_ivfpq_adc" -> a06 _)
 
   val oracle: Map[String, String] = Map(
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql,
     "a04_int8_quantize" -> a04Sql,
-    "a05_pq_encode" -> a05Sql)
+    "a05_pq_encode" -> a05Sql,
+    "a06_ivfpq_adc" -> a06Sql)
 }
