@@ -387,26 +387,36 @@ object Dedup {
     * Output: (doc_id, cluster_id = component min doc_id, cluster_size),
     * singletons included — exactly the table a canonicalizer joins
     * against to keep `doc_id == cluster_id` rows. */
-  /** rounds of the last d07 run on this JVM — observability for specs
-    * and perf triage (the INFO log is usually filtered). */
-  @volatile private[graft] var lastD07Rounds: Int = -1
+  /** rounds of the last connectedComponents run on this JVM —
+    * observability for specs and perf triage (the INFO log is usually
+    * filtered). */
+  @volatile private[graft] var lastCcRounds: Int = -1
 
-  def d07(s: SparkSession, d: String): DataFrame = {
+  /** Generic distributed connected components: `vertices` is one LONG
+    * column (any name), `pairs` two LONG columns (any names) of
+    * undirected edges over those vertices. Returns (vertex, label) with
+    * label = the component's minimum vertex id. Iterative min-label
+    * propagation with a pointer-jumping step per round — see the d07
+    * scaladoc for the construction and its scale shape. */
+  def connectedComponents(s: SparkSession, vertices: DataFrame,
+                          pairs0: DataFrame): DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    val pairs = d03Pairs(s, d).select(col("doc_a"), col("doc_b"))
+    val pc = pairs0.columns
+    val pairs = pairs0.select(col(pc(0)).as("doc_a"), col(pc(1)).as("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .repartition(par, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = documents(s, d)
-      .select(col("doc_id").as("doc"), col("doc_id").as("label"))
+    var labels = vertices
+      .select(col(vertices.columns.head).as("doc"))
+      .select(col("doc"), col("doc").as("label"))
       .localCheckpoint(true)
-    // The label table is (doc, label) for every document — broadcast it
+    // The label table is (vertex, label) for every vertex — broadcast it
     // into the edge join while it fits (checkpointed plans carry no
     // stats, so Catalyst would otherwise sort-merge and re-shuffle the
     // FULL edge table every round — measured 2x the whole loop). Past
-    // the broadcast regime (~tens of millions of docs) the hint is
+    // the broadcast regime (~tens of millions of vertices) the hint is
     // skipped and the rounds run as co-partitioned shuffle joins — the
     // standard large-graph CC shape.
     val labelsBroadcastable = labels.count() <= 4L * 1000 * 1000
@@ -416,9 +426,9 @@ object Dedup {
     while (!converged && iter < 64) {
       // pointer-jumping step on the MATERIALIZED label table (both join
       // sides read the checkpoint, so the dual consumption is free):
-      // follow label -> label(label). Labels are always doc ids, so the
-      // lookup always hits; each jump halves the remaining distance to
-      // the component min, turning the diameter-bounded flood into
+      // follow label -> label(label). Labels are always vertex ids, so
+      // the lookup always hits; each jump halves the remaining distance
+      // to the component min, turning the diameter-bounded flood into
       // O(log diameter) rounds.
       val jumped = labels.as("x")
         .join(hinted(labels.select(col("doc").as("ldoc"), col("label").as("llabel"))),
@@ -431,7 +441,7 @@ object Dedup {
       // convergence detection rides the SAME job that materializes the
       // round (join the old label back — broadcast-cheap — and count
       // shrunk labels in an accumulator) instead of a second action
-      val shrunk = s.sparkContext.longAccumulator("d07-shrunk")
+      val shrunk = s.sparkContext.longAccumulator("cc-shrunk")
       val next = {
         import s.implicits._
         jumped.union(prop)
@@ -449,10 +459,17 @@ object Dedup {
       labels = next
       iter += 1
     }
-    lastD07Rounds = iter
+    lastCcRounds = iter
     org.slf4j.LoggerFactory.getLogger(getClass)
-      .info(s"d07 connected components converged in $iter rounds")
+      .info(s"connected components converged in $iter rounds")
     edges.unpersist()
+    labels
+  }
+
+  def d07(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(s,
+      documents(s, d).select(col("doc_id")),
+      d03Pairs(s, d).select(col("doc_a"), col("doc_b")))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n"))
     labels.join(sizes, "label")
       .select(col("doc").as("doc_id"), col("label").as("cluster_id"),

@@ -181,6 +181,41 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally s.conf.unset("spark.graft.jaccard.strict")
   }
 
+  test("property: connectedComponents == union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 0 until 6) {
+      val rnd = new scala.util.Random(500 + trial)
+      val n = 30 + rnd.nextInt(170)
+      // mix of shapes: sparse random edges + one deliberate long chain
+      // (stresses the pointer-jumping path, not just dense cliques)
+      val random = Seq.fill(rnd.nextInt(3 * n))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val chainLen = 5 + rnd.nextInt(20)
+      val base = rnd.nextInt(n - 1)
+      val chain = (0 until chainLen - 1).map { i =>
+        ((base + i) % n).toLong -> ((base + i + 1) % n).toLong
+      }.filter(p => p._1 != p._2)
+      val pairs = random ++ chain
+      val got = graft.ops.Dedup.connectedComponents(s,
+          (0L until n.toLong).toDF("v"), pairs.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(v => v -> v): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = (0L until n.toLong).map { v =>
+        v -> (0L until n.toLong).filter(u => find(u) == find(v)).min
+      }.toMap
+      assert(got == want,
+        s"trial $trial n=$n edges=${pairs.length}: first diff " +
+          got.find { case (k, v) => want(k) != v })
+    }
+  }
+
   test("d07 clusters == driver union-find over the d03 pair graph (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val pairs = graft.ops.Dedup.d03Pairs(spark, sf)

@@ -9,7 +9,7 @@ object D07Rounds {
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
     val n = graft.ops.Dedup.d07(spark, args.headOption.getOrElse("/root/testdata/sf0.1")).count()
-    println(s"[d07] rows=$n rounds=${graft.ops.Dedup.lastD07Rounds} time=${(System.nanoTime()-t0)/1e9}s")
+    println(s"[d07] rows=$n rounds=${graft.ops.Dedup.lastCcRounds} time=${(System.nanoTime()-t0)/1e9}s")
     spark.stop()
   }
 }
