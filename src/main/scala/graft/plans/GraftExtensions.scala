@@ -40,6 +40,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "quantized_cosine"),
       (children: Seq[Expression]) =>
         graft.functions.QuantizedCosineSimilarity(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("non_zero_vector"),
+      new ExpressionInfo(classOf[NonZeroVector].getName, "non_zero_vector"),
+      (children: Seq[Expression]) => NonZeroVector(children(0))))
+    // hyperplane_bucket(q, numPlanes): numPlanes must be a foldable INT
+    e.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneBucket].getName,
+        "hyperplane_bucket"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(p: Int, _) => graft.functions.HyperplaneBucket(children(0), p)
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_bucket: numPlanes must be an INT literal, got $other")
+      }))
     e.injectOptimizerRule(_ => SelfCosineRule)
     e.injectOptimizerRule(_ => TopKRewriteRule)
     e.injectOptimizerRule(_ => HammingJoinRule)

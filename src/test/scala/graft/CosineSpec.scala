@@ -110,6 +110,26 @@ class CosineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"zeroed diagonal must be 0.0: ${zs.mkString(",")}")
   }
 
+  test("SQL registration: non_zero_vector and hyperplane_bucket") {
+    val r = spark.sql(
+      "SELECT non_zero_vector(array(CAST(0 AS FLOAT), CAST(2 AS FLOAT))) AS nz, " +
+        "non_zero_vector(array(CAST(0 AS FLOAT))) AS z, " +
+        "hyperplane_bucket(array(CAST(5 AS BIGINT), CAST(-3 AS BIGINT)), 6) AS b").head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    val direct = graft.functions.HyperplaneBucket(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(5L, -3L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      6).eval(null).asInstanceOf[Long]
+    assert(r.getLong(2) == direct)
+    // non-literal plane count is rejected with a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT hyperplane_bucket(array(CAST(1 AS BIGINT)), 1 + 5)").head()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.toLowerCase.contains("foldable"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("quantized_cosine matches the HOF integer-dot formula bit-for-bit") {
     import graft.functions.CosineSimilarity.quantized_cosine
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -257,6 +257,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("S9: stream-static enrichment join equals the batch join") {
+    import graft.streaming.Enrich
+    val dim = graft.core.Tables.customer(spark, sfDir)
+    val streamed = replayThrough(df => Enrich.enrichWithCustomer(df, dim))
+      .filter(col("event_type") =!= "closer")
+      .orderBy("event_id").collect()
+    val batch = Enrich.batchReference(spark, sfDir)
+      .orderBy("event_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty,
+      s"streamed=${streamed.length} batch=${batch.length}")
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
   test("S8: streaming minhash near-dup flags equal the batch bucket answer") {
     import graft.streaming.StreamNearDup
     import graft.streaming.StreamNearDup.DocIn
