@@ -157,14 +157,71 @@ object Pipeline {
       |            FROM documents))
       |ORDER BY shard, pos""".stripMargin
 
+  /** p05: sequence packing — the step that turns a shuffled document
+    * stream into fixed-budget training sequences (pack documents
+    * head-to-tail into [[PackTokens]]-token bins; a doc whose span
+    * crosses a boundary starts the next bin's worth of attention
+    * windows). Deterministic offset packing: docs are laid out in p04's
+    * shard/position order, each doc's bin is its cumulative start
+    * offset DIV the budget, its position within the bin the remainder —
+    * a pure per-shard window cumsum, embarrassingly parallel across
+    * shards (the classic greedy first-fit is inherently sequential;
+    * offset packing is the standard distributed compromise and gives
+    * identical utilization for docs much shorter than the budget).
+    * Output: one row per doc with its (shard, bin, offset) placement
+    * plus bin fill stats. */
+  val PackTokens = 512
+
+  def p05(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h", "doc_id")
+    val placed = documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+          .cast(LongType))
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast(LongType))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
+      .withColumn("bin", (col("start_off") / PackTokens).cast(LongType))
+      .withColumn("bin_off", col("start_off") % PackTokens)
+    placed
+      .groupBy("shard", "bin")
+      .agg(
+        big(count(lit(1))).as("docs_in_bin"),
+        big(sum(col("n_tok"))).as("bin_tokens"),
+        big(min(col("doc_id"))).as("first_doc"))
+      .orderBy("shard", "bin")
+  }
+
+  val p05Sql: String =
+    s"""WITH placed AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    h % $ShuffleShards AS shard,
+      |    COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+      |      PARTITION BY h % $ShuffleShards ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+      |      - CAST(len(string_split(text, ' ')) AS BIGINT) AS start_off
+      |  FROM (SELECT doc_id, text,
+      |          CAST(('0x' || substring(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |        FROM documents))
+      |SELECT shard, CAST(start_off // $PackTokens AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS docs_in_bin,
+      |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM placed GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_corpus" -> p01 _,
     "p02_stratified_sample" -> p02 _,
     "p03_split_assign" -> p03 _,
-    "p04_epoch_shuffle" -> p04 _)
+    "p04_epoch_shuffle" -> p04 _,
+    "p05_sequence_pack" -> p05 _)
   val oracle: Map[String, String] = Map(
     "p01_clean_corpus" -> p01Sql,
     "p02_stratified_sample" -> p02Sql,
     "p03_split_assign" -> p03Sql,
-    "p04_epoch_shuffle" -> p04Sql)
+    "p04_epoch_shuffle" -> p04Sql,
+    "p05_sequence_pack" -> p05Sql)
 }
