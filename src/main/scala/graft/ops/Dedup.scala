@@ -822,6 +822,9 @@ object Dedup {
 
   private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      // single-row-group source + per-doc split/slice work: pin the
+      // partition count or the whole shingle pass runs on one core
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       // guard BEFORE sequence(): Spark's sequence(1, n) with n < 1 counts
       // DOWN (yielding bogus indexes) while DuckDB's generate_series is

@@ -137,6 +137,8 @@ object Pipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("h", "doc_id")
     documents(s, d)
+      // pin: single-row-group source, per-doc md5 work (see d02)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("h",
         conv(substring(md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
           .cast(LongType))
@@ -176,6 +178,8 @@ object Pipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("h", "doc_id")
     val placed = documents(s, d)
+      // pin: single-row-group source, per-doc split/md5 work (see d02)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
       .withColumn("h",
         conv(substring(md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)

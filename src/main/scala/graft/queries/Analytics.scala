@@ -357,6 +357,9 @@ object Analytics {
       .orderBy(col("o_orderdate").cast(TimestampType).cast(LongType))
       .rangeBetween(-secs, 0)
     orders(s, d)
+      // pin: single-row-group source; the window shuffle would otherwise
+      // be AQE-coalesced to one task on this byte-small input
+      .repartition(s.sparkContext.defaultParallelism, col("o_custkey"))
       .withColumn("trail30", money(sum(dec2(col("o_totalprice"))).over(w)))
       .where(col("o_orderkey") % 53 === 0)
       .select(col("o_custkey"), col("o_orderkey"),
