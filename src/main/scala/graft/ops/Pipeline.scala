@@ -137,12 +137,14 @@ object Pipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("h", "doc_id")
     documents(s, d)
-      // pin: single-row-group source, per-doc md5 work (see d02)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("h",
         conv(substring(md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
           .cast(LongType))
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast(LongType))
+      // pin the WINDOW's own exchange (hash keys, explicit N — AQE never
+      // coalesces it; zero extra shuffles, the window reuses this
+      // clustering); the cheap id-hash above stays in the scan
+      .repartition(s.sparkContext.defaultParallelism, col("shard"))
       .withColumn("pos", row_number().over(w).cast(LongType))
       .select(col("shard"), col("pos"), col("doc_id"))
       .orderBy("shard", "pos")
@@ -178,13 +180,14 @@ object Pipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("h", "doc_id")
     val placed = documents(s, d)
-      // pin: single-row-group source, per-doc split/md5 work (see d02)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
       .withColumn("h",
         conv(substring(md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
           .cast(LongType))
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast(LongType))
+      // pin the WINDOW's own exchange (see p04); the heavier text split
+      // below then runs AFTER the spread, parallel across the cluster
+      .repartition(s.sparkContext.defaultParallelism, col("shard"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
       .withColumn("start_off",
         coalesce(sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
       .withColumn("bin", (col("start_off") / PackTokens).cast(LongType))
