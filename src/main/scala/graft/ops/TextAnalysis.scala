@@ -187,17 +187,83 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY bucket_start ORDER BY bucket_start""".stripMargin
 
+  /** t06: repetition-rule quality filters (the Gopher/C4 family): per
+    * source, how many documents trip each repetition rule —
+    *  - rep_word: duplicated tokens exceed 20% of all tokens;
+    *  - rep_2gram: duplicated 2-grams exceed 10% of all 2-grams (the
+    *    n-gram rules use tighter thresholds than the word rule, as in
+    *    the published rule sets);
+    *  - top_word: the single most frequent token exceeds 20%.
+    * Thresholds compare as exact INTEGER cross-multiplications
+    * ((total - distinct) * 5 > total), so no float threshold edge can
+    * diverge between engines. Token stats come from one explode +
+    * two-level aggregation (groupBy (doc, w) then doc) — the shuffles
+    * are on keys, max/sum partial-aggregate map-side. */
+  def t06(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val wordDoc = tok.groupBy("source", "doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source", "doc_id")
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("uniq"), max(col("c")).as("maxc"))
+    val grams = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")).as("g"))
+    val gramDoc = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n2"), count(lit(1)).as("d2"))
+    wordDoc.join(gramDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n2", "d2"))
+      .groupBy("source")
+      .agg(
+        big(count(lit(1))).as("docs"),
+        big(sum(when((col("total") - col("uniq")) * 5 > col("total"), 1L).otherwise(0L)))
+          .as("rep_word_docs"),
+        big(sum(when((col("n2") - col("d2")) * 10 > col("n2"), 1L).otherwise(0L)))
+          .as("rep_2gram_docs"),
+        big(sum(when(col("maxc") * 5 > col("total"), 1L).otherwise(0L)))
+          .as("top_word_docs"))
+      .orderBy("source")
+  }
+
+  val t06Sql: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wd AS (
+      |  SELECT source, doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+      |ws AS (
+      |  SELECT source, doc_id, SUM(c) AS total, COUNT(*) AS uniq, MAX(c) AS maxc
+      |  FROM wd GROUP BY 1, 2),
+      |gr AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(2, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i-1] || ' ' || string_split(text, ' ')[i])) AS g
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |gd AS (SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY 1, 2),
+      |gs AS (SELECT doc_id, SUM(c) AS n2, COUNT(*) AS d2 FROM gd GROUP BY 1)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(CASE WHEN (total - uniq) * 5 > total THEN 1 ELSE 0 END) AS BIGINT) AS rep_word_docs,
+      |  CAST(SUM(CASE WHEN (COALESCE(n2, 0) - COALESCE(d2, 0)) * 10 > COALESCE(n2, 0)
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS rep_2gram_docs,
+      |  CAST(SUM(CASE WHEN maxc * 5 > total THEN 1 ELSE 0 END) AS BIGINT) AS top_word_docs
+      |FROM ws LEFT JOIN gs USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01 _,
     "t02_quality_score" -> t02 _,
     "t03_token_count" -> t03 _,
     "t04_fingerprint" -> t04 _,
-    "t05_length_histogram" -> t05 _)
+    "t05_length_histogram" -> t05 _,
+    "t06_repetition_rules" -> t06 _)
 
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
-    "t05_length_histogram" -> t05Sql)
+    "t05_length_histogram" -> t05Sql,
+    "t06_repetition_rules" -> t06Sql)
 }
