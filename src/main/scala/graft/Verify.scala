@@ -21,6 +21,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any STALE output of a previous run: a failed query must
+        // read as MISSING downstream, not silently pass on old results
+        val p = Paths.get(s"$outDir/$name")
+        if (Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

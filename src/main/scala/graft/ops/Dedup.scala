@@ -862,12 +862,19 @@ object Dedup {
     val bench = sh.where(col("doc_id") < ContamBenchIds)
       .select(col("doc_id").as("bench_id"), col("sh"))
     val corpus = sh.where(col("doc_id") >= ContamBenchIds)
-    val nBench = math.max(bench.select("sh").distinct().count(), 1L)
-    val bloom = bench.stat.bloomFilter("sh", nBench, 0.01)
-    val bcBloom = s.sparkContext.broadcast(bloom)
-    val pre = corpus.as[(Long, String)]
-      .filter(t => bcBloom.value.mightContainString(t._2))
-      .toDF("doc_id", "sh")
+    val nBench = bench.select("sh").distinct().count()
+    // empty benchmark: Spark's bloomFilter agg NPEs on zero rows, and
+    // there is nothing to pre-filter against anyway — the exact join
+    // below yields the (empty) answer
+    val pre =
+      if (nBench == 0L) corpus
+      else {
+        val bloom = bench.stat.bloomFilter("sh", nBench, 0.01)
+        val bcBloom = s.sparkContext.broadcast(bloom)
+        corpus.as[(Long, String)]
+          .filter(t => bcBloom.value.mightContainString(t._2))
+          .toDF("doc_id", "sh")
+      }
     pre.join(bench, "sh")
       .groupBy("doc_id")
       .agg(

@@ -50,7 +50,7 @@ object Skew {
     customer(s, d).createOrReplaceTempView("customer")
     s.sql(
       """SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
-        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_bal,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_bal,
         |  CAST(GROUPING(r_name) AS INT) AS g_r,
         |  CAST(GROUPING(c_mktsegment) AS INT) AS g_s
         |FROM region JOIN nation ON r_regionkey = n_regionkey
