@@ -35,7 +35,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // queries persist intermediates for their own dual consumers;
+      // drop them between queries so 64 cached tables don't accumulate
+      // storage pressure that degrades later measurements (the cache
+      // drop happens OUTSIDE the timed window)
+      spark.catalog.clearCache()
+      name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -430,22 +430,32 @@ object Dedup {
       // the lookup always hits; each jump halves the remaining distance
       // to the component min, turning the diameter-bounded flood into
       // O(log diameter) rounds.
-      val jumped = labels.as("x")
-        .join(hinted(labels.select(col("doc").as("ldoc"), col("label").as("llabel"))),
+      def jump(ls: DataFrame): DataFrame = ls.as("x")
+        .join(hinted(ls.select(col("doc").as("ldoc"), col("label").as("llabel"))),
           col("x.label") === col("ldoc"))
         .select(col("x.doc").as("doc"), col("llabel").as("label"))
-      // neighbor round: min label over incident edges (partial aggs
+      // neighbor step: min label over incident edges (partial aggs
       // shrink the shuffle to <= |V| rows)
-      val prop = edges.join(hinted(jumped), col("src") === col("doc"))
-        .select(col("dst").as("doc"), col("label"))
+      def relax(ls: DataFrame): DataFrame = {
+        val prop = edges.join(hinted(ls), col("src") === col("doc"))
+          .select(col("dst").as("doc"), col("label"))
+        ls.union(prop).groupBy("doc").agg(min("label").as("label"))
+      }
+      // TWO relax steps per materialized job: every job on a cluster is
+      // a scheduler round-trip, and the loop is round-latency-bound (the
+      // per-round data is tiny) — halving the checkpoint count halves
+      // wall time at identical total edge-scan work. The second relax
+      // consumes the first's un-materialized plan, so the lineage within
+      // one job is 2 joins deep — fine; it is the ACROSS-round lineage
+      // the checkpoint truncates.
+      val stepped = relax(relax(jump(labels)))
       // convergence detection rides the SAME job that materializes the
       // round (join the old label back — broadcast-cheap — and count
       // shrunk labels in an accumulator) instead of a second action
       val shrunk = s.sparkContext.longAccumulator("cc-shrunk")
       val next = {
         import s.implicits._
-        jumped.union(prop)
-          .groupBy("doc").agg(min("label").as("label"))
+        stepped
           .join(hinted(labels.select(col("doc"), col("label").as("old"))), "doc")
           .as[(Long, Long, Long)]
           .map { case (doc, label, old) =>
