@@ -26,6 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // shuffle/spill files on tmpfs: this box has 128 GiB RAM and a shared
+  // virtio disk whose latency spikes under host load — shuffle-heavy
+  // stages were absorbing multi-second I/O-wait stalls. The bench
+  // workload's shuffle footprint is MBs, so RAM-backed local dirs are
+  // safe and make timings reflect the ENGINE, not the neighbor's I/O.
+  "-Dspark.local.dir=/dev/shm/graft-spark",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 
