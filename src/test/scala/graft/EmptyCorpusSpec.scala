@@ -38,11 +38,11 @@ class EmptyCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     dir
   }
 
-  test("every declared query runs on an empty corpus") {
+  private def sweep(dir: String, label: String): Unit = {
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val n = fn(spark, emptyDir).count()
+        val n = fn(spark, dir).count()
         assert(n >= 0)
       } catch {
         case e: Throwable =>
@@ -50,7 +50,25 @@ class EmptyCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(failures.isEmpty,
-      s"${failures.size} queries crash on empty input:\n" +
+      s"${failures.size} queries crash on $label input:\n" +
         failures.map { case (n, m) => s"  $n -> $m" }.mkString("\n"))
+  }
+
+  test("every declared query runs on an empty corpus") {
+    sweep(emptyDir, "empty")
+  }
+
+  test("every declared query runs on a single-row corpus (n=1 edges)") {
+    // n=1 exposes the off-by-one class n=0 cannot: windows over one row,
+    // lag/lead with no predecessor, sequence(1, 0) guards, single-vertex
+    // graphs, a probe set equal to the whole corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-single").toString
+    val src = "/root/testdata/sf0.001"
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      spark.read.parquet(s"$src/$t.parquet").limit(1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    sweep(dir, "single-row")
   }
 }
