@@ -20,9 +20,16 @@ object Pipeline {
       .withColumn("uniq_ratio",
         size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks")).cast(DoubleType))
       .withColumn("quality_ok", col("n_tok") >= 15 && col("uniq_ratio") >= 0.3)
-    // exact dedup: keep the smallest doc_id per identical text
+    // exact dedup: keep the smallest doc_id per identical text. The
+    // keeper's text is re-aliased so the join condition references two
+    // DISTINCT attributes (docs("text") === keeper("text") resolves both
+    // sides to the same attribute -> a trivially-true conjunct and a
+    // Spark WARN; correctness then rode on keep_id being unique, which
+    // deserves to be structural, not incidental)
     val keeper = docs.groupBy("text").agg(min(col("doc_id")).as("keep_id"))
-    docs.join(keeper, docs("text") === keeper("text") && docs("doc_id") === keeper("keep_id"))
+      .withColumnRenamed("text", "kept_text")
+    docs.join(keeper, docs("text") === keeper("kept_text") &&
+        docs("doc_id") === keeper("keep_id"))
       .where(col("quality_ok"))
       .groupBy("source")
       .agg(
