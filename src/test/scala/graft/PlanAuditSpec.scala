@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan anti-pattern audit over EVERY declared query: the scan
+  * shapes that die at 100 TB must not silently reappear in a refactor.
+  * CartesianProduct is banned outright; BroadcastNestedLoopJoin is
+  * allowed only where a broadcast-cross against a constant-size side IS
+  * the computation (codebooks, block metadata, single-row aggregates) —
+  * each allowance named and bounded here. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-audit-spec")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** queries whose plan legitimately contains a BNLJ, with the reason. */
+  private val bnljAllowed: Map[String, String] = Map(
+    "q01_pricing_summary" -> "crossJoin vs broadcast 1-row global aggregate",
+    "q05_anti_join_no_orders" -> "crossJoin vs broadcast 1-row global count (anti join itself is hash)",
+    "q25_knn_cosine" -> "vector x broadcast 10-row probe set (the k-NN product), self excluded by inequality",
+    "a01_ann_bruteforce_topk" -> "vector x broadcast 10-row probe set (the k-NN product), self excluded by inequality",
+    "d05_cosine_neardup" -> "theta join over ~dozens of single-row block-metadata rows",
+    "a03_ann_ivf" -> "vector x 16-row broadcast coarse codebook (the assignment product)",
+    "a05_pq_encode" -> "vector x 8-row broadcast PQ codebook (the encoding product)",
+    "a06_ivfpq_adc" -> "vector x constant-size broadcast codebooks/ADC tables")
+
+  test("no CartesianProduct anywhere; BNLJ only in named constant-size crosses") {
+    val sf = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, s"plan anti-patterns:\n  ${offenders.mkString("\n  ")}")
+  }
+}
