@@ -487,6 +487,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d09: the dedup ENDGAME report — canonicalize each d07 cluster to
+    * its min-id representative and report what a training run saves:
+    * per source, documents and tokens before vs after near-dup removal.
+    * This is the number a data team actually acts on; it exercises the
+    * full pipeline (pair generation -> clustering -> canonicalization ->
+    * accounting) in one declared query. Join shapes: cluster labels are
+    * (doc, label) — the documents join is a doc_id equi-join, the
+    * accounting a per-source aggregation. */
+  def d09(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(s,
+      documents(s, d).select(col("doc_id")),
+      d03Pairs(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+    documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .join(labels, "doc_id")
+      .groupBy("source")
+      .agg(
+        big(count(lit(1))).as("docs_total"),
+        big(sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))).as("docs_kept"),
+        big(sum(col("n_tok"))).as("tokens_total"),
+        big(sum(when(col("doc_id") === col("cluster_id"), col("n_tok")).otherwise(0L)))
+          .as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  /** Oracle: d07's recursive-CTE closure joined back to the corpus. */
+  val d09Sql: String =
+    s"""WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+      |votes AS (
+      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM th, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)
+      |  GROUP BY doc_id, j),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+      |  WHERE r.label <> e.dst),
+      |lab AS (SELECT doc, MIN(label) AS cluster_id FROM reach GROUP BY doc)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS docs_total,
+      |  CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN doc_id = cluster_id THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM documents JOIN lab ON lab.doc = documents.doc_id
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Oracle: transitive closure by recursive CTE (labels flood the
     * component; MIN per doc = component min), over the same d03 pair
     * predicate. */
@@ -917,7 +978,8 @@ object Dedup {
     "d04_ngram_jaccard" -> d04 _,
     "d05_cosine_neardup" -> d05 _,
     "d07_neardup_clusters" -> d07 _,
-    "d08_contamination_bloom" -> d08 _)
+    "d08_contamination_bloom" -> d08 _,
+    "d09_dedup_savings" -> d09 _)
 
   val oracle: Map[String, String] = Map(
     "d06_contamination" -> d06Sql,
@@ -927,5 +989,6 @@ object Dedup {
     "d04_ngram_jaccard" -> d04Sql,
     "d05_cosine_neardup" -> d05Sql,
     "d07_neardup_clusters" -> d07Sql,
-    "d08_contamination_bloom" -> d08Sql)
+    "d08_contamination_bloom" -> d08Sql,
+    "d09_dedup_savings" -> d09Sql)
 }
