@@ -8,8 +8,34 @@ import org.apache.spark.sql.SparkSession
   * A warm-up pass (tiny parquet read + count) runs before timing so the
   * first query doesn't absorb session/codegen initialization. Each
   * query is timed by full materialization (count of the final result).
+  *
+  * Between queries (OUTSIDE the timed window) the harness returns the
+  * JVM to a clean storage state: catalog cache cleared, every persistent
+  * RDD (including localCheckpoint blocks, which clearCache does NOT
+  * touch) unpersisted, and an explicit System.gc() so ContextCleaner's
+  * weak-ref queue drains and shuffle files on the tmpfs-backed local
+  * dirs are actually deleted — without it the cleaner's periodic GC
+  * (default 30 min) never fires inside a bench run, and 65 queries of
+  * shuffle files accumulate on /dev/shm, competing with the JVM for the
+  * same physical RAM (the r4 driver-run inflation).
+  *
+  * Per-query diagnostics (GC ms, storage blocks left behind, /dev/shm
+  * fill) go to stderr and /tmp/graft_bench_diag.json so a slow run
+  * explains itself; the stdout line stays small (3-decimal seconds —
+  * the driver's tail capture lost the head of r4's full-precision
+  * line).
   */
 object Bench {
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  private def shmUsedBytes: Long = {
+    val f = new java.io.File("/dev/shm")
+    f.getTotalSpace - f.getUsableSpace
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,30 +53,47 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_COALESCE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
     // warm-up: JIT/codegen/IO paths, not counted
     spark.read.parquet(s"$sfDir/region.parquet").count()
     SparkEntry.entry(spark).count()
+    def cleanStorage(): Unit = {
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc() // drain ContextCleaner refs -> delete tmpfs shuffle files
+    }
+    cleanStorage()
+    val diag = new StringBuilder
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      // queries persist intermediates for their own dual consumers;
-      // drop them between queries so 64 cached tables don't accumulate
-      // storage pressure that degrades later measurements (the cache
-      // drop happens OUTSIDE the timed window)
-      spark.catalog.clearCache()
+      val gcMs = gcMillis - gc0
+      val blocksLeft = sc.getPersistentRDDs.size
+      cleanStorage()
+      val shm = shmUsedBytes
+      val d = s"""{"q":"$name","sec":${math.round(secs * 1000) / 1000.0},""" +
+        s""""gc_ms":$gcMs,"blocks_after":$blocksLeft,"shm_mb":${shm >> 20}}"""
+      System.err.println(s"[bench-diag] $d")
+      diag.append(d).append('\n')
       name -> secs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // 3-decimal seconds: ms precision (scheduling noise is +-100 ms);
+    // full precision doubled the line length past the driver's capture.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val total = r3(results.map(_._2).sum)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout from `sbt runMain` is wrapped in [info] noise, so the driver
     // could not machine-parse round 1's line — also persist it to a file.
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_diag.json"),
+      diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

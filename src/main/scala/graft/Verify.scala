@@ -26,8 +26,10 @@ object Verify {
         val p = Paths.get(s"$outDir/$name")
         if (Files.exists(p)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          val st = Files.walk(p)
+          try st.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(Files.delete)
+          finally st.close() // walk holds DirectoryStreams until closed
         }
       }
     }

@@ -259,7 +259,13 @@ object KinesisEmu {
           else Long.MaxValue
         }
         committedEpochs.removeIf(t => epochOf(t) < horizon)
-        epochLocks.keySet().removeIf(t => epochOf(t) < horizon)
+        // epochLocks entries are deliberately NOT evicted: removing a
+        // lock object another thread currently holds inside
+        // putRecordsIdempotent would let a concurrent retry
+        // computeIfAbsent a FRESH lock for the same token and enter the
+        // critical section in parallel — a duplicate-append race. Each
+        // entry is a token string + bare Object (~100 bytes); unbounded
+        // only in total epochs ever seen, which an emulator can afford.
       }
     }
   }

@@ -289,7 +289,13 @@ object Ann {
     * Scale shape: the codebook is K=8 rows broadcast; distance math is
     * per-(vector, centroid) HOFs over 16-element slices (per-doc work,
     * where interpreted HOFs are fine), then a (vec, subspace) window
-    * picks the argmin — all shuffles are on vec_id, never all-pairs. */
+    * picks the argmin — all shuffles are on vec_id, never all-pairs.
+    *
+    * Remainder-dimension contract: when the embedding dimension is not
+    * a multiple of [[PqSubspaces]], the trailing `dim mod 4` elements
+    * are DROPPED on both engines — slice() takes exactly 4*w elements
+    * here, and the oracles filter `i <= w * 4` to match (a05Sql /
+    * a06Sql), so the two sides can never diverge on odd dimensions. */
   def a05(s: SparkSession, d: String): DataFrame = {
     val wExpr = s"CAST(size(q) / $PqSubspaces AS INT)"
     val q = embeddings(s, d)
@@ -333,6 +339,7 @@ object Ann {
       |  SELECT e.vec_id, c.vec_id AS cid, CAST((e.i - 1) // e.w AS BIGINT) AS sub,
       |    CAST(SUM((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS dist
       |  FROM ex e JOIN ex c ON c.i = e.i AND c.vec_id < $PqCentroids
+      |  WHERE e.i <= e.w * $PqSubspaces
       |  GROUP BY 1, 2, 3),
       |best AS (
       |  SELECT vec_id, sub, cid, dist,
@@ -472,6 +479,7 @@ object Ann {
       |  SELECT e.vec_id, c.vec_id AS pcid, CAST((e.i - 1) // e.w AS BIGINT) AS sub,
       |    CAST(SUM((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS dist
       |  FROM ex e JOIN ex c ON c.i = e.i AND c.vec_id < $PqCentroids
+      |  WHERE e.i <= e.w * $PqSubspaces
       |  GROUP BY 1, 2, 3),
       |codes AS (
       |  SELECT vec_id, sub, pcid AS code FROM (

@@ -86,7 +86,11 @@ object Multimodal {
         n_frames = 1L,
         feature = if (cnt == 0) 0.0 else sum.toDouble / (cnt.toDouble * 255.0)))
     } catch {
-      case _: java.io.IOException => None
+      // ImageIO readers throw RuntimeExceptions (NegativeArraySize,
+      // IllegalArgument, CMMException...) on malformed headers, and the
+      // magic sniff can route ordinary text ("BMW...", "GIF8...") here —
+      // any non-fatal decode failure falls back to the stub path.
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

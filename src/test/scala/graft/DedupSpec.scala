@@ -216,6 +216,30 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CC block hygiene: only the live labels stay persisted after return") {
+    val s = spark
+    import s.implicits._
+    // start from a clean slate (earlier tests in the shared session may
+    // have left their own persisted tables)
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // long chain -> several pointer-jumping rounds -> several superseded
+    // localCheckpoint label tables that MUST be released eagerly
+    val n = 400L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val labels = graft.ops.Dedup.connectedComponents(s,
+      (0L until n).toDF("v"), chain.toDF("a", "b"))
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    assert(graft.ops.Dedup.lastCcRounds >= 2)
+    // edges + every superseded round unpersist with blocking=false ->
+    // poll briefly; the ONLY block set allowed to remain is the live
+    // (returned) labels checkpoint
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def persisted = s.sparkContext.getPersistentRDDs.size
+    while (persisted > 1 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(persisted <= 1,
+      s"CC left $persisted persistent RDDs behind (want <= 1: the live labels)")
+  }
+
   test("d07 clusters == driver union-find over the d03 pair graph (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val pairs = graft.ops.Dedup.d03Pairs(spark, sf)
