@@ -439,7 +439,9 @@ object Dedup {
     def hinted(df: DataFrame): DataFrame = if (labelsBroadcastable) broadcast(df) else df
     var converged = false
     var iter = 0
+    val ccTiming = sys.env.contains("GRAFT_CC_TIMING")
     while (!converged && iter < 64) {
+      val roundT0 = System.nanoTime()
       // pointer-jumping step on the MATERIALIZED label table (both join
       // sides read the checkpoint, so the dual consumption is free):
       // follow label -> label(label). Labels are always vertex ids, so
@@ -460,13 +462,16 @@ object Dedup {
       // TWO relax steps per materialized job: every job on a cluster is
       // a scheduler round-trip, and the loop is round-latency-bound (the
       // per-round data is tiny) — halving the checkpoint count halves
-      // wall time at identical total edge-scan work. The second relax
-      // consumes the first's un-materialized plan, so the lineage within
-      // one job is 2 joins deep — fine; it is the ACROSS-round lineage
-      // the checkpoint truncates.
+      // wall time at identical total edge-scan work. The inner relax's
+      // result is consumed TWICE by the outer one (broadcast join side
+      // + union member); it is only |V| rows, so persist it for the
+      // round instead of recomputing the 2|E|-row join+agg per consumer
+      // — the blocks are released as soon as the round materializes.
       // round 1's labels are the identity map, so jump() would be a
       // no-op self-join — skip it (one fewer stage on the startup path)
-      val stepped = relax(relax(if (iter == 0) labels else jump(labels)))
+      val inner = relax(if (iter == 0) labels else jump(labels))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stepped = relax(inner)
       // convergence detection rides the SAME job that materializes the
       // round (join the old label back — broadcast-cheap — and observe
       // the shrunk-label count) instead of a second action. observe()
@@ -480,6 +485,7 @@ object Dedup {
           .otherwise(0L)), lit(0L)).as("shrunk"))
         .select(col("doc"), col("label"))
         .localCheckpoint(true)
+      inner.unpersist(blocking = false)
       val nextIds = persistedIds -- before
       // next is materialized (eager checkpoint truncates its lineage),
       // so the previous round's blocks are dead weight — release now.
@@ -488,6 +494,8 @@ object Dedup {
       converged = obs.get("shrunk").asInstanceOf[Long] == 0L
       labels = next
       iter += 1
+      if (ccTiming) System.err.println(
+        f"[cc] round $iter ${(System.nanoTime() - roundT0) / 1e9}%.2fs converged=$converged")
     }
     lastCcRounds = iter
     if (!converged)
