@@ -403,9 +403,15 @@ object Dedup {
     val par = s.sparkContext.defaultParallelism
     val pc = pairs0.columns
     val pairs = pairs0.select(col(pc(0)).as("doc_a"), col(pc(1)).as("doc_b"))
+    // both edge directions in ONE pass over the pair stream: a
+    // union(pairs, swap(pairs)) instantiates the whole upstream
+    // pair-generation DAG twice (no exchange to reuse at the union
+    // boundary) — explode emits (a,b) and (b,a) per input row instead
     val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(par, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Block hygiene: each round's localCheckpoint persists a new label
