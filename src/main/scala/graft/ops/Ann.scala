@@ -155,6 +155,10 @@ object Ann {
       .withColumn("crank", row_number().over(assignW))
       .where(col("crank") === 1)
       .select(col("vec_id"), col("q"), col("norm2"), col("cid").as("cluster"))
+      // consumed twice (probe-cluster selection + candidate probe side):
+      // persist the |V|-row assignment instead of re-running the
+      // vector-x-codebook HOF expansion per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // probes search their nearest IvfProbeClusters clusters
     val probeClusters = assigned.where(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("norm2").as("pnorm2"))

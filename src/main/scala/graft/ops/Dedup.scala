@@ -771,10 +771,22 @@ object Dedup {
     * ever lands on the driver (only the scalar block COUNT does). */
   def blockedJaccardTyped(s: SparkSession,
                           feats: org.apache.spark.sql.Dataset[(String, Long, Array[String])],
-                          threshold: Double): DataFrame = {
+                          threshold: Double): DataFrame =
+    blockedJaccardTyped(s, feats, threshold, None)
+
+  /** `census`: optional precomputed (block_key, count) table. The block
+    * census never needs the FEATURES — callers whose feature extraction
+    * is expensive (d04's per-char shingling) pass a count over the raw
+    * source instead of paying the extraction twice (the typed lambda is
+    * opaque to Catalyst, so it cannot prune it out of the count path). */
+  def blockedJaccardTyped(s: SparkSession,
+                          feats: org.apache.spark.sql.Dataset[(String, Long, Array[String])],
+                          threshold: Double,
+                          census: Option[DataFrame]): DataFrame = {
     import s.implicits._
     val par = s.sparkContext.defaultParallelism
-    val counts = feats.groupByKey(_._1).count().toDF("bk", "bn")
+    val counts = census.getOrElse(feats.groupByKey(_._1).count().toDF("bk", "bn"))
+      .toDF("bk", "bn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numBlocks = counts.count()
     // salt-cap cliff guard: warn (or fail fast under the strict conf)
@@ -847,6 +859,10 @@ object Dedup {
     // substring loop is ~100x cheaper (measured 4.5s -> <0.5s at sf0.1)
     val feats = documents(s, d)
       .select(col("source"), col("doc_id"), col("text"))
+      // pin the parallelism BEFORE the CPU-dense typed shingling map —
+      // documents.parquet is one row group, so without this the
+      // extraction runs as a single task
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .as[(String, Long, String)]
       .map { case (src, id, text) =>
         val n = math.max(0, text.length - 2)
@@ -855,7 +871,11 @@ object Dedup {
         while (i < n) { seen.add(text.substring(i, i + 3)); i += 1 }
         (src, id, seen.toArray(new Array[String](seen.size)))
       }
-    blockedJaccardTyped(s, feats, 0.6).select("doc_a", "doc_b", "jaccard")
+    // block census straight off the raw table: counting docs per source
+    // does not need the 3-gram features
+    val census = documents(s, d).groupBy("source").count().toDF("bk", "bn")
+    blockedJaccardTyped(s, feats, 0.6, Some(census))
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   val d04Sql: String =
