@@ -465,19 +465,23 @@ object Dedup {
           .select(col("dst").as("doc"), col("label"))
         ls.union(prop).groupBy("doc").agg(min("label").as("label"))
       }
-      // TWO relax steps per materialized job: every job on a cluster is
-      // a scheduler round-trip, and the loop is round-latency-bound (the
-      // per-round data is tiny) — halving the checkpoint count halves
-      // wall time at identical total edge-scan work. The inner relax's
-      // result is consumed TWICE by the outer one (broadcast join side
-      // + union member); it is only |V| rows, so persist it for the
+      // THREE relax steps per materialized job: every job on a cluster
+      // is a scheduler round-trip, and the loop is round-LATENCY-bound
+      // (the per-round data is tiny) — composing relaxes cuts the
+      // checkpoint count at identical total edge-scan work (measured:
+      // 2/round = 4 rounds, 3/round = 3 rounds on the bench corpus; a
+      // 4th cannot beat the 2-effective+1-confirm floor). Each relax's
+      // result is consumed TWICE by the next (broadcast join side +
+      // union member); it is only |V| rows, so persist each for the
       // round instead of recomputing the 2|E|-row join+agg per consumer
       // — the blocks are released as soon as the round materializes.
       // round 1's labels are the identity map, so jump() would be a
       // no-op self-join — skip it (one fewer stage on the startup path)
       val inner = relax(if (iter == 0) labels else jump(labels))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stepped = relax(inner)
+      val inner2 = relax(inner)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stepped = relax(inner2)
       // convergence detection rides the SAME job that materializes the
       // round (join the old label back — broadcast-cheap — and observe
       // the shrunk-label count) instead of a second action. observe()
@@ -492,6 +496,7 @@ object Dedup {
         .select(col("doc"), col("label"))
         .localCheckpoint(true)
       inner.unpersist(blocking = false)
+      inner2.unpersist(blocking = false)
       val nextIds = persistedIds -- before
       // next is materialized (eager checkpoint truncates its lineage),
       // so the previous round's blocks are dead weight — release now.

@@ -226,16 +226,90 @@ object Pipeline {
       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
       |FROM placed GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
 
+  /** p06: source-mixing (temperature) sampler — the data-MIXING step of
+    * a multi-source training run: flatten the source distribution by
+    * giving every source an equal share of a half-corpus token budget
+    * (budget B_s = T / (2 * n_src); keep rate r_s = min(1, B_s / T_s)),
+    * so over-represented sources are down-sampled and small sources
+    * pass through whole — the standard mixture-flattening shape of
+    * multilingual pipelines, kept integer-exact for the oracle.
+    *
+    * The keep decision is a pure row-local predicate: doc survives iff
+    * hash_bucket(doc_id) < 1e6 * r_s, evaluated WITHOUT any floating
+    * division as `hm * 2 * n_src * T_s < 1e6 * T` (the min(1,·) folds
+    * in: when r_s >= 1 the RHS exceeds every possible LHS). The product
+    * can reach ~2^69 at 100 TB (T_s up to tens of trillions of tokens),
+    * past BIGINT — both engines compare in exact wide arithmetic
+    * (Spark Decimal(38,0), DuckDB HUGEINT).
+    *
+    * Scale shape: one pruned scan feeds the per-source stats (map-side
+    * combined), a 1-row totals aggregate rides a broadcast cross join
+    * (constant size — PlanAuditSpec-allow-listed), the rate table
+    * broadcasts back onto the document stream, and the keep filter is
+    * row-local — no shuffle anywhere except the per-source aggregations. */
+  def p06(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val docs = documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("hm",
+        pmod(conv(substring(md5(concat(lit("mix:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+          .cast(LongType), lit(1000000L)))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("hm"))
+    val stats = documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .groupBy("source").agg(sum(col("n_tok")).as("src_tokens"))
+    val totals = stats.agg(sum(col("src_tokens")).as("all_tokens"),
+      count(lit(1)).as("n_src"))
+    val rates = stats.crossJoin(broadcast(totals))
+    docs.join(broadcast(rates), "source")
+      .withColumn("keep",
+        col("hm").cast(dec) * lit(2L) * col("n_src") * col("src_tokens") <
+          col("all_tokens").cast(dec) * lit(1000000L))
+      .groupBy("source")
+      .agg(
+        big(count(lit(1))).as("docs_total"),
+        big(sum(col("n_tok"))).as("tokens_total"),
+        big(sum(when(col("keep"), 1L).otherwise(0L))).as("docs_kept"),
+        big(sum(when(col("keep"), col("n_tok")).otherwise(0L))).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  val p06Sql: String =
+    """WITH docs AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % 1000000 AS hm
+      |  FROM documents),
+      |stats AS (
+      |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens FROM docs GROUP BY source),
+      |totals AS (
+      |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_src FROM stats)
+      |SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS docs_total,
+      |  CAST(SUM(d.n_tok) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN CAST(d.hm AS HUGEINT) * 2 * t.n_src * s.src_tokens
+      |                     < CAST(1000000 AS HUGEINT) * t.all_tokens
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+      |  CAST(SUM(CASE WHEN CAST(d.hm AS HUGEINT) * 2 * t.n_src * s.src_tokens
+      |                     < CAST(1000000 AS HUGEINT) * t.all_tokens
+      |            THEN d.n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM docs d JOIN stats s ON s.source = d.source, totals t
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_corpus" -> p01 _,
     "p02_stratified_sample" -> p02 _,
     "p03_split_assign" -> p03 _,
     "p04_epoch_shuffle" -> p04 _,
-    "p05_sequence_pack" -> p05 _)
+    "p05_sequence_pack" -> p05 _,
+    "p06_source_mix" -> p06 _)
   val oracle: Map[String, String] = Map(
     "p01_clean_corpus" -> p01Sql,
     "p02_stratified_sample" -> p02Sql,
     "p03_split_assign" -> p03Sql,
     "p04_epoch_shuffle" -> p04Sql,
-    "p05_sequence_pack" -> p05Sql)
+    "p05_sequence_pack" -> p05Sql,
+    "p06_source_mix" -> p06Sql)
 }

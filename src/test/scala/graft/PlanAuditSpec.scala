@@ -32,7 +32,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d05_cosine_neardup" -> "theta join over ~dozens of single-row block-metadata rows",
     "a03_ann_ivf" -> "vector x 16-row broadcast coarse codebook (the assignment product)",
     "a05_pq_encode" -> "vector x 8-row broadcast PQ codebook (the encoding product)",
-    "a06_ivfpq_adc" -> "vector x constant-size broadcast codebooks/ADC tables")
+    "a06_ivfpq_adc" -> "vector x constant-size broadcast codebooks/ADC tables",
+    "p06_source_mix" -> "crossJoin vs broadcast 1-row totals aggregate (rate derivation)")
 
   test("no CartesianProduct anywhere; BNLJ only in named constant-size crosses") {
     val sf = "/root/testdata/sf0.001"
