@@ -129,9 +129,19 @@ object TextSim {
     * pair space of each source block fanned out over P(P+1)/2 tasks —
     * same exact int/int arithmetic, no single-task-per-block straggler. */
   def q26(s: SparkSession, d: String): DataFrame = {
-    val feats = documents(s, d).select(col("source"), col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("fs"))
-    graft.ops.Dedup.blockedJaccard(s, feats, 0.5)
+    // pin parallelism BEFORE tokenization (one-row-group source would
+    // otherwise run it as a single task), and hand the kernel its block
+    // census from the raw table — the typed census path cannot prune
+    // the tokenization out of a count (see d04)
+    val feats = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("fs"))
+    val census = documents(s, d).groupBy("source").count().toDF("bk", "bn")
+    graft.ops.Dedup.blockedJaccardTyped(s, {
+      import s.implicits._
+      feats.as[(String, Long, Array[String])]
+    }, 0.5, Some(census))
   }
 
   val q26Sql: String =
