@@ -527,7 +527,7 @@ object Dedup {
   /** Identity fingerprint of the documents input: every file's
     * (path, size, mtime) under documents.parquet plus the algorithm
     * version — pure filesystem metadata, no data read. */
-  private def ccFingerprint(d: String): String = {
+  private[graft] def ccFingerprint(d: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val root = java.nio.file.Paths.get(d, "documents.parquet")
     val st = java.nio.file.Files.walk(root)

@@ -251,13 +251,64 @@ object TextAnalysis {
       |FROM ws LEFT JOIN gs USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** t07: web-noise / boilerplate signals per source — the C4-family
+    * pre-filters that strip scraped-web artifacts before training: URL
+    * carriers, email carriers, lorem-ipsum boilerplate, and the clean
+    * remainder ratio. Flags are substring/anchored-token predicates that
+    * evaluate identically on both engines (contains == instr; the email
+    * token regex is fully anchored, so Java partial-match rlike ==
+    * DuckDB regexp_matches). Row-local signals, one per-source
+    * aggregation — embarrassingly parallel at any scale. */
+  def t07(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+    documents(s, d)
+      .withColumn("lt", lower(col("text")))
+      .withColumn("has_url",
+        col("lt").contains("http://") || col("lt").contains("https://") ||
+          col("lt").contains("www."))
+      .withColumn("has_email",
+        exists(split(col("text"), " "), tk => tk.rlike(emailRe)))
+      .withColumn("has_lorem", col("lt").contains("lorem ipsum"))
+      .withColumn("flagged", col("has_url") || col("has_email") || col("has_lorem"))
+      .groupBy("source")
+      .agg(
+        big(count(lit(1))).as("docs_total"),
+        big(sum(when(col("has_url"), 1L).otherwise(0L))).as("url_docs"),
+        big(sum(when(col("has_email"), 1L).otherwise(0L))).as("email_docs"),
+        big(sum(when(col("has_lorem"), 1L).otherwise(0L))).as("lorem_docs"),
+        big(sum(when(col("flagged"), 1L).otherwise(0L))).as("flagged_docs"),
+        (big(sum(when(!col("flagged"), 1L).otherwise(0L))).cast(DoubleType) /
+          big(count(lit(1))).cast(DoubleType)).as("clean_ratio"))
+      .orderBy("source")
+  }
+
+  val t07Sql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    (contains(lower(text), 'http://') OR contains(lower(text), 'https://')
+      |      OR contains(lower(text), 'www.')) AS has_url,
+      |    len(list_filter(string_split(text, ' '),
+      |      tk -> regexp_matches(tk, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$'))) > 0 AS has_email,
+      |    contains(lower(text), 'lorem ipsum') AS has_lorem
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS docs_total,
+      |  CAST(SUM(CASE WHEN has_url THEN 1 ELSE 0 END) AS BIGINT) AS url_docs,
+      |  CAST(SUM(CASE WHEN has_email THEN 1 ELSE 0 END) AS BIGINT) AS email_docs,
+      |  CAST(SUM(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT) AS lorem_docs,
+      |  CAST(SUM(CASE WHEN has_url OR has_email OR has_lorem THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+      |  CAST(SUM(CASE WHEN NOT (has_url OR has_email OR has_lorem) THEN 1 ELSE 0 END) AS BIGINT)
+      |    / CAST(COUNT(*) AS DOUBLE) AS clean_ratio
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01 _,
     "t02_quality_score" -> t02 _,
     "t03_token_count" -> t03 _,
     "t04_fingerprint" -> t04 _,
     "t05_length_histogram" -> t05 _,
-    "t06_repetition_rules" -> t06 _)
+    "t06_repetition_rules" -> t06 _,
+    "t07_web_noise" -> t07 _)
 
   val oracle: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
@@ -265,5 +316,6 @@ object TextAnalysis {
     "t03_token_count" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_length_histogram" -> t05Sql,
-    "t06_repetition_rules" -> t06Sql)
+    "t06_repetition_rules" -> t06Sql,
+    "t07_web_noise" -> t07Sql)
 }

@@ -240,6 +240,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"CC left $persisted persistent RDDs behind (want <= 1: the live labels)")
   }
 
+  test("ccFingerprint: stable on identical input, changes on mtime/size/content") {
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccfp")
+    val doc = dir.resolve("documents.parquet")
+    java.nio.file.Files.copy(src, doc)
+    val fp1 = graft.ops.Dedup.ccFingerprint(dir.toString)
+    // same bytes, same mtime -> same key (the cache hit path)
+    assert(fp1 == graft.ops.Dedup.ccFingerprint(dir.toString))
+    // touching the input (mtime bump) must invalidate — a rewritten
+    // upstream table can never be served stale labels
+    java.nio.file.Files.setLastModifiedTime(doc,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(doc).toMillis + 1234))
+    val fp2 = graft.ops.Dedup.ccFingerprint(dir.toString)
+    assert(fp2 != fp1)
+    // size change invalidates too
+    java.nio.file.Files.write(doc, Array[Byte](0),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(graft.ops.Dedup.ccFingerprint(dir.toString) != fp2)
+  }
+
   test("d07 clusters == driver union-find over the d03 pair graph (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val pairs = graft.ops.Dedup.d03Pairs(spark, sf)
