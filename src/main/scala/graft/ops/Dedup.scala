@@ -542,14 +542,22 @@ object Dedup {
     hexMd5(md.digest())
   }
 
-  private def ccLabelsPath(d: String): String =
-    s"/tmp/graft_cc_labels/${ccFingerprint(d)}"
+  /** Root of the materialized label tables. Local default for the bench
+    * box; a cluster deployment points `spark.graft.cc.labels.dir` at
+    * shared storage (the table is read by every downstream report job,
+    * so it must live where the cluster can see it). The _SUCCESS-guarded
+    * fingerprint key works unchanged on any Hadoop-compatible FS. */
+  private def ccLabelsPath(s: SparkSession, d: String): String = {
+    val root = s.conf.getOption("spark.graft.cc.labels.dir")
+      .getOrElse("/tmp/graft_cc_labels")
+    s"$root/${ccFingerprint(d)}"
+  }
 
   /** Compute cluster labels (doc, label) for the d03 similarity graph
     * and MATERIALIZE them to the fingerprint-keyed table — the artifact
     * every downstream canonicalization/report job consumes. */
   private def computeAndMaterializeLabels(s: SparkSession, d: String): DataFrame = {
-    val out = ccLabelsPath(d)
+    val out = ccLabelsPath(s, d)
     val before = s.sparkContext.getPersistentRDDs.keySet.toSet
     connectedComponents(s,
       documents(s, d).select(col("doc_id")),
@@ -572,7 +580,7 @@ object Dedup {
     * makes staleness structurally impossible, and the standalone
     * fallback keeps every entry runnable in isolation. */
   private def ccLabels(s: SparkSession, d: String): DataFrame = {
-    val out = ccLabelsPath(d)
+    val out = ccLabelsPath(s, d)
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
       s.read.parquet(out)
     else this.synchronized { computeAndMaterializeLabels(s, d) }
