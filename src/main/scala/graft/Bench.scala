@@ -84,8 +84,12 @@ object Bench {
     // 3-decimal seconds: ms precision (scheduling noise is +-100 ms);
     // full precision doubled the line length past the driver's capture.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    val rounded = results.map { case (k, v) => k -> r3(v) }
+    val qs = rounded.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // total = sum of the ALREADY-ROUNDED per-query values (re-rounded to
+    // strip FP dust), so a consumer cross-summing the queries map gets
+    // exactly the reported total
+    val total = r3(rounded.map(_._2).sum)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout from `sbt runMain` is wrapped in [info] noise, so the driver
     // could not machine-parse round 1's line — also persist it to a file.

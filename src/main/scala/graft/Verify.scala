@@ -16,11 +16,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query storage hygiene (same contract as Bench.cleanStorage):
+    // queries persist intermediates they consume twice and rely on the
+    // harness to release them — without this the 60+-query verify run
+    // accumulates every query's cached tables (MEMORY_AND_DISK spills
+    // rather than fails, but the storage pressure is avoidable)
+    def cleanStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        cleanStorage()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        cleanStorage()
         // delete any STALE output of a previous run: a failed query must
         // read as MISSING downstream, not silently pass on old results
         val p = Paths.get(s"$outDir/$name")

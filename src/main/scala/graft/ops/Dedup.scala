@@ -522,23 +522,53 @@ object Dedup {
   /** Version salt for the materialized-labels table: bump whenever the
     * d03 pair predicate or the CC construction changes semantics, so a
     * stale materialization can never satisfy a newer algorithm. */
-  private val CcAlgoVersion = "r5-1"
+  private val CcAlgoVersion = "r6-1"
+
+  /** Code-derived salt folded into the cache key alongside the manual
+    * version: MD5 of this object's compiled bytecode. `Dedup$` holds
+    * both `d03Pairs` and `connectedComponents`, so ANY recompiled change
+    * to the clustering semantics changes the salt and the cache
+    * self-invalidates — bump discipline on [[CcAlgoVersion]] is a
+    * belt, not the only guard. Falls back to the manual version if the
+    * class bytes are not resource-loadable (exotic classloaders). */
+  private lazy val ccCodeSalt: String = {
+    val res = "/" + getClass.getName.replace('.', '/') + ".class"
+    val in = getClass.getResourceAsStream(res)
+    if (in == null) CcAlgoVersion
+    else try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+      hexMd5(md.digest())
+    } finally in.close()
+  }
+
+  /** Hadoop configuration for label-table and input-fingerprint IO —
+    * taken from the live session so `spark.graft.cc.labels.dir` may
+    * point at any Hadoop-compatible FS (hdfs://, s3a://, file:). */
+  private def fsConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** Identity fingerprint of the documents input: every file's
     * (path, size, mtime) under documents.parquet plus the algorithm
-    * version — pure filesystem metadata, no data read. */
+    * version and code salt — pure filesystem metadata, no data read.
+    * Listed through the Hadoop FileSystem API so a remote input dir
+    * (hdfs://, s3a://) fingerprints the same way a local one does. */
   private[graft] def ccFingerprint(d: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val root = java.nio.file.Paths.get(d, "documents.parquet")
-    val st = java.nio.file.Files.walk(root)
-    try {
-      st.sorted().forEach { p =>
-        val a = java.nio.file.Files.readAttributes(
-          p, classOf[java.nio.file.attribute.BasicFileAttributes])
-        md.update(s"$p|${a.size}|${a.lastModifiedTime.toMillis}\n".getBytes("UTF-8"))
-      }
-    } finally st.close()
-    md.update(s"$d|$CcAlgoVersion".getBytes("UTF-8"))
+    val root = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = root.getFileSystem(fsConf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      files += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+    }
+    files.sorted.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.update(s"$d|$CcAlgoVersion|$ccCodeSalt".getBytes("UTF-8"))
     hexMd5(md.digest())
   }
 
@@ -555,19 +585,42 @@ object Dedup {
 
   /** Compute cluster labels (doc, label) for the d03 similarity graph
     * and MATERIALIZE them to the fingerprint-keyed table — the artifact
-    * every downstream canonicalization/report job consumes. */
+    * every downstream canonicalization/report job consumes.
+    *
+    * Publication is write-temp-then-rename: the job writes under a
+    * unique `.inprogress-*` sibling and renames into the fingerprint
+    * path only once complete, so a concurrent reader (another JVM
+    * running d09) sees either no table or a complete `_SUCCESS`-stamped
+    * one — never a half-written directory. If another process publishes
+    * the same fingerprint first, we defer to the winner. The residual
+    * window (delete-then-rename of a re-run is not one atomic op) is
+    * between two d07 re-runs of the SAME input+algorithm, whose tables
+    * are identical by construction. */
   private def computeAndMaterializeLabels(s: SparkSession, d: String): DataFrame = {
     val out = ccLabelsPath(s, d)
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(out +
+      s".inprogress-${java.lang.ProcessHandle.current.pid}-${System.nanoTime}")
     val before = s.sparkContext.getPersistentRDDs.keySet.toSet
     connectedComponents(s,
       documents(s, d).select(col("doc_id")),
       d03Pairs(s, d).select(col("doc_a"), col("doc_b")))
-      .write.mode("overwrite").parquet(out)
+      .write.mode("overwrite").parquet(tmp.toString)
     // the parquet table IS the materialization now — release the CC
     // result's checkpoint blocks instead of leaving them to the cleaner
     (s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
       .foreach(id => s.sparkContext.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false)))
+    if (fs.exists(outPath)) fs.delete(outPath, true) // d07 re-run: replace
+    if (!fs.rename(tmp, outPath)) {
+      // rename refuses when the destination exists: a concurrent process
+      // published this fingerprint between our delete and rename — its
+      // table is identical by construction, so defer to it
+      fs.delete(tmp, true)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")))
+        throw new IllegalStateException(s"failed to publish cluster labels at $out")
+    }
     s.read.parquet(out)
   }
 
@@ -581,8 +634,9 @@ object Dedup {
     * fallback keeps every entry runnable in isolation. */
   private def ccLabels(s: SparkSession, d: String): DataFrame = {
     val out = ccLabelsPath(s, d)
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
-      s.read.parquet(out)
+    val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(success)) s.read.parquet(out)
     else this.synchronized { computeAndMaterializeLabels(s, d) }
   }
 
