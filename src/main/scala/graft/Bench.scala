@@ -35,6 +35,14 @@ object Bench {
     val f = new java.io.File("/dev/shm")
     f.getTotalSpace - f.getUsableSpace
   }
+  // host contention indicator: 1-minute loadavg at query start. The r5
+  // driver run measured d07 at 15.5 s (vs an 8 s median reproduced
+  // before and after) with gc_ms=77 and shm=0 — nothing JVM-internal
+  // explains a 2x, so record what the HOST was doing at the time.
+  private def loadAvg: Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +73,7 @@ object Bench {
     cleanStorage()
     val diag = new StringBuilder
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val load0 = loadAvg
       val gc0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -76,7 +85,8 @@ object Bench {
       cleanStorage()
       val shm = shmUsedBytes
       val d = s"""{"q":"$name","sec":${math.round(secs * 1000) / 1000.0},""" +
-        s""""gc_ms":$gcMs,"blocks_after":$blocksLeft,"shm_mb":${shm >> 20}}"""
+        s""""gc_ms":$gcMs,"blocks_after":$blocksLeft,"shm_mb":${shm >> 20},""" +
+        s""""load1m":${math.round(load0 * 100) / 100.0}}"""
       System.err.println(s"[bench-diag] $d")
       diag.append(d).append('\n')
       name -> secs
