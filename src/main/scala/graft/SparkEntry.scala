@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Skew, Tpch, TextSim}
+import graft.queries.{Analytics, Sessions, Skew, Tpch, TextSim}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Tpch.queries ++ Analytics.queries ++ TextSim.queries ++ Skew.queries ++ graft.ops.Ops.queries
+    Tpch.queries ++ Analytics.queries ++ TextSim.queries ++ Skew.queries ++
+      Sessions.queries ++ graft.ops.Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Tpch.oracle ++ Analytics.oracle ++ TextSim.oracle ++ Skew.oracle ++ graft.ops.Ops.oracle
+    Tpch.oracle ++ Analytics.oracle ++ TextSim.oracle ++ Skew.oracle ++
+      Sessions.oracle ++ graft.ops.Ops.oracle
 }

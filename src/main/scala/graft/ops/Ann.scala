@@ -507,7 +507,184 @@ object Ann {
       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
+  // ---- a07/a08: k-means clustering + semantic dedup (SemDeDup) ----
+
+  val KmeansK = 8
+  val KmeansIters = 3
+  /** same data-calibrated near-dup threshold as d05 — the corpus'
+    * synthetic embeddings top out near cosine 0.5. */
+  val SemDedupTau = 0.4
+
+  /** quantized embedding table (vec_id, q): 3-decimal fixed-point, the
+    * suite-wide exact-arithmetic representation. */
+  private def qvecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+
+  /** one Lloyd assignment round: nearest centroid by EXACT integer
+    * squared-L2 (quantized points, floor-of-mean integer centroids), tie
+    * broken by centroid id — fully deterministic, so the unrolled DuckDB
+    * CTE chain reproduces every round bit-for-bit. Broadcast of the ≤K
+    * centroid rows against the point table: the classic k-means
+    * data-parallel shape (model broadcast, one pass over points). */
+  private def kmeansAssign(pts: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    pts.join(broadcast(cents), lit(true))
+      .withColumn("dist",
+        aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("q"), col("cid").as("cluster"), col("dist"))
+  }
+
+  /** a07 core: [[KmeansIters]] Lloyd rounds from a deterministic init
+    * (centroids = the first K vectors by id). Centroid update keeps
+    * EXACT integer coordinates: per-dimension floor(sum/count) via the
+    * pmod construction (numerator made exactly divisible, so the double
+    * division is exact) — summation-order-independent, unlike a float
+    * mean, which is what makes a cross-engine oracle possible at all.
+    * Per round: one broadcast-assign pass + one (cluster, dim) partial
+    * aggregation — at 100 TB the points never move, only the K×dims
+    * model does. Empty clusters drop out (standard Lloyd behavior),
+    * identically in both engines. */
+  /** the trained model: final centroid table (cid, cq). Exposed to the
+    * spec so a07's output can be checked as the true argmin against it. */
+  private[graft] def kmeansModel(s: SparkSession, d: String): DataFrame = {
+    val pts = qvecs(s, d)
+    var cents = pts.where(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    // KmeansIters ASSIGNMENT rounds total (the last one is the returned
+    // kmeansAssign in kmeansFinal), so the model updates KmeansIters-1
+    // times — same unrolling as the oracle's a1..aN / c1..c(N-1) chain
+    for (_ <- 1 until KmeansIters) {
+      val asg = kmeansAssign(pts, cents)
+      cents = asg
+        .select(col("cluster").as("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("c",
+          ((col("sv") - pmod(col("sv"), col("n"))) / col("n")).cast(LongType))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cq"))
+    }
+    cents
+  }
+
+  private def kmeansFinal(s: SparkSession, d: String): DataFrame =
+    kmeansAssign(qvecs(s, d), kmeansModel(s, d))
+
+  /** quantized embedding table, exposed for the spec's brute-force
+    * argmin re-derivation. */
+  private[graft] def kmeansPoints(s: SparkSession, d: String): DataFrame =
+    qvecs(s, d)
+
+  /** a07: k-means over the embedding column — the clustering primitive
+    * under curriculum bucketing, IVF codebook training, and a08's
+    * semantic dedup. Output: every vector's final cluster and exact
+    * integer distance. */
+  def a07(s: SparkSession, d: String): DataFrame =
+    kmeansFinal(s, d)
+      .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+        col("dist").cast(LongType).as("dist"))
+      .orderBy("vec_id")
+
+  /** DuckDB: the same rounds unrolled as a CTE chain. */
+  private def kmeansCtes: String = {
+    def assignCte(name: String, cents: String): String = {
+      val dist = s"CAST(list_sum([ (q.qv[i]-c.cq[i])*(q.qv[i]-c.cq[i]) " +
+        s"FOR i IN range(1, len(q.qv)+1) ]) AS BIGINT)"
+      s"""$name AS (
+        |  SELECT vec_id, qv, cluster, dist FROM (
+        |    SELECT q.vec_id, q.qv, c.cid AS cluster, $dist AS dist,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $dist, c.cid) AS rk
+        |    FROM q CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
+    }
+    def centCte(name: String, asg: String): String =
+      s"""$name AS (
+        |  SELECT cid, list(cv ORDER BY dim) AS cq FROM (
+        |    SELECT cluster AS cid, i AS dim,
+        |      CAST((SUM(v) - ((SUM(v) % COUNT(*) + COUNT(*)) % COUNT(*))) // COUNT(*) AS BIGINT) AS cv
+        |    FROM (SELECT cluster, generate_subscripts(qv, 1) AS i, unnest(qv) AS v FROM $asg)
+        |    GROUP BY cluster, i)
+        |  GROUP BY cid)""".stripMargin
+    val rounds = (1 to KmeansIters).map { t =>
+      assignCte(s"a$t", if (t == 1) "c0" else s"c${t - 1}") +
+        (if (t < KmeansIters) ",\n" + centCte(s"c$t", s"a$t") else "")
+    }.mkString(",\n")
+    s"""q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < $KmeansK),
+      |$rounds""".stripMargin
+  }
+
+  val a07Sql: String =
+    s"""WITH $kmeansCtes
+      |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist
+      |FROM a$KmeansIters ORDER BY vec_id""".stripMargin
+
+  /** a08: semantic dedup, SemDeDup-shaped — k-means bounds the pairwise
+    * work to WITHIN-cluster pairs (the whole point of the paper's
+    * construction: clusters make the quadratic step tractable), then a
+    * vector is removed iff a LOWER-id vector in its cluster is
+    * cosine-similar above [[SemDedupTau]] (non-greedy min-id keeper rule
+    * — same contract as the text dedups, and exactly SQL-expressible).
+    * Output: per-cluster kept/removed accounting. Pair similarity runs
+    * the codegen QuantizedCosineSimilarity kernel; the per-cluster
+    * equi-join replaces the all-pairs cross product, so the 100 TB
+    * shape is |cluster|^2 bounded, not |corpus|^2. */
+  def a08(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CosineSimilarity.quantized_cosine
+    // consumed three times (two join sides + the report): persist the
+    // |V|-row assignment; the harness releases it between queries
+    val asg = kmeansFinal(s, d).select(col("vec_id"), col("q"), col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = asg.select(col("cluster"), col("vec_id").as("va"), col("q").as("qa"))
+    val r = asg.select(col("cluster"), col("vec_id").as("vb"), col("q").as("qb"))
+    val removed = l.join(r, Seq("cluster"))
+      .where(col("va") < col("vb"))
+      .withColumn("sim", quantized_cosine(col("qa"), col("qb")))
+      .where(col("sim") >= SemDedupTau)
+      .select(col("vb").as("vec_id")).distinct()
+      .withColumn("is_removed", lit(1L))
+    asg.join(removed, Seq("vec_id"), "left")
+      .groupBy("cluster")
+      .agg(
+        big(count(lit(1))).as("n_vecs"),
+        big(sum(when(col("is_removed").isNull, 1L).otherwise(0L))).as("kept"),
+        big(sum(when(col("is_removed").isNotNull, 1L).otherwise(0L))).as("removed"))
+      .select(col("cluster").cast(LongType).as("cluster"),
+        col("n_vecs"), col("kept"), col("removed"))
+      .orderBy("cluster")
+  }
+
+  val a08Sql: String =
+    s"""WITH $kmeansCtes,
+      |nn AS (
+      |  SELECT vec_id, CAST(list_sum([ x*x FOR x IN qv ]) AS BIGINT) AS norm2
+      |  FROM q),
+      |rem AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM a$KmeansIters a JOIN a$KmeansIters b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  JOIN nn na ON na.vec_id = a.vec_id
+      |  JOIN nn nb ON nb.vec_id = b.vec_id
+      |  WHERE CASE WHEN na.norm2 = 0 OR nb.norm2 = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE CAST(CAST(list_sum([ a.qv[i]*b.qv[i] FOR i IN range(1, len(a.qv)+1) ]) AS BIGINT) AS DOUBLE)
+      |      / SQRT(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) END >= $SemDedupTau)
+      |SELECT CAST(a.cluster AS BIGINT) AS cluster,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CASE WHEN rem.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      |  CAST(SUM(CASE WHEN rem.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS removed
+      |FROM a$KmeansIters a LEFT JOIN rem ON rem.vec_id = a.vec_id
+      |GROUP BY a.cluster ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a07_kmeans" -> a07 _,
+    "a08_semantic_dedup" -> a08 _,
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
@@ -516,6 +693,8 @@ object Ann {
     "a06_ivfpq_adc" -> a06 _)
 
   val oracle: Map[String, String] = Map(
+    "a07_kmeans" -> a07Sql,
+    "a08_semantic_dedup" -> a08Sql,
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql,

@@ -341,8 +341,10 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  val d03Sql: String =
-    s"""WITH tok AS (
+  /** shared oracle prefix: simhash fingerprints (`fp(doc_id, simhash)`)
+    * — d03's pair predicate and every report built on it start here. */
+  private val simhashFpCte: String =
+    s"""tok AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
       |th AS (
       |  SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
@@ -353,12 +355,51 @@ object Dedup {
       |fp AS (
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM votes GROUP BY doc_id)
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  val d03Sql: String =
+    s"""WITH $simhashFpCte
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d10: cross-source near-dup LEAKAGE matrix — for every unordered
+    * pair of sources, how many d03 near-dup pairs straddle them
+    * (including same-source pairs on the diagonal). This is the
+    * train/test-contamination report a data team reads before declaring
+    * two slices independent: exact cross-source dups are zero on this
+    * corpus, but near-dup leakage is not. Shape at 100 TB: the d03
+    * candidate kernel (bucketed equi-join) feeds two keyed joins against
+    * the slim (doc_id, source) projection — Catalyst/AQE broadcasts that
+    * side at bench scale and falls back to a shuffle join when the doc
+    * map outgrows the threshold — then a tiny |sources|^2 aggregation. */
+  def d10(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    d03Pairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(big(count(lit(1))).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val d10Sql: String =
+    s"""WITH $simhashFpCte,
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax)
+      |SELECT LEAST(da.source, db.source) AS src_a,
+      |  GREATEST(da.source, db.source) AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM pairs
+      |JOIN documents da ON da.doc_id = pairs.doc_a
+      |JOIN documents db ON db.doc_id = pairs.doc_b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- d07: near-dup CLUSTERS — connected components over d03 pairs ----
 
@@ -1166,7 +1207,8 @@ object Dedup {
     "d05_cosine_neardup" -> d05 _,
     "d07_neardup_clusters" -> d07 _,
     "d08_contamination_bloom" -> d08 _,
-    "d09_dedup_savings" -> d09 _)
+    "d09_dedup_savings" -> d09 _,
+    "d10_cross_source_leakage" -> d10 _)
 
   val oracle: Map[String, String] = Map(
     "d06_contamination" -> d06Sql,
@@ -1177,5 +1219,6 @@ object Dedup {
     "d05_cosine_neardup" -> d05Sql,
     "d07_neardup_clusters" -> d07Sql,
     "d08_contamination_bloom" -> d08Sql,
-    "d09_dedup_savings" -> d09Sql)
+    "d09_dedup_savings" -> d09Sql,
+    "d10_cross_source_leakage" -> d10Sql)
 }

@@ -298,7 +298,61 @@ object Pipeline {
       |FROM docs d JOIN stats s ON s.source = d.source, totals t
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** chunking geometry: 16-token windows advancing 12 tokens — 4-token
+    * overlap, the RAG/context-window preprocessing shape. */
+  val ChunkSize = 16
+  val ChunkStride = 12
+
+  /** p07: sliding-window document chunking with overlap — every RAG /
+    * long-context pipeline's first transform: split each document's
+    * token stream into fixed-size windows (stride < size ⇒ overlapping),
+    * emit one row per chunk with a content hash. Entirely row-local
+    * (explode of a per-row integer sequence, no shuffle until the
+    * ordering sort), so it scales linearly and pushes down the single
+    * `text` column read. The chunk-count formula guards Spark's
+    * `sequence(0, n)` down-counting trap: n_chunks >= 1 always, via
+    * GREATEST against 0. */
+  def p07(s: SparkSession, d: String): DataFrame = {
+    val nChunks = lit(1L) +
+      (greatest(col("n_tok") - ChunkSize, lit(0L)) + lit(ChunkStride - 1L))
+        .cast(LongType) / lit(ChunkStride.toLong)
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      // integer division: numerator and divisor are nonneg, so the
+      // double division + floor is exact (magnitudes << 2^53)
+      .withColumn("n_chunks", floor(nChunks).cast(LongType))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk",
+        slice(col("toks"), (col("chunk_idx") * ChunkStride + 1).cast(IntegerType),
+          lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast(LongType).as("chunk_len"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val p07Sql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    1 + (GREATEST(n_tok - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride AS n_chunks
+      |  FROM docs),
+      |e AS (
+      |  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      |  FROM c)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(len(list_slice(toks, 1 + chunk_idx * $ChunkStride,
+      |    chunk_idx * $ChunkStride + $ChunkSize)) AS BIGINT) AS chunk_len,
+      |  md5(array_to_string(list_slice(toks, 1 + chunk_idx * $ChunkStride,
+      |    chunk_idx * $ChunkStride + $ChunkSize), ' ')) AS chunk_hash
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_chunk_sliding" -> p07 _,
     "p01_clean_corpus" -> p01 _,
     "p02_stratified_sample" -> p02 _,
     "p03_split_assign" -> p03 _,
@@ -306,6 +360,7 @@ object Pipeline {
     "p05_sequence_pack" -> p05 _,
     "p06_source_mix" -> p06 _)
   val oracle: Map[String, String] = Map(
+    "p07_chunk_sliding" -> p07Sql,
     "p01_clean_corpus" -> p01Sql,
     "p02_stratified_sample" -> p02Sql,
     "p03_split_assign" -> p03Sql,

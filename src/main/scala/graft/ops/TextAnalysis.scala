@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables._
@@ -301,7 +302,53 @@ object TextAnalysis {
       |    / CAST(COUNT(*) AS DOUBLE) AS clean_ratio
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** t08: tf-idf-style salient terms per source — the "what is this
+    * slice of the corpus about" report a data-mixing team runs before
+    * weighting sources. Classic idf uses ln(N/df); a logarithm is
+    * library-rounded differently across engines, so the score here is
+    * the RATIONAL rarity weight tf * N / df computed as one
+    * (int*int)/int double division — same ordering as tf*ln-idf for
+    * fixed tf (both monotone in N/df), and bit-identical cross-engine.
+    * Shape at 100 TB: one explode + two key'd aggregations (term
+    * frequencies partial-aggregate map-side), a broadcast of the
+    * |vocab|-sized df table, and a per-source top-5 window. */
+  def t08(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("source"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nSrc = documents(s, d).agg(countDistinct(col("source")).as("n_src"))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(nSrc), lit(true))
+      .withColumn("score",
+        (col("tf") * col("n_src")).cast(DoubleType) / col("df").cast(DoubleType))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("source"), col("rank").cast(LongType).as("rank"), col("term"),
+        big(col("tf")).as("tf"), big(col("df")).as("df"), col("score"))
+      .orderBy("source", "rank")
+  }
+
+  val t08Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |ns AS (SELECT COUNT(DISTINCT source) AS n_src FROM documents),
+      |scored AS (
+      |  SELECT source, term, tf, df,
+      |    CAST(tf * n_src AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN ns),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, term,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_tfidf_terms" -> t08 _,
     "t01_lang_id" -> t01 _,
     "t02_quality_score" -> t02 _,
     "t03_token_count" -> t03 _,
@@ -311,6 +358,7 @@ object TextAnalysis {
     "t07_web_noise" -> t07 _)
 
   val oracle: Map[String, String] = Map(
+    "t08_tfidf_terms" -> t08Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
