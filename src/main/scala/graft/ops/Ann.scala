@@ -518,8 +518,13 @@ object Ann {
   /** quantized embedding table (vec_id, q): 3-decimal fixed-point, the
     * suite-wide exact-arithmetic representation. */
   private def qvecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+    embeddings(s, d)
+      // pinned partition count (see a02): the assignment's zip_with
+      // distance HOF is CPU-dense over tiny bytes — AQE's byte-based
+      // coalescing would single-task it
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
 
   /** one Lloyd assignment round: nearest centroid by EXACT integer
     * squared-L2 (quantized points, floor-of-mean integer centroids), tie

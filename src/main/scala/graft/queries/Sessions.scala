@@ -33,9 +33,13 @@ object Sessions {
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      // >= boundary: an event exactly GAP after its predecessor opens a
+      // NEW session — the same convention as Spark's session_window
+      // ([start, last+gap)) and graft.streaming.Sessionize, so the three
+      // session paths are equivalence-testable against each other
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+          unix_micros(col("ts")) - col("prev_us") >= SessionGapUs, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("new_sess")).over(run))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
@@ -49,7 +53,7 @@ object Sessions {
     s"""WITH g AS (
       |  SELECT user_id, event_id, ts,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-      |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${SessionGapUs}
+      |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${SessionGapUs}
       |    THEN 1 ELSE 0 END AS new_sess
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |se AS (

@@ -70,13 +70,29 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
     val expectedSessions = gaps
       .withColumn("new_sess", when(col("gap").isNull ||
-        col("gap") > graft.queries.Sessions.SessionGapUs, 1L).otherwise(0L))
+        col("gap") >= graft.queries.Sessions.SessionGapUs, 1L).otherwise(0L))
       .agg(sum(col("new_sess"))).collect()(0).getLong(0)
     val gotSessions = sess.count()
     assert(gotSessions === expectedSessions)
     // event conservation: session sizes sum to the event count
     val total = sess.agg(sum("n_events")).collect()(0).getLong(0)
     assert(total === events(spark, sf).count())
+  }
+
+  test("q38 == Spark's built-in session_window (three-way session-path equivalence)") {
+    import graft.core.Tables.events
+    // the built-in: [start, last+gap) windows per user — must produce
+    // the SAME (user, start, n_events) multiset as the gaps-and-islands
+    // formulation (and, transitively, as graft.streaming.Sessionize,
+    // which StreamingSpec ties to session_window)
+    val builtin = events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"))
+      .select("user_id", "start_ts", "n_events")
+    val ours = graft.queries.Sessions.q38(spark, sf)
+      .select("user_id", "start_ts", "n_events")
+    assert(ours.exceptAll(builtin).isEmpty && builtin.exceptAll(ours).isEmpty)
   }
 
   test("a07: output assignment is the brute-force argmin against the trained model") {
