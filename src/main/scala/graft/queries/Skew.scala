@@ -139,16 +139,63 @@ object Skew {
       |  CAST(COUNT(*) AS BIGINT) AS cnt
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q40: RECURSIVE CTE — the hierarchy/graph-walk surface (Spark 4
+    * supports `WITH RECURSIVE` with UNION ALL). Customers form an
+    * implicit binary-heap org tree (parent(k) = k DIV 2, root = 1); the
+    * recursion walks every customer's ancestor chain to the root —
+    * per-row depth is DATA-DRIVEN (the chain terminates when it reaches
+    * key 1), not precomputed. Report: per depth, population and exact
+    * decimal balance sum. The walk is acyclic by construction (keys
+    * strictly halve), so UNION ALL recursion terminates — Spark does
+    * not yet support UNION-dedup recursion, which rules out cyclic
+    * graph walks (those go through the d07 connectedComponents
+    * operator instead; its DuckDB oracle is exactly such a recursive
+    * closure). Work is Σ depth(k) ≈ n·log₂(n) rows of (key, cur)
+    * pairs — each recursion step is one self-join the optimizer plans
+    * as a hash join, the same shape at any scale. */
+  def q40(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """WITH RECURSIVE anc(k, cur, d) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT a.k, a.cur DIV 2, a.d + 1 FROM anc a WHERE a.cur > 1)
+        |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(CAST(SUM(bal) AS STRING) AS DOUBLE) AS sum_bal
+        |FROM (
+        |  SELECT a.k, MAX(a.d) AS depth,
+        |    MAX(CAST(c.c_acctbal AS DECIMAL(12,2))) AS bal
+        |  FROM anc a JOIN customer c ON c.c_custkey = a.k
+        |  GROUP BY a.k)
+        |GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val q40Sql: String =
+    """WITH RECURSIVE anc(k, cur, d) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT a.k, a.cur // 2, a.d + 1 FROM anc a WHERE a.cur > 1)
+      |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(CAST(SUM(bal) AS VARCHAR) AS DOUBLE) AS sum_bal
+      |FROM (
+      |  SELECT a.k, MAX(a.d) AS depth,
+      |    MAX(CAST(c.c_acctbal AS DECIMAL(12,2))) AS bal
+      |  FROM anc a JOIN customer c ON c.c_custkey = a.k
+      |  GROUP BY a.k)
+      |GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_skew_salted_agg" -> q28 _,
     "q29_grouping_sets" -> q29 _,
     "q30_correlated_subquery" -> q30 _,
     "q34_cube_weekday" -> q34 _,
-    "q35_percentile_disc" -> q35 _)
+    "q35_percentile_disc" -> q35 _,
+    "q40_recursive_hierarchy" -> q40 _)
   val oracle: Map[String, String] = Map(
     "q28_skew_salted_agg" -> q28Sql,
     "q29_grouping_sets" -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q34_cube_weekday" -> q34Sql,
-    "q35_percentile_disc" -> q35Sql)
+    "q35_percentile_disc" -> q35Sql,
+    "q40_recursive_hierarchy" -> q40Sql)
 }
