@@ -1,0 +1,172 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fingerprint-keyed parquet materialization — the shared substrate for
+  * every "compute once per corpus, consume from many reports" artifact
+  * (d07's cluster labels, the d03 near-dup pair table, a07's k-means
+  * assignment). At 100 TB the expensive kernels (pair generation,
+  * connected components, Lloyd iterations) must run ONCE per input and
+  * be CONSUMED by every downstream report; re-running them per report is
+  * the anti-pattern this module exists to prevent.
+  *
+  * Key design:
+  *  - the table path is keyed by a fingerprint of (input file identity,
+  *    algorithm parameters, code salt), so a stale materialization can
+  *    never satisfy a newer input or algorithm — staleness is
+  *    structurally impossible, no manual version-bump discipline;
+  *  - the code salt is the MD5 of the COMPILED BYTECODE of every class
+  *    the artifact's semantics depend on (the operator object AND its
+  *    named dependencies, e.g. the table loaders) — any recompiled
+  *    change to those classes invalidates the cache;
+  *  - publication is write-temp-then-rename through the Hadoop
+  *    FileSystem API (works identically on file:, hdfs://, s3a://): a
+  *    concurrent reader sees either no table or a complete
+  *    `_SUCCESS`-stamped one, never a half-written directory;
+  *  - failed writes clean their temp directory (try/finally), and every
+  *    publish sweeps stale `.inprogress-*` siblings older than one hour
+  *    — a crashed JVM cannot permanently orphan temp dirs.
+  */
+object Materialize {
+
+  /** MD5 of the concatenated compiled bytecode of `classes` — the code
+    * component of a cache key. List EVERY class whose behavior the
+    * artifact depends on (the operator and its helpers/loaders); the
+    * salt then covers exactly that set, no more — callers must not
+    * claim broader self-invalidation than the listed classes. Falls
+    * back to the class names if bytecode is not resource-loadable
+    * (exotic classloaders). */
+  def codeSalt(classes: Class[_]*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    classes.foreach { cl =>
+      val res = "/" + cl.getName.replace('.', '/') + ".class"
+      val in = cl.getResourceAsStream(res)
+      if (in == null) md.update(cl.getName.getBytes("UTF-8"))
+      else try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+    hex(md.digest())
+  }
+
+  /** Hadoop configuration for fingerprint/table IO — taken from the
+    * live session so the materialization root may point at any
+    * Hadoop-compatible FS (hdfs://, s3a://, file:). */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Identity fingerprint of one input table: every file's
+    * (path, size, mtime) under `<dir>/<table>.parquet` plus the
+    * algorithm descriptor and code salt — pure filesystem metadata, no
+    * data read. Listed through the Hadoop FileSystem API so a remote
+    * input (hdfs://, s3a://) fingerprints the same way a local one
+    * does. */
+  def fingerprint(dir: String, table: String,
+                  algo: String, salt: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = root.getFileSystem(hadoopConf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      files += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+    }
+    files.sorted.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.update(s"$dir|$algo|$salt".getBytes("UTF-8"))
+    hex(md.digest())
+  }
+
+  /** Root of all materialized tables. Local default for the bench box;
+    * a cluster deployment points `spark.graft.mat.dir` at shared storage
+    * (the tables are read by every downstream report job, so they must
+    * live where the cluster can see them). */
+  def tablePath(s: SparkSession, kind: String, fp: String): String = {
+    val root = s.conf.getOption("spark.graft.mat.dir")
+      .getOrElse("/tmp/graft_mat")
+    s"$root/$kind/$fp"
+  }
+
+  /** True iff a complete (`_SUCCESS`-stamped) table exists at the key. */
+  def exists(s: SparkSession, kind: String, fp: String): Boolean = {
+    val success = new org.apache.hadoop.fs.Path(tablePath(s, kind, fp), "_SUCCESS")
+    success.getFileSystem(s.sparkContext.hadoopConfiguration).exists(success)
+  }
+
+  /** Read the materialized table if this exact (input, algorithm, code)
+    * has been computed on this storage, else compute-and-publish. The
+    * production contract: the expensive kernel runs ONCE; reports
+    * consume its output table. The compute-if-absent fallback keeps
+    * every consumer runnable in isolation. */
+  def readOrCompute(s: SparkSession, kind: String, fp: String)
+                   (compute: => DataFrame): DataFrame = {
+    if (exists(s, kind, fp)) s.read.parquet(tablePath(s, kind, fp))
+    else this.synchronized {
+      // re-check under the lock: another thread of this JVM may have
+      // published while we waited
+      if (exists(s, kind, fp)) s.read.parquet(tablePath(s, kind, fp))
+      else publish(s, kind, fp)(compute)
+    }
+  }
+
+  /** Compute `compute` and PUBLISH it at the key (temp write + atomic
+    * rename), returning a reader of the published table. Used directly
+    * by the entries that ARE the measured kernel (d03, d07, a07): they
+    * always compute fresh and leave the table behind for consumers.
+    *
+    * If another process publishes the same fingerprint first, we defer
+    * to the winner — its table is identical by construction. The
+    * residual window (delete-then-rename of a re-run is not one atomic
+    * op) is between two re-runs of the SAME input+algorithm, whose
+    * tables are identical. */
+  def publish(s: SparkSession, kind: String, fp: String)
+             (compute: => DataFrame): DataFrame = {
+    val out = tablePath(s, kind, fp)
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    sweepStale(fs, outPath.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(out +
+      s".inprogress-${java.lang.ProcessHandle.current.pid}-${System.nanoTime}")
+    var published = false
+    try {
+      compute.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(outPath)) fs.delete(outPath, true) // re-run: replace
+      if (fs.rename(tmp, outPath)) published = true
+      else {
+        // rename refuses when the destination exists: a concurrent
+        // process published this fingerprint between our delete and
+        // rename — defer to it
+        if (!fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")))
+          throw new IllegalStateException(s"failed to publish $kind table at $out")
+      }
+    } finally {
+      // a throw anywhere above (including mid-write) must not orphan
+      // the temp dir; after a successful rename the path is gone and
+      // delete is a cheap no-op
+      if (!published) fs.delete(tmp, true)
+    }
+    s.read.parquet(out)
+  }
+
+  /** Delete `.inprogress-*` siblings older than one hour — residue of
+    * crashed JVMs (a LIVE writer's temp dir is younger than that; this
+    * sweep is belt-and-braces on top of the in-process try/finally). */
+  private def sweepStale(fs: org.apache.hadoop.fs.FileSystem,
+                         parent: org.apache.hadoop.fs.Path): Unit = {
+    try {
+      if (!fs.exists(parent)) return
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      fs.listStatus(parent).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.contains(".inprogress-") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // sweep is best-effort
+  }
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+}

@@ -509,8 +509,32 @@ object Ann {
 
   // ---- a07/a08: k-means clustering + semantic dedup (SemDeDup) ----
 
+  /** PINNED cluster count at gate scale — the value the unrolled DuckDB
+    * CTE oracle is built with, and the floor of the derived K below. */
   val KmeansK = 8
   val KmeansIters = 3
+
+  /** SemDeDup's scale contract: K must GROW with the corpus so cluster
+    * size stays bounded — the a08 within-cluster pair join is quadratic
+    * in cluster size, and a CONSTANT K leaves it (N/K)² ≈ O(N²) at
+    * 100 TB (the whole point of the paper's construction is K scaling
+    * with N). K(N) = max([[KmeansK]], ⌈N / target⌉) — the same
+    * census-derived parameter pattern as d04's block fan-out. At the
+    * gate SFs (500–2 000 vectors, and any corpus up to
+    * K·target = 32 768) the derived K is exactly the pinned 8, so the
+    * unrolled oracle stays bit-exact; past that the derivation takes
+    * over and every cluster is bounded near the target, making a08's
+    * pair work N·target instead of N²/K. */
+  val KmeansTargetClusterSize = 4096L
+
+  private[graft] def kmeansKFor(n: Long): Int =
+    math.max(KmeansK.toLong,
+      (n + KmeansTargetClusterSize - 1) / KmeansTargetClusterSize).toInt
+
+  /** Corpus census for the K derivation: a parquet row-count is
+    * metadata-only (no data scan), so this is free even at 100 TB. */
+  private def embeddingsCount(s: SparkSession, d: String): Long =
+    embeddings(s, d).count()
   /** same data-calibrated near-dup threshold as d05 — the corpus'
     * synthetic embeddings top out near cosine 0.5. */
   val SemDedupTau = 0.4
@@ -556,8 +580,9 @@ object Ann {
   /** the trained model: final centroid table (cid, cq). Exposed to the
     * spec so a07's output can be checked as the true argmin against it. */
   private[graft] def kmeansModel(s: SparkSession, d: String): DataFrame = {
+    val k = kmeansKFor(embeddingsCount(s, d)) // == KmeansK at gate SFs
     val pts = qvecs(s, d)
-    var cents = pts.where(col("vec_id") < KmeansK)
+    var cents = pts.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
     // KmeansIters ASSIGNMENT rounds total (the last one is the returned
     // kmeansAssign in kmeansFinal), so the model updates KmeansIters-1
@@ -580,6 +605,35 @@ object Ann {
   private def kmeansFinal(s: SparkSession, d: String): DataFrame =
     kmeansAssign(qvecs(s, d), kmeansModel(s, d))
 
+  /** Code salt for the materialized assignment — `Ann$` (quantization,
+    * Lloyd construction, K derivation) and its dependency `Tables$`
+    * (corpus loading). See [[graft.core.Materialize.codeSalt]]. */
+  private lazy val annCodeSalt: String =
+    graft.core.Materialize.codeSalt(Ann.getClass, graft.core.Tables.getClass)
+
+  /** Fingerprint key of the materialized k-means assignment: input file
+    * identity + the DERIVED K (so a corpus crossing a K(N) boundary
+    * re-trains) + iteration count + code salt. */
+  private[graft] def kmeansFingerprint(s: SparkSession, d: String): String =
+    graft.core.Materialize.fingerprint(d, "embeddings",
+      s"kmeans-k${kmeansKFor(embeddingsCount(s, d))}-i$KmeansIters", annCodeSalt)
+
+  /** Always-fresh training + publication — the entry point for a07, the
+    * job that IS the measured Lloyd training. Publishes the full
+    * assignment (vec_id, q, cluster, dist) so downstream consumers
+    * (a08's semantic dedup) never re-train. */
+  private def publishAssignment(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.publish(s, "kmeans", kmeansFingerprint(s, d))(
+      kmeansFinal(s, d))
+
+  /** The materialized assignment if this exact corpus+algorithm has
+    * been trained on this storage, else compute-and-publish — the
+    * production contract: training runs ONCE (a07); reports consume
+    * its output table. */
+  private def assignmentTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "kmeans", kmeansFingerprint(s, d))(
+      kmeansFinal(s, d))
+
   /** quantized embedding table, exposed for the spec's brute-force
     * argmin re-derivation. */
   private[graft] def kmeansPoints(s: SparkSession, d: String): DataFrame =
@@ -590,7 +644,7 @@ object Ann {
     * semantic dedup. Output: every vector's final cluster and exact
     * integer distance. */
   def a07(s: SparkSession, d: String): DataFrame =
-    kmeansFinal(s, d)
+    publishAssignment(s, d)
       .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
         col("dist").cast(LongType).as("dist"))
       .orderBy("vec_id")
@@ -639,14 +693,16 @@ object Ann {
     * — same contract as the text dedups, and exactly SQL-expressible).
     * Output: per-cluster kept/removed accounting. Pair similarity runs
     * the codegen QuantizedCosineSimilarity kernel; the per-cluster
-    * equi-join replaces the all-pairs cross product, so the 100 TB
-    * shape is |cluster|^2 bounded, not |corpus|^2. */
+    * equi-join replaces the all-pairs cross product, and with the
+    * census-derived K(N) (see [[KmeansTargetClusterSize]]) each cluster
+    * is bounded near the target size, so the 100 TB pair work is
+    * N·target, not (N/K)². The assignment comes from the MATERIALIZED
+    * table (a07 publishes it; training runs once per corpus
+    * fingerprint), and the three consumers below are three scans of
+    * that parquet table — no in-session persist to leak. */
   def a08(s: SparkSession, d: String): DataFrame = {
     import graft.functions.CosineSimilarity.quantized_cosine
-    // consumed three times (two join sides + the report): persist the
-    // |V|-row assignment; the harness releases it between queries
-    val asg = kmeansFinal(s, d).select(col("vec_id"), col("q"), col("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val asg = assignmentTable(s, d).select(col("vec_id"), col("q"), col("cluster"))
     val l = asg.select(col("cluster"), col("vec_id").as("va"), col("q").as("qa"))
     val r = asg.select(col("cluster"), col("vec_id").as("vb"), col("q").as("qb"))
     val removed = l.join(r, Seq("cluster"))

@@ -294,8 +294,12 @@ object Dedup {
     }
   }
 
+  /** d03 IS the pair-generation kernel: it always computes fresh (it is
+    * the thing being measured) and PUBLISHES the pair table at its
+    * corpus fingerprint for every downstream consumer (d07's
+    * clustering, d10's leakage matrix). */
   def d03(s: SparkSession, d: String): DataFrame =
-    d03Pairs(s, d).orderBy("doc_a", "doc_b")
+    publishPairs(s, d).orderBy("doc_a", "doc_b")
 
   /** Unordered d03 pair stream — shared by d03 (which orders it for the
     * oracle) and d07 (which feeds it to connected components). */
@@ -370,14 +374,17 @@ object Dedup {
     * (including same-source pairs on the diagonal). This is the
     * train/test-contamination report a data team reads before declaring
     * two slices independent: exact cross-source dups are zero on this
-    * corpus, but near-dup leakage is not. Shape at 100 TB: the d03
-    * candidate kernel (bucketed equi-join) feeds two keyed joins against
-    * the slim (doc_id, source) projection — Catalyst/AQE broadcasts that
-    * side at bench scale and falls back to a shuffle join when the doc
-    * map outgrows the threshold — then a tiny |sources|^2 aggregation. */
+    * corpus, but near-dup leakage is not. Shape at 100 TB: the report
+    * CONSUMES the MATERIALIZED pair table ([[pairsTable]] — pair
+    * generation dominates at scale and runs once per corpus
+    * fingerprint, not once per report) and feeds it through two keyed
+    * joins against the slim (doc_id, source) projection —
+    * Catalyst/AQE broadcasts that side at bench scale and falls back
+    * to a shuffle join when the doc map outgrows the threshold — then
+    * a tiny |sources|^2 aggregation. */
   def d10(s: SparkSession, d: String): DataFrame = {
     val src = documents(s, d).select(col("doc_id"), col("source"))
-    d03Pairs(s, d)
+    pairsTable(s, d)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .select(least(col("sa"), col("sb")).as("src_a"),
@@ -560,131 +567,78 @@ object Dedup {
     labels
   }
 
-  /** Version salt for the materialized-labels table: bump whenever the
-    * d03 pair predicate or the CC construction changes semantics, so a
-    * stale materialization can never satisfy a newer algorithm. */
-  private val CcAlgoVersion = "r6-1"
+  /** Code salt for every materialized dedup artifact (pair table,
+    * cluster labels): MD5 of the compiled bytecode of `Dedup$` (the
+    * pair predicate + CC construction) AND its semantic dependency
+    * `Tables$` (corpus loading/schema). Any recompiled change to these
+    * classes changes every fingerprint and the caches self-invalidate —
+    * no manual version-bump discipline. (Classes OUTSIDE this list are
+    * not covered; the salt's guarantee is exactly this set.) */
+  private lazy val dedupCodeSalt: String =
+    graft.core.Materialize.codeSalt(Dedup.getClass, graft.core.Tables.getClass)
 
-  /** Code-derived salt folded into the cache key alongside the manual
-    * version: MD5 of this object's compiled bytecode. `Dedup$` holds
-    * both `d03Pairs` and `connectedComponents`, so ANY recompiled change
-    * to the clustering semantics changes the salt and the cache
-    * self-invalidates — bump discipline on [[CcAlgoVersion]] is a
-    * belt, not the only guard. Falls back to the manual version if the
-    * class bytes are not resource-loadable (exotic classloaders). */
-  private lazy val ccCodeSalt: String = {
-    val res = "/" + getClass.getName.replace('.', '/') + ".class"
-    val in = getClass.getResourceAsStream(res)
-    if (in == null) CcAlgoVersion
-    else try {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
-      hexMd5(md.digest())
-    } finally in.close()
-  }
+  /** Fingerprint key of the materialized cluster-label table. */
+  private[graft] def ccFingerprint(d: String): String =
+    graft.core.Materialize.fingerprint(d, "documents", "cc-minlabel", dedupCodeSalt)
 
-  /** Hadoop configuration for label-table and input-fingerprint IO —
-    * taken from the live session so `spark.graft.cc.labels.dir` may
-    * point at any Hadoop-compatible FS (hdfs://, s3a://, file:). */
-  private def fsConf: org.apache.hadoop.conf.Configuration =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+  /** Fingerprint key of the materialized d03 near-dup pair table. */
+  private[graft] def pairsFingerprint(d: String): String =
+    graft.core.Materialize.fingerprint(d, "documents",
+      s"simhash-pairs-b$SimhashBits-h$HammingMax", dedupCodeSalt)
 
-  /** Identity fingerprint of the documents input: every file's
-    * (path, size, mtime) under documents.parquet plus the algorithm
-    * version and code salt — pure filesystem metadata, no data read.
-    * Listed through the Hadoop FileSystem API so a remote input dir
-    * (hdfs://, s3a://) fingerprints the same way a local one does. */
-  private[graft] def ccFingerprint(d: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val root = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val fs = root.getFileSystem(fsConf)
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      files += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
-    }
-    files.sorted.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
-    md.update(s"$d|$CcAlgoVersion|$ccCodeSalt".getBytes("UTF-8"))
-    hexMd5(md.digest())
-  }
+  /** Always-fresh pair generation + publication at the corpus
+    * fingerprint — the entry point for d03, the job that IS the
+    * measured kernel. */
+  private[graft] def publishPairs(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.publish(s, "pairs", pairsFingerprint(d))(d03Pairs(s, d))
 
-  /** Root of the materialized label tables. Local default for the bench
-    * box; a cluster deployment points `spark.graft.cc.labels.dir` at
-    * shared storage (the table is read by every downstream report job,
-    * so it must live where the cluster can see it). The _SUCCESS-guarded
-    * fingerprint key works unchanged on any Hadoop-compatible FS. */
-  private def ccLabelsPath(s: SparkSession, d: String): String = {
-    val root = s.conf.getOption("spark.graft.cc.labels.dir")
-      .getOrElse("/tmp/graft_cc_labels")
-    s"$root/${ccFingerprint(d)}"
-  }
+  /** The d03 pair table if this exact corpus+algorithm has been paired
+    * on this storage, else compute-and-publish. Consumed by d07 (as CC
+    * input) and d10 (leakage matrix) — at 100 TB pair generation
+    * dominates those jobs, and it runs ONCE per corpus fingerprint. */
+  private[graft] def pairsTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "pairs", pairsFingerprint(d))(d03Pairs(s, d))
 
   /** Compute cluster labels (doc, label) for the d03 similarity graph
-    * and MATERIALIZE them to the fingerprint-keyed table — the artifact
-    * every downstream canonicalization/report job consumes.
-    *
-    * Publication is write-temp-then-rename: the job writes under a
-    * unique `.inprogress-*` sibling and renames into the fingerprint
-    * path only once complete, so a concurrent reader (another JVM
-    * running d09) sees either no table or a complete `_SUCCESS`-stamped
-    * one — never a half-written directory. If another process publishes
-    * the same fingerprint first, we defer to the winner. The residual
-    * window (delete-then-rename of a re-run is not one atomic op) is
-    * between two d07 re-runs of the SAME input+algorithm, whose tables
-    * are identical by construction. */
+    * and MATERIALIZE them at the fingerprint key (atomic publish, temp
+    * cleanup and concurrency semantics in [[graft.core.Materialize]]) —
+    * the artifact every downstream canonicalization/report job
+    * consumes. Pair generation itself comes from [[pairsTable]]. */
   private def computeAndMaterializeLabels(s: SparkSession, d: String): DataFrame = {
-    val out = ccLabelsPath(s, d)
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(out +
-      s".inprogress-${java.lang.ProcessHandle.current.pid}-${System.nanoTime}")
     val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-    connectedComponents(s,
-      documents(s, d).select(col("doc_id")),
-      d03Pairs(s, d).select(col("doc_a"), col("doc_b")))
-      .write.mode("overwrite").parquet(tmp.toString)
+    val out = graft.core.Materialize.publish(s, "labels", ccFingerprint(d))(
+      connectedComponents(s,
+        documents(s, d).select(col("doc_id")),
+        pairsTable(s, d).select(col("doc_a"), col("doc_b"))))
     // the parquet table IS the materialization now — release the CC
     // result's checkpoint blocks instead of leaving them to the cleaner
     (s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
       .foreach(id => s.sparkContext.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false)))
-    if (fs.exists(outPath)) fs.delete(outPath, true) // d07 re-run: replace
-    if (!fs.rename(tmp, outPath)) {
-      // rename refuses when the destination exists: a concurrent process
-      // published this fingerprint between our delete and rename — its
-      // table is identical by construction, so defer to it
-      fs.delete(tmp, true)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")))
-        throw new IllegalStateException(s"failed to publish cluster labels at $out")
-    }
-    s.read.parquet(out)
+    out
   }
 
   /** The clustering's materialized output if this exact input+algorithm
-    * has been clustered on this host, else compute-and-materialize. The
-    * production contract: clustering runs ONCE (d07); reports (d09)
+    * has been clustered on this storage, else compute-and-materialize.
+    * The production contract: clustering runs ONCE (d07); reports (d09)
     * consume its output table rather than re-clustering — re-running
     * pair generation + CC per report would be the anti-pattern at
-    * 100 TB. The fingerprint key (input file identity + algo version)
-    * makes staleness structurally impossible, and the standalone
+    * 100 TB. The fingerprint key (input file identity + algo + code
+    * salt) makes staleness structurally impossible, and the standalone
     * fallback keeps every entry runnable in isolation. */
   private def ccLabels(s: SparkSession, d: String): DataFrame = {
-    val out = ccLabelsPath(s, d)
-    val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
-    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(success)) s.read.parquet(out)
+    val fp = ccFingerprint(d)
+    if (graft.core.Materialize.exists(s, "labels", fp))
+      s.read.parquet(graft.core.Materialize.tablePath(s, "labels", fp))
     else this.synchronized { computeAndMaterializeLabels(s, d) }
   }
 
   def d07(s: SparkSession, d: String): DataFrame = {
-    // d07 IS the clustering job: always computes fresh (it is the thing
-    // being measured) and leaves the materialized table behind for
-    // consumers (d09's report, external canonicalizers).
+    // d07 IS the clustering job: the CC always computes fresh (it is
+    // the thing being measured) and leaves the materialized label table
+    // behind for consumers (d09's report, external canonicalizers).
+    // Its pair INPUT comes from the materialized pair table — the d03
+    // kernel runs once per corpus fingerprint, not once per job.
     val labels = this.synchronized { computeAndMaterializeLabels(s, d) }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n"))
     labels.join(sizes, "label")

@@ -323,8 +323,19 @@ object Pipeline {
       // double division + floor is exact (magnitudes << 2^53)
       .withColumn("n_chunks", floor(nChunks).cast(LongType))
       .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      // chunk start stays in LONG and is guarded: slice() takes an Int
+      // start, and a silent cast wrap would read garbage offsets. With
+      // toks a Spark array the start is provably < Int.MaxValue (array
+      // size is Int-bounded and start <= n_tok - 3), so the guard is a
+      // tripwire for a future non-array token source, not a live path —
+      // it must fail LOUDLY, not wrap.
+      .withColumn("chunk_start", col("chunk_idx") * ChunkStride + lit(1L))
       .withColumn("chunk",
-        slice(col("toks"), (col("chunk_idx") * ChunkStride + 1).cast(IntegerType),
+        slice(col("toks"),
+          when(col("chunk_start") <= Int.MaxValue.toLong,
+            col("chunk_start").cast(IntegerType))
+            .otherwise(raise_error(concat(
+              lit("p07: chunk start overflows Int for doc_id="), col("doc_id")))),
           lit(ChunkSize)))
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).cast(LongType).as("chunk_len"),
