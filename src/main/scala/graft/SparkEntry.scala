@@ -19,11 +19,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Tpch.queries ++ Analytics.queries ++ TextSim.queries ++ Skew.queries ++
-      Sessions.queries ++ graft.ops.Ops.queries
+      Sessions.queries ++ graft.ops.Ops.queries ++ graft.streaming.Replay.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Tpch.oracle ++ Analytics.oracle ++ TextSim.oracle ++ Skew.oracle ++
-      Sessions.oracle ++ graft.ops.Ops.oracle
+      Sessions.oracle ++ graft.ops.Ops.oracle ++ graft.streaming.Replay.oracle
 }

@@ -284,14 +284,61 @@ object Dedup {
     * verifies. Replaces the round-1 all-pairs theta join (a
     * BroadcastNestedLoop, O(n^2) at any scale) with one hash shuffle of
     * 7 rows/doc; recall is exact, not probabilistic. */
-  val SimhashChunks: Seq[(Int, Int, Int)] = {
-    val n = HammingMax + 1
-    val base = SimhashBits / n
-    val extra = SimhashBits % n // first `extra` chunks get one more bit
+  /** (idx, bit offset, width) for `bits` split into `n` chunks; the
+    * first `bits % n` chunks get one more bit. */
+  private[graft] def hammingChunkLayout(bits: Int, n: Int): Seq[(Int, Int, Int)] = {
+    val base = bits / n
+    val extra = bits % n // first `extra` chunks get one more bit
     val widths = Seq.tabulate(n)(i => if (i < extra) base + 1 else base)
     widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex.map {
       case ((off, w), idx) => (idx, off, w)
     }
+  }
+
+  val SimhashChunks: Seq[(Int, Int, Int)] = hammingChunkLayout(SimhashBits, HammingMax + 1)
+
+  /** Pigeonhole multi-index hamming self-join as a library primitive —
+    * the construction d03 uses (and plans/HammingJoinRule applies to
+    * user-written joins), parameterized for any fingerprint width and
+    * distance: split the `bits`-bit fingerprint into maxH+1 chunks
+    * (pigeonhole: within-distance pairs agree on ≥1 chunk), equi-join
+    * on (chunk idx, chunk value), keep each pair exactly once via the
+    * first-match CASE chain (codegen-friendly — HOF lambdas here are
+    * interpreted per joined row, measured 10x slower), verify with the
+    * exact bit_count. Recall is exact, not probabilistic. Input `fps`
+    * must have columns (id, fp); output (id_a, id_b, hamming) with
+    * id_a < id_b and hamming <= maxH. Chunk width trades candidate
+    * volume against chunk count: narrow chunks (large maxH) prune less
+    * — callers at 100 TB should keep maxH small relative to `bits`,
+    * exactly like d03's 7x~8-bit layout. */
+  private[graft] def hammingSelfJoin(fps: DataFrame, bits: Int, maxH: Int): DataFrame = {
+    val defs = hammingChunkLayout(bits, maxH + 1)
+    val chunked = fps.select(col("id"), col("fp"),
+      explode(array(defs.map { case (idx, off, w) =>
+        struct(lit(idx).as("ck"),
+          shiftright(col("fp"), off).bitwiseAND(lit((1L << w) - 1)).as("cv"))
+      }: _*)).as("c"))
+      .select(col("id"), col("fp"), col("c.ck").as("ck"), col("c.cv").as("cv"))
+    val a = chunked.select(col("id").as("id_a"), col("fp").as("fa"),
+      col("ck"), col("cv"))
+    val b = chunked.select(col("id").as("id_b"), col("fp").as("fb"),
+      col("ck").as("ck_b"), col("cv").as("cv_b"))
+    def chunkEq(k: Int): Column = {
+      val (_, off, w) = defs(k)
+      (shiftright(col("fa"), off).bitwiseAND(lit((1L << w) - 1))) ===
+        (shiftright(col("fb"), off).bitwiseAND(lit((1L << w) - 1)))
+    }
+    val firstMatch = (1 until defs.length)
+      .foldLeft(when(col("ck") === 0, lit(true))) { (acc, idx) =>
+        acc.when(col("ck") === idx, !(0 until idx).map(chunkEq).reduce(_ || _))
+      }
+      .otherwise(lit(false))
+    a.join(b, col("ck") === col("ck_b") && col("cv") === col("cv_b") &&
+        col("id_a") < col("id_b"))
+      .where(firstMatch)
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType))
+      .where(col("hamming") <= maxH)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** d03 IS the pair-generation kernel: it always computes fresh (it is
@@ -302,47 +349,17 @@ object Dedup {
     publishPairs(s, d).orderBy("doc_a", "doc_b")
 
   /** Unordered d03 pair stream — shared by d03 (which orders it for the
-    * oracle) and d07 (which feeds it to connected components). */
+    * oracle) and d07 (which feeds it to connected components). The
+    * pigeonhole construction itself lives in [[hammingSelfJoin]]. */
   def d03Pairs(s: SparkSession, d: String): DataFrame = {
     // pinned partition count: the probe side of the bucket join is
     // CPU-dense with tiny bytes (candidate evals, codegen predicate) —
     // left to byte-based sizing it lands on one core.
     val f = simhashes(s, d).repartition(
       s.sparkContext.defaultParallelism, col("doc_id"))
-    val chunked = f.select(col("doc_id"), col("simhash"),
-      explode(array(SimhashChunks.map { case (idx, off, w) =>
-        struct(lit(idx).as("ck"),
-          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("cv"))
-      }: _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
-    val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
-      col("ck"), col("cv"))
-    val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("fb"),
-      col("ck").as("ck_b"), col("cv").as("cv_b"))
-    // first-match emission: a pair agreeing on several chunks is emitted
-    // ONLY from its lowest agreeing chunk (both fingerprints are in the
-    // row, so "no earlier chunk agrees" is a cheap row-local predicate) —
-    // exactly-once output with no distinct shuffle over the pair stream.
-    // Built as a CASE chain of plain shift/and comparisons: these stay
-    // inside whole-stage codegen, where a HOF (exists/aggregate) lambda
-    // would be interpreted per joined row — measured 10x slower on the
-    // multi-million-row candidate stream.
-    def chunkEq(k: Int): Column = {
-      val (_, off, w) = SimhashChunks(k)
-      (shiftright(col("fa"), off).bitwiseAND(lit((1L << w) - 1))) ===
-        (shiftright(col("fb"), off).bitwiseAND(lit((1L << w) - 1)))
-    }
-    val firstMatch = (1 until SimhashChunks.length)
-      .foldLeft(when(col("ck") === 0, lit(true))) { (acc, idx) =>
-        acc.when(col("ck") === idx, !(0 until idx).map(chunkEq).reduce(_ || _))
-      }
-      .otherwise(lit(false))
-    a.join(b, col("ck") === col("ck_b") && col("cv") === col("cv_b") &&
-        col("doc_a") < col("doc_b"))
-      .where(firstMatch)
-      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType))
-      .where(col("hamming") <= HammingMax)
-      .select("doc_a", "doc_b", "hamming")
+    hammingSelfJoin(f.select(col("doc_id").as("id"), col("simhash").as("fp")),
+      SimhashBits, HammingMax)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
   }
 
   /** shared oracle prefix: simhash fingerprints (`fp(doc_id, simhash)`)

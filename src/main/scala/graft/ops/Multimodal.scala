@@ -183,11 +183,167 @@ object Multimodal {
       |         ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS frame_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- m03: perceptual-hash (dHash) image near-dup ----
+
+  /** 60-bit dHash (fits a signed BIGINT — same budget as d03's simhash,
+    * and POWER(2,j) stays exact in the DuckDB oracle): the media is
+    * downsampled to a 6x11 grid of block-AVERAGE luminance (average
+    * pooling — the real dHash construction; point sampling is fragile
+    * to single-byte edits), and bit r*10+c is set iff the cell right of
+    * (r,c) is strictly brighter. Every real multimodal corpus pipeline
+    * near-dups images this way: the hash is invariant to re-encoding /
+    * resize / brightness scaling, and hamming distance over it is the
+    * dissimilarity measure. */
+  val DhashRows = 6
+  val DhashCols = 10 // 6x10 comparisons over a 6x11 sample grid
+  val DhashBits: Int = DhashRows * DhashCols
+  private val DhashCells = DhashRows * (DhashCols + 1)
+
+  /** near-dup threshold, calibrated like d03's: the corpus' synthetic
+    * word-salad "images" have no byte-identical dups, so the closest
+    * real pairs sit at hamming 11-14 of 60 (measured); 14 keeps the
+    * output a small true near-dup set while exercising the full
+    * 15-chunk pigeonhole path. */
+  val M03HammingMax = 14
+
+  /** shared bit builder: grid (row-major 6x11 cell means) -> 60-bit fp. */
+  private def dhashFromGrid(lum: Array[Long]): Long = {
+    var fp = 0L
+    var b = 0
+    while (b < DhashBits) {
+      val g = (b / DhashCols) * (DhashCols + 1) + (b % DhashCols)
+      if (lum(g + 1) > lum(g)) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  /** STUB-path dHash over raw bytes (ASCII text blobs in the oracle
+    * corpus — m01's precedent: byte value == ascii codepoint): cell j
+    * averages the byte block [j*n/66, max((j+1)*n/66, +1)) — floor
+    * arithmetic throughout, so the DuckDB oracle is bit-exact. */
+  def dhashBytes(blob: Array[Byte]): Long = {
+    val n = blob.length
+    if (n == 0) return 0L
+    val lum = new Array[Long](DhashCells)
+    var j = 0
+    while (j < DhashCells) {
+      val lo = (j.toLong * n / DhashCells).toInt
+      val hi = math.max(((j + 1).toLong * n / DhashCells).toInt, lo + 1)
+      var sum = 0L
+      var i = lo
+      while (i < hi) { sum += (blob(i) & 0xff).toLong; i += 1 }
+      lum(j) = sum / (hi - lo)
+      j += 1
+    }
+    dhashFromGrid(lum)
+  }
+
+  /** REAL-path dHash over a decoded image: 6x11 block-average luminance
+    * (integer 299R+587G+114B per pixel, exact accumulation, one floor
+    * division per cell), then the same bit builder. Spec fixtures drive
+    * this with generated PNGs; re-encoded/brightness-shifted variants
+    * land within a few bits, unrelated images ~30. */
+  def dhashImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cols = DhashCols + 1
+    val lum = new Array[Long](DhashCells)
+    var r = 0
+    while (r < DhashRows) {
+      val y0 = r * h / DhashRows
+      val y1 = math.min(math.max((r + 1) * h / DhashRows, y0 + 1), h)
+      var c = 0
+      while (c < cols) {
+        val x0 = c * w / cols
+        val x1 = math.min(math.max((c + 1) * w / cols, x0 + 1), w)
+        var num = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            num += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        lum(r * cols + c) = num / (1000L * (y1 - y0) * (x1 - x0))
+        c += 1
+      }
+      r += 1
+    }
+    dhashFromGrid(lum)
+  }
+
+  /** dHash dispatcher, mirroring [[decode]]: real image decode when the
+    * bytes are a decodable image, deterministic byte-block stub
+    * otherwise. */
+  def dhashMedia(blob: Array[Byte]): Long = {
+    val img =
+      if (!looksLikeImage(blob)) None
+      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map(dhashImage).getOrElse(dhashBytes(blob))
+  }
+
+  /** m03: perceptual near-dup pairs over the media column — dHash per
+    * blob (batched partition-local kernel, no shuffle), then the shared
+    * pigeonhole multi-index hamming self-join
+    * ([[graft.ops.Dedup.hammingSelfJoin]] — the d03 construction, 15
+    * chunks of 4 bits here): every pair within hamming
+    * [[M03HammingMax]], found by equi-join, never a nested-loop cross.
+    * At 100 TB this is one fingerprint pass + one keyed shuffle of 15
+    * rows/doc — the same scale shape as d03. */
+  def m03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fps = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      // pinned partition count — single-row-group source, CPU-dense
+      // hash kernel (see decodeAll)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, blob) => (id, dhashMedia(blob)) }
+      .toDF("id", "fp")
+    Dedup.hammingSelfJoin(fps, 60, M03HammingMax)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val m03Sql: String =
+    s"""WITH b AS (
+      |  SELECT doc_id, len(text) AS n,
+      |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS bytes
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, ${DhashCells - 1}), j ->
+      |      CASE WHEN n = 0 THEN 0 ELSE
+      |        CAST(list_sum(list_slice(bytes, CAST((j*n)//$DhashCells AS INT) + 1,
+      |                  CAST(GREATEST(((j+1)*n)//$DhashCells, (j*n)//$DhashCells + 1) AS INT)))
+      |          // GREATEST(((j+1)*n)//$DhashCells - (j*n)//$DhashCells, 1) AS BIGINT) END) AS lum
+      |  FROM b),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(generate_series(0, ${DhashBits - 1}), j ->
+      |      CASE WHEN lum[(j//$DhashCols)*${DhashCols + 1} + (j%$DhashCols) + 2]
+      |             > lum[(j//$DhashCols)*${DhashCols + 1} + (j%$DhashCols) + 1]
+      |           THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS dhash
+      |  FROM g)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= $M03HammingMax
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_decode" -> m01 _,
-    "m02_frame_sample" -> m02 _)
+    "m02_frame_sample" -> m02 _,
+    "m03_dhash_neardup" -> m03 _)
 
   val oracle: Map[String, String] = Map(
     "m01_multimodal_decode" -> m01Sql,
-    "m02_frame_sample" -> m02Sql)
+    "m02_frame_sample" -> m02Sql,
+    "m03_dhash_neardup" -> m03Sql)
 }

@@ -1,0 +1,220 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.{Ann, Dedup, Multimodal}
+
+/** Round-7 operator contracts:
+  *  - a08's SemDeDup scale rule: K derived from the corpus census
+  *    (constant K=8 left the within-cluster pair join (N/8)² at scale);
+  *  - the materialized d03 pair table: d10/d07 consume it instead of
+  *    re-running pair generation per report, a08 consumes a07's
+  *    materialized assignment;
+  *  - m03's perceptual dHash: near-identical images land within the
+  *    near-dup threshold, unrelated images far outside it;
+  *  - q40's data-driven recursion depth: histogram equals the
+  *    closed-form floor(log2(k)) counts.
+  */
+class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-round7-ops-spec")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- a08 scale contract: census-derived K ----
+
+  test("kmeansKFor: pinned 8 at gate scale, grows with the corpus, bounds cluster size") {
+    // gate SFs: 500 (sf0.01) and 2000 (sf0.1) vectors -> the pinned K,
+    // so the unrolled DuckDB oracle stays valid
+    assert(Ann.kmeansKFor(500) == Ann.KmeansK)
+    assert(Ann.kmeansKFor(2000) == Ann.KmeansK)
+    assert(Ann.kmeansKFor(Ann.KmeansK * Ann.KmeansTargetClusterSize) == Ann.KmeansK)
+    // past K*target the derivation takes over: ceil(N/target)
+    assert(Ann.kmeansKFor(Ann.KmeansK * Ann.KmeansTargetClusterSize + 1) == Ann.KmeansK + 1)
+    assert(Ann.kmeansKFor(1000000) == 245) // ceil(1e6/4096)
+    // the invariant that kills the (N/8)^2 bound: average cluster size
+    // (= the quadratic base of a08's pair join) is bounded by the
+    // target for ANY corpus size
+    for (n <- Seq(1L, 4096L, 100000L, 10000000L, 10000000000L)) {
+      val k = Ann.kmeansKFor(n)
+      assert(n.toDouble / k <= Ann.KmeansTargetClusterSize,
+        s"n=$n k=$k mean cluster ${n.toDouble / k}")
+      assert(k >= Ann.KmeansK)
+    }
+    // monotone: more data never means fewer clusters
+    val ks = Seq(1L, 1000L, 50000L, 200000L, 5000000L).map(Ann.kmeansKFor)
+    assert(ks == ks.sorted)
+  }
+
+  test("kmeans fingerprint embeds the derived K (corpus census drives the key)") {
+    // same corpus twice -> same key (stability); the derived-K rule is
+    // embedded in the algo descriptor, so a corpus crossing a K(N)
+    // boundary can never reuse a stale assignment
+    val fp1 = Ann.kmeansFingerprint(spark, sf)
+    assert(fp1 == Ann.kmeansFingerprint(spark, sf))
+  }
+
+  // ---- materialized-table reuse: reports consume, kernels publish ----
+
+  test("d10 and d07 consume the d03 pair table; a08 consumes a07's assignment") {
+    // isolated materialization root so this spec proves publication
+    // happens HERE, not in some earlier run
+    val root = java.nio.file.Files.createTempDirectory("graft-mat-spec").toString
+    spark.conf.set("spark.graft.mat.dir", root)
+    try {
+      // d03 IS the kernel: running it publishes the pair table
+      val nPairs = Dedup.d03(spark, sf).count()
+      assert(Materialized.exists(spark, "pairs", Dedup.pairsFingerprint(sf)))
+      // d10 (a report) plans a SCAN of the published table — no second
+      // simhash/pair job in its plan
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+      val d10 = Dedup.d10(spark, sf)
+      assert(scanPaths(d10).exists(_.contains(s"pairs/${Dedup.pairsFingerprint(sf)}")),
+        s"d10 must read the materialized pair table; scans: ${scanPaths(d10)}")
+      assert(!d10.queryExecution.analyzed.toString.toLowerCase.contains("md5"),
+        "d10 must not recompute simhash fingerprints")
+      // published table == a fresh kernel run, row for row
+      val published = spark.read.parquet(
+        graft.core.Materialize.tablePath(spark, "pairs", Dedup.pairsFingerprint(sf)))
+      assert(published.count() == nPairs)
+      assert(Dedup.d03Pairs(spark, sf).exceptAll(published).count() == 0)
+
+      // a07 IS the trainer: running it publishes the assignment; a08
+      // (the report) plans a scan of it
+      Ann.a07(spark, sf).count()
+      assert(Materialized.exists(spark, "kmeans", Ann.kmeansFingerprint(spark, sf)))
+      val a08 = Ann.a08(spark, sf)
+      assert(scanPaths(a08).exists(_.contains(s"kmeans/${Ann.kmeansFingerprint(spark, sf)}")),
+        s"a08 must read the materialized assignment; scans: ${scanPaths(a08)}")
+    } finally spark.conf.unset("spark.graft.mat.dir")
+  }
+
+  test("publish: a failing compute does not orphan .inprogress temp dirs") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mat-fail").toString
+    spark.conf.set("spark.graft.mat.dir", root)
+    try {
+      import org.apache.spark.sql.functions._
+      val boom = graft.core.Tables.documents(spark, sf)
+        .select((col("doc_id") / (col("doc_id") - col("doc_id")))
+          .cast("decimal(10,0)").as("x")) // div-by-zero under ANSI -> job fails
+      intercept[Throwable] {
+        graft.core.Materialize.publish(spark, "pairs", "deadbeef")(boom)
+      }
+      val kindDir = new java.io.File(s"$root/pairs")
+      val leftovers = Option(kindDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.contains(".inprogress-"))
+      assert(leftovers.isEmpty, s"orphaned temp dirs: ${leftovers.mkString(",")}")
+    } finally spark.conf.unset("spark.graft.mat.dir")
+  }
+
+  // ---- m03: perceptual dHash ----
+
+  /** deterministic w x h RGB test card: smooth two-axis gradient. */
+  private def card(w: Int, h: Int, invert: Boolean): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val xx = if (invert) w - 1 - x else x
+      img.setRGB(x, y, ((xx * 255 / math.max(1, w - 1)) << 16) |
+        ((y * 255 / math.max(1, h - 1)) << 8) | 0x40)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("dhashImage: invariant to re-encode/brightness, far for unrelated images") {
+    val base = card(96, 64, invert = false)
+    val h0 = Multimodal.dhashImage(base)
+    // JPEG re-encode (lossy) of the same content: a true near-dup
+    val jpegRoundTrip = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encode(base, "jpg")))
+    val h1 = Multimodal.dhashImage(jpegRoundTrip)
+    // global brightness scale preserves the adjacent-cell ordering
+    val dim = new BufferedImage(96, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 96) {
+      val rgb = base.getRGB(x, y)
+      dim.setRGB(x, y, ((((rgb >> 16) & 0xff) * 8 / 10) << 16) |
+        ((((rgb >> 8) & 0xff) * 8 / 10) << 8) | ((rgb & 0xff) * 8 / 10))
+    }
+    val h2 = Multimodal.dhashImage(dim)
+    // mirrored gradient: most adjacent comparisons flip
+    val h3 = Multimodal.dhashImage(card(96, 64, invert = true))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h0, h1) <= Multimodal.M03HammingMax, s"jpeg re-encode: ${ham(h0, h1)}")
+    assert(ham(h0, h2) <= Multimodal.M03HammingMax, s"brightness: ${ham(h0, h2)}")
+    assert(ham(h0, h3) > Multimodal.M03HammingMax, s"unrelated: ${ham(h0, h3)}")
+  }
+
+  test("dhashMedia dispatch: image bytes take the real path, text the byte stub") {
+    val png = encode(card(32, 24, invert = false), "png")
+    assert(Multimodal.dhashMedia(png) ==
+      Multimodal.dhashImage(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))))
+    val text = "plain text blob, definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.dhashMedia(text) == Multimodal.dhashBytes(text))
+    // deterministic + doc_id-independent
+    assert(Multimodal.dhashMedia(text) == Multimodal.dhashMedia(text))
+  }
+
+  test("m03: pair list is symmetric-free, within threshold, and plan is equi-join") {
+    val df = Multimodal.m03(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "m03 must pair through the pigeonhole equi-join")
+    import org.apache.spark.sql.functions._
+    val bad = df.where(col("doc_a") >= col("doc_b") ||
+      col("hamming") > Multimodal.M03HammingMax || col("hamming") < 0).count()
+    assert(bad == 0)
+    assert(df.count() > 0, "sf0.001 corpus has near-dup pairs at the threshold")
+  }
+
+  // ---- q40: data-driven recursion depth ----
+
+  test("q40: depth histogram equals the closed-form floor(log2(k)) counts") {
+    import org.apache.spark.sql.functions._
+    // the walk halves keys until reaching <=1, so depth(k) = 0 for
+    // k <= 1 and floor(log2(k)) otherwise — exact over the key set,
+    // whatever its range (sf0.001 keys are 0..N-1)
+    def depth(k: Long): Int =
+      if (k <= 1L) 0 else 63 - java.lang.Long.numberOfLeadingZeros(k)
+    val expected = graft.core.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .groupBy(depth).map { case (d, ks) => d -> ks.length.toLong }
+    val got = graft.queries.Skew.q40(spark, sf)
+      .select(col("depth").cast("long"), col("n_customers"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+}
+
+/** tiny local alias so the reuse test reads naturally. */
+private object Materialized {
+  def exists(s: SparkSession, kind: String, fp: String): Boolean =
+    graft.core.Materialize.exists(s, kind, fp)
+}
