@@ -743,9 +743,51 @@ object Ann {
       |FROM a$KmeansIters a LEFT JOIN rem ON rem.vec_id = a.vec_id
       |GROUP BY a.cluster ORDER BY cluster""".stripMargin
 
+  // ---- a09: random-projection dimensionality reduction ----
+
+  val RpDims = 16
+
+  /** a09: deterministic random-projection dimensionality reduction
+    * (Johnson–Lindenstrauss style) — the standard pre-IVF/pre-index
+    * compression step: project the quantized embedding onto
+    * [[RpDims]] integer pseudo-random directions. The projection
+    * matrix is the same deterministic integer formula family as a02's
+    * LSH planes (w(p,i) = ((p·73856093 + i·19349663) mod 2003) −
+    * 1001): no RNG, no stored/broadcast matrix, so Spark and DuckDB
+    * derive identical weights and the output is exact BIGINT.
+    * Entirely ROW-LOCAL (one scan, per-row HOF loop — fine per-doc;
+    * a native codegen Expression is the next step if this ever sits
+    * on a hot path), so it scales linearly with zero shuffles until
+    * the output sort. Output long-format (vec_id, dim, v) — the
+    * driver-hashable shape for an array-valued result. */
+  def a09(s: SparkSession, d: String): DataFrame = {
+    val q = qvecs(s, d)
+    val projections = array((0 until RpDims).map { p =>
+      aggregate(
+        zip_with(col("q"), sequence(lit(0L), size(col("q")).cast(LongType) - 1L),
+          (v, i) => v * (((lit(p.toLong) * 73856093L + i * 19349663L) % 2003L) - 1001L)),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    q.select(col("vec_id"), posexplode(projections).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast(LongType).as("dim"), col("v"))
+      .orderBy("vec_id", "dim")
+  }
+
+  val a09Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS v FROM q)
+      |SELECT ex.vec_id, CAST(p.p AS BIGINT) AS dim,
+      |  CAST(SUM(ex.v * (((p.p * 73856093 + ex.i * 19349663) % 2003) - 1001)) AS BIGINT) AS v
+      |FROM ex, (SELECT unnest(generate_series(0, ${RpDims - 1})) AS p) p
+      |GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a07_kmeans" -> a07 _,
     "a08_semantic_dedup" -> a08 _,
+    "a09_random_projection" -> a09 _,
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
@@ -756,6 +798,7 @@ object Ann {
   val oracle: Map[String, String] = Map(
     "a07_kmeans" -> a07Sql,
     "a08_semantic_dedup" -> a08Sql,
+    "a09_random_projection" -> a09Sql,
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql,

@@ -333,11 +333,18 @@ object Dedup {
         acc.when(col("ck") === idx, !(0 until idx).map(chunkEq).reduce(_ || _))
       }
       .otherwise(lit(false))
+    // predicate order matters: the exact hamming verify (xor+popcount,
+    // ~3 codegen ops) runs BEFORE the first-match chain (O(chunks²)
+    // shift/compare ops) — almost every candidate fails the verify, so
+    // the chain only runs on true pairs. Worth ~15% on m03's 15-chunk
+    // worst case (9.2 s -> 7.9 s verify stage at sf0.1; the remaining
+    // cost is the candidate-row volume itself, which only the chunk
+    // width / threshold trade can change).
     a.join(b, col("ck") === col("ck_b") && col("cv") === col("cv_b") &&
         col("id_a") < col("id_b"))
-      .where(firstMatch)
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType))
       .where(col("hamming") <= maxH)
+      .where(firstMatch)
       .select("id_a", "id_b", "hamming")
   }
 

@@ -129,6 +129,31 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.mat.dir")
   }
 
+  test("hammingSelfJoin == brute force for random fingerprints across thresholds") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random 60-bit fingerprints with planted
+    // near-dups (id and id+1000 differ in <= 3 bits)
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 1000L).map(i => i -> (rnd.nextLong() & ((1L << 60) - 1)))
+    val dups = base.take(50).map { case (i, f) =>
+      (i + 1000L) -> (f ^ (1L << rnd.nextInt(60)) ^ (1L << rnd.nextInt(60)))
+    }
+    val all = base ++ dups
+    val fps = all.toDF("id", "fp").repartition(4)
+    val brute = for {
+      (ia, fa) <- all; (ib, fb) <- all
+      if ia < ib
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb))
+    for (maxH <- Seq(0, 3, 6, 14)) {
+      val got = Dedup.hammingSelfJoin(fps, 60, maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+      val want = brute.filter(_._3 <= maxH).toSet
+      assert(got == want, s"maxH=$maxH: got ${got.size} want ${want.size}")
+    }
+  }
+
   // ---- m03: perceptual dHash ----
 
   /** deterministic w x h RGB test card: smooth two-axis gradient. */
