@@ -743,6 +743,136 @@ object Ann {
       |FROM a$KmeansIters a LEFT JOIN rem ON rem.vec_id = a.vec_id
       |GROUP BY a.cluster ORDER BY cluster""".stripMargin
 
+  // ---- a10: ANN recall evaluation report ----
+
+  /** a10: the EVALUATION harness every ANN deployment needs — recall@3
+    * of the approximate methods (a02 LSH buckets, a03 IVF probing)
+    * against the exact brute-force baseline (a01), per method:
+    * hits = |approx top-3 ∩ exact top-3| summed over the probe set,
+    * recall = hits/total. Composes the existing operators (each is
+    * hash-green against its own oracle, and rank ties break on
+    * (sim DESC, id) identically in both engines, so the intersection
+    * counts are deterministic). Integer hits/total + one exact IEEE
+    * division keep the oracle bit-exact. Scale shape: the three ANN
+    * scans + two slim (probe_id, neighbor_id) equi-joins + 1-row
+    * aggregates — evaluation costs no more than the searches it
+    * grades. */
+  def a10(s: SparkSession, d: String): DataFrame = {
+    val exact = a01(s, d).where(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      approx.select(col("probe_id"), col("neighbor_id"))
+        .join(exact, Seq("probe_id", "neighbor_id"))
+        .agg(big(count(lit(1))).as("hits"))
+        // 1-row x 1-row cross: the broadcast-single-row-aggregate shape
+        // (same as q01/p06), allow-listed in PlanAuditSpec
+        .crossJoin(exact.agg(big(count(lit(1))).as("total")))
+        .select(lit(name).as("method"), col("hits"), col("total"),
+          (col("hits").cast(DoubleType) / col("total").cast(DoubleType)).as("recall"))
+    recallOf("ivf", a03(s, d))
+      .unionByName(recallOf("lsh", a02(s, d)))
+      .orderBy("method")
+  }
+
+  val a10Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_aggregate(list_transform(qv, x -> x*x), 'sum') AS BIGINT) AS norm2
+      |  FROM q),
+      |ex AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS v FROM n),
+      |edots AS (
+      |  SELECT pa.vec_id AS probe_id, ca.vec_id AS cand_id, CAST(SUM(pa.v * ca.v) AS BIGINT) AS dot
+      |  FROM ex pa JOIN ex ca ON ca.i = pa.i AND pa.vec_id < 10 AND ca.vec_id <> pa.vec_id
+      |  GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT probe_id, cand_id AS neighbor_id FROM (
+      |    SELECT probe_id, cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+      |        CAST(dot AS DOUBLE) / SQRT(CAST(np.norm2 AS DOUBLE) * CAST(nc.norm2 AS DOUBLE)) DESC,
+      |        cand_id) AS rank
+      |    FROM edots JOIN n np ON np.vec_id = probe_id JOIN n nc ON nc.vec_id = cand_id)
+      |  WHERE rank <= 3),
+      |planes AS (
+      |  SELECT p.p, i.i, CAST(((p.p * 73856093 + i.i * 19349663) % 2003) - 1001 AS BIGINT) AS wt
+      |  FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS p) p,
+      |       (SELECT unnest(generate_series(0,
+      |          (SELECT MAX(len(embedding)) - 1 FROM embeddings))) AS i) i),
+      |pdots AS (
+      |  SELECT ex.vec_id, planes.p, CAST(SUM(ex.v * planes.wt) AS BIGINT) AS pdot
+      |  FROM ex JOIN planes ON planes.i = ex.i GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN pdot >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM pdots GROUP BY vec_id),
+      |ldots AS (
+      |  SELECT pa.vec_id AS probe_id, ca.vec_id AS cand_id, CAST(SUM(pa.v * ca.v) AS BIGINT) AS dot
+      |  FROM ex pa
+      |    JOIN buckets pb ON pb.vec_id = pa.vec_id AND pa.vec_id < 10
+      |    JOIN buckets cb ON cb.bucket = pb.bucket
+      |    JOIN ex ca ON ca.vec_id = cb.vec_id AND ca.i = pa.i AND ca.vec_id <> pa.vec_id
+      |  GROUP BY 1, 2),
+      |lsh AS (
+      |  SELECT probe_id, cand_id AS neighbor_id FROM (
+      |    SELECT probe_id, cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+      |        CAST(dot AS DOUBLE) / SQRT(CAST(np.norm2 AS DOUBLE) * CAST(nc.norm2 AS DOUBLE)) DESC,
+      |        cand_id) AS rank
+      |    FROM ldots JOIN n np ON np.vec_id = probe_id JOIN n nc ON nc.vec_id = cand_id)
+      |  WHERE rank <= 3),
+      |cdots AS (
+      |  SELECT a.vec_id, c.vec_id AS cid, CAST(SUM(a.v * c.v) AS BIGINT) AS dot
+      |  FROM ex a JOIN ex c ON c.i = a.i AND c.vec_id < $IvfCentroids
+      |  GROUP BY 1, 2),
+      |csims AS (
+      |  SELECT cdots.vec_id, cdots.cid,
+      |    CAST(dot AS DOUBLE) / SQRT(CAST(nv.norm2 AS DOUBLE) * CAST(cn.norm2 AS DOUBLE)) AS csim
+      |  FROM cdots JOIN n nv ON nv.vec_id = cdots.vec_id
+      |             JOIN n cn ON cn.vec_id = cdots.cid),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
+      |    FROM csims) WHERE crank = 1),
+      |probe_clusters AS (
+      |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
+      |    FROM csims WHERE vec_id < 10) WHERE crank <= $IvfProbeClusters),
+      |icand AS (
+      |  SELECT pc.probe_id, a.vec_id AS cand_id
+      |  FROM probe_clusters pc JOIN assigned a
+      |    ON a.cluster = pc.cluster AND a.vec_id <> pc.probe_id),
+      |idots AS (
+      |  SELECT icand.probe_id, icand.cand_id, CAST(SUM(p.v * c.v) AS BIGINT) AS dot
+      |  FROM icand JOIN ex p ON p.vec_id = icand.probe_id
+      |             JOIN ex c ON c.vec_id = icand.cand_id AND c.i = p.i
+      |  GROUP BY 1, 2),
+      |ivf AS (
+      |  SELECT probe_id, cand_id AS neighbor_id FROM (
+      |    SELECT probe_id, cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+      |        CAST(dot AS DOUBLE) / SQRT(CAST(np.norm2 AS DOUBLE) * CAST(nc.norm2 AS DOUBLE)) DESC,
+      |        cand_id) AS rank
+      |    FROM idots JOIN n np ON np.vec_id = probe_id JOIN n nc ON nc.vec_id = cand_id)
+      |  WHERE rank <= 3),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM exact)
+      |SELECT method, hits, total, CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall
+      |FROM (
+      |  SELECT 'ivf' AS method,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf JOIN exact
+      |       ON ivf.probe_id = exact.probe_id AND ivf.neighbor_id = exact.neighbor_id) AS hits,
+      |    total FROM tot
+      |  UNION ALL
+      |  SELECT 'lsh' AS method,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh JOIN exact
+      |       ON lsh.probe_id = exact.probe_id AND lsh.neighbor_id = exact.neighbor_id) AS hits,
+      |    total FROM tot)
+      |ORDER BY method""".stripMargin
+
   // ---- a09: random-projection dimensionality reduction ----
 
   val RpDims = 16
@@ -788,6 +918,7 @@ object Ann {
     "a07_kmeans" -> a07 _,
     "a08_semantic_dedup" -> a08 _,
     "a09_random_projection" -> a09 _,
+    "a10_ann_recall" -> a10 _,
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
@@ -799,6 +930,7 @@ object Ann {
     "a07_kmeans" -> a07Sql,
     "a08_semantic_dedup" -> a08Sql,
     "a09_random_projection" -> a09Sql,
+    "a10_ann_recall" -> a10Sql,
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql,

@@ -1176,7 +1176,69 @@ object Dedup {
       |WHERE c.doc_id >= $ContamBenchIds AND b.doc_id < $ContamBenchIds
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  // ---- d11: duplicate-span coverage (substring-level dedup report) ----
+
+  /** shingle length for span-level duplication: 8 consecutive tokens —
+    * the scale used by the "Deduplicating Training Data Makes Language
+    * Models Better" family of pipelines for exact substring dedup. */
+  val SpanLen = 8
+
+  /** d11: span-level duplication coverage — document-level dedup (d01,
+    * d02/d03) misses text REUSED ACROSS distinct documents (boilerplate,
+    * quotes, templates); the substring-dedup literature measures it as:
+    * of all [[SpanLen]]-token spans (with multiplicity), what fraction
+    * occurs in ≥2 distinct documents? Reported per source — the number
+    * that decides whether a source needs span-level (not just doc-level)
+    * dedup before training.
+    *
+    * Shape at 100 TB: spans are hashed (MD5 — engine-portable, same
+    * rule as every hash here) so the shuffle carries slim fixed-width
+    * keys; one groupBy computes distinct-doc counts per span hash, one
+    * keyed join marks occurrences, one per-source aggregation reports.
+    * All shuffles keyed, volume ≈ token count. Spans are row-local
+    * (transform over a sequence + slice, the p07 construction) with
+    * the <SpanLen-token guard (Spark's sequence() counts DOWN on an
+    * empty range). */
+  def d11(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= SpanLen)
+      .withColumn("sh", explode(expr(
+        s"transform(sequence(1, size(toks) - ${SpanLen - 1}), i -> md5(concat_ws(' ', slice(toks, i, $SpanLen))))")))
+      .select(col("source"), col("doc_id"), col("sh"))
+    val spanDocs = occ.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    occ.join(spanDocs, "sh")
+      .groupBy("source")
+      .agg(
+        big(count(lit(1))).as("spans_total"),
+        big(sum(when(col("nd") >= 2, 1L).otherwise(0L))).as("spans_duplicated"))
+      .withColumn("dup_fraction",
+        col("spans_duplicated").cast(DoubleType) / col("spans_total").cast(DoubleType))
+      .orderBy("source")
+  }
+
+  val d11Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |e AS (
+      |  SELECT doc_id, source, t, unnest(generate_series(1, len(t) - ${SpanLen - 1})) AS i
+      |  FROM toks WHERE len(t) >= $SpanLen),
+      |occ AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(list_slice(t, CAST(i AS INT), CAST(i + ${SpanLen - 1} AS INT)), ' ')) AS sh
+      |  FROM e),
+      |nd AS (SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY sh)
+      |SELECT occ.source,
+      |  CAST(COUNT(*) AS BIGINT) AS spans_total,
+      |  CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS spans_duplicated,
+      |  CAST(SUM(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+      |FROM occ JOIN nd ON nd.sh = occ.sh
+      |GROUP BY occ.source ORDER BY occ.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_dup_span_coverage" -> d11 _,
     "d06_contamination" -> d06 _,
     "d01_dedup_exact_stats" -> d01 _,
     "d02_minhash_lsh_neardup" -> d02 _,
@@ -1189,6 +1251,7 @@ object Dedup {
     "d10_cross_source_leakage" -> d10 _)
 
   val oracle: Map[String, String] = Map(
+    "d11_dup_span_coverage" -> d11Sql,
     "d06_contamination" -> d06Sql,
     "d01_dedup_exact_stats" -> d01Sql,
     "d02_minhash_lsh_neardup" -> d02Sql,

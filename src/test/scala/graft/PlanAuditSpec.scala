@@ -36,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p06_source_mix" -> "crossJoin vs broadcast 1-row totals aggregate (rate derivation)",
     "t08_tfidf_terms" -> "crossJoin vs broadcast 1-row distinct-source count (the N of tf*N/df)",
     "a07_kmeans" -> "vector x broadcast <=8-row centroid model (the Lloyd assignment product)",
-    "a08_semantic_dedup" -> "a07's centroid-model broadcast (the within-cluster pair join itself is hash)")
+    "a08_semantic_dedup" -> "a07's centroid-model broadcast (the within-cluster pair join itself is hash)",
+    "a10_ann_recall" -> "composes a01/a02/a03 (their allowed broadcast probe/codebook crosses) + 1-row x 1-row hits/total aggregates")
 
   test("no CartesianProduct anywhere; BNLJ only in named constant-size crosses") {
     val sf = "/root/testdata/sf0.001"
