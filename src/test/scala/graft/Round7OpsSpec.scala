@@ -219,6 +219,23 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0, "sf0.001 corpus has near-dup pairs at the threshold")
   }
 
+  test("d11: span accounting tiles the corpus (total == sum of per-doc span counts)") {
+    import org.apache.spark.sql.functions._
+    val expected = graft.core.Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).as("n"))
+      .groupBy("source")
+      .agg(sum(greatest(col("n") - (Dedup.SpanLen - 1), lit(0))).as("spans"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Dedup.d11(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(g => g._1 -> g._2).toMap == expected)
+    got.foreach { case (src, total, dup, frac) =>
+      assert(dup >= 0 && dup <= total, src)
+      assert(frac >= 0.0 && frac <= 1.0, src)
+      assert(frac == dup.toDouble / total.toDouble, src)
+    }
+  }
+
   // ---- q40: data-driven recursion depth ----
 
   test("q40: depth histogram equals the closed-form floor(log2(k)) counts") {
