@@ -347,7 +347,47 @@ object TextAnalysis {
       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
       |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  /** t09: per-source LEXICAL DIVERSITY report — the corpus-quality
+    * signals a data team reads before weighting a source: token volume,
+    * vocabulary size, type-token ratio (vocab/tokens), and the hapax
+    * ratio (fraction of vocabulary occurring exactly once — the classic
+    * productivity/contamination indicator: templated or duplicated
+    * text crushes it). All counts are exact integers aggregated
+    * per-source (order-independent), with the two ratios as single
+    * exact IEEE divisions at the end — bit-identical cross-engine.
+    * Shape: one token explode (≈ token-count rows, the t08 shuffle
+    * shape), a (source, token) count, then a per-source rollup. */
+  def t09(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    tok.groupBy("source", "w").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(
+        big(sum(col("n"))).as("tokens_total"),
+        big(count(lit(1))).as("vocab"),
+        big(sum(when(col("n") === 1L, 1L).otherwise(0L))).as("hapax"))
+      .withColumn("type_token_ratio",
+        col("vocab").cast(DoubleType) / col("tokens_total").cast(DoubleType))
+      .withColumn("hapax_ratio",
+        col("hapax").cast(DoubleType) / col("vocab").cast(DoubleType))
+      .orderBy("source")
+  }
+
+  val t09Sql: String =
+    """WITH tw AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT source, w, COUNT(*) AS n FROM tw GROUP BY source, w)
+      |SELECT source,
+      |  CAST(SUM(n) AS BIGINT) AS tokens_total,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS type_token_ratio,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+      |FROM wc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_lexical_diversity" -> t09 _,
     "t08_tfidf_terms" -> t08 _,
     "t01_lang_id" -> t01 _,
     "t02_quality_score" -> t02 _,
@@ -358,6 +398,7 @@ object TextAnalysis {
     "t07_web_noise" -> t07 _)
 
   val oracle: Map[String, String] = Map(
+    "t09_lexical_diversity" -> t09Sql,
     "t08_tfidf_terms" -> t08Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,

@@ -378,7 +378,38 @@ object Analytics {
       |QUALIFY o_orderkey % 53 = 0
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q41: UNPIVOT — the wide→long reshaping surface (inverse of q32's
+    * pivot): a per-priority metrics table (count / decimal-exact sum /
+    * max of order totals, all cast DOUBLE so the long `value` column is
+    * one type) unpivoted to (priority, metric, value) rows. Spark 4 and
+    * DuckDB both speak the standard `UNPIVOT (value FOR metric IN …)`
+    * clause; the reshape itself is row-local (a generate — no shuffle
+    * beyond the upstream aggregation). */
+  def q41(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, metric, value FROM (
+        |  SELECT o_orderpriority,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_total,
+        |    CAST(MAX(o_totalprice) AS DOUBLE) AS max_total
+        |  FROM orders GROUP BY o_orderpriority)
+        |UNPIVOT (value FOR metric IN (n_orders, sum_total, max_total))
+        |ORDER BY o_orderpriority, metric""".stripMargin)
+  }
+
+  val q41Sql: String =
+    """SELECT o_orderpriority, metric, value FROM (
+      |  SELECT o_orderpriority,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_total,
+      |    CAST(MAX(o_totalprice) AS DOUBLE) AS max_total
+      |  FROM orders GROUP BY o_orderpriority)
+      |UNPIVOT (value FOR metric IN (n_orders, sum_total, max_total))
+      |ORDER BY o_orderpriority, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_unpivot_metrics" -> q41 _,
     "q37_range_frame" -> q37 _,
     "q36_percent_rank" -> q36 _,
     "q31_ntile_quartiles" -> q31 _,
@@ -414,5 +445,6 @@ object Analytics {
     "q19_math_funcs" -> q19Sql,
     "q20_array_funcs" -> q20Sql,
     "q21_json_funcs" -> q21Sql,
-    "q22_hourly_tumbling" -> q22Sql)
+    "q22_hourly_tumbling" -> q22Sql,
+    "q41_unpivot_metrics" -> q41Sql)
 }
