@@ -1237,7 +1237,62 @@ object Dedup {
       |FROM occ JOIN nd ON nd.sh = occ.sh
       |GROUP BY occ.source ORDER BY occ.source""".stripMargin
 
+  /** d12: directional SPAN CONTAINMENT — the sub-document dup detector
+    * symmetric measures miss: a truncated/excerpted document A inside a
+    * longer B scores low Jaccard (|B| dominates the union) but high
+    * containment |spans(A)∩spans(B)| / |spans(A)|. Emits ordered pairs
+    * with containment ≥ 1/2, compared in INTEGER arithmetic
+    * (2·shared ≥ total — no float threshold), the ratio itself one
+    * exact division for the report. Shape at 100 TB: distinct
+    * (doc, span-hash) pairs feed a keyed self-equi-join on the span
+    * hash (the d06 contamination shape) + two count aggregations; span
+    * frequency is corpus-driven — a real deployment drops
+    * boilerplate-hot spans first (the d11 report is exactly the census
+    * for that decision). */
+  def d12(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= SpanLen)
+      .withColumn("sh", explode(expr(
+        s"transform(sequence(1, size(toks) - ${SpanLen - 1}), i -> md5(concat_ws(' ', slice(toks, i, $SpanLen))))")))
+      .select(col("doc_id"), col("sh")).distinct()
+    val cnt = occ.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = occ.join(occ.select(col("doc_id").as("in_doc_id"), col("sh")), "sh")
+      .where(col("doc_id") =!= col("in_doc_id"))
+      .groupBy("doc_id", "in_doc_id")
+      .agg(count(lit(1)).as("n"))
+    inter.join(cnt, "doc_id")
+      .where(col("n") * 2 >= col("c"))
+      .select(col("doc_id"), col("in_doc_id"),
+        big(col("n")).as("spans_shared"), big(col("c")).as("spans_total"),
+        (col("n").cast(DoubleType) / col("c").cast(DoubleType)).as("containment"))
+      .orderBy("doc_id", "in_doc_id")
+  }
+
+  val d12Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |e AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t) - ${SpanLen - 1})) AS i
+      |  FROM toks WHERE len(t) >= $SpanLen),
+      |occ AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(array_to_string(list_slice(t, CAST(i AS INT), CAST(i + ${SpanLen - 1} AS INT)), ' ')) AS sh
+      |  FROM e),
+      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM occ GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id, b.doc_id AS in_doc_id, COUNT(*) AS n
+      |  FROM occ a JOIN occ b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT inter.doc_id, in_doc_id,
+      |  CAST(n AS BIGINT) AS spans_shared, CAST(c AS BIGINT) AS spans_total,
+      |  CAST(n AS DOUBLE) / CAST(c AS DOUBLE) AS containment
+      |FROM inter JOIN cnt ON cnt.doc_id = inter.doc_id
+      |WHERE n * 2 >= c
+      |ORDER BY inter.doc_id, in_doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_span_containment" -> d12 _,
     "d11_dup_span_coverage" -> d11 _,
     "d06_contamination" -> d06 _,
     "d01_dedup_exact_stats" -> d01 _,
@@ -1251,6 +1306,7 @@ object Dedup {
     "d10_cross_source_leakage" -> d10 _)
 
   val oracle: Map[String, String] = Map(
+    "d12_span_containment" -> d12Sql,
     "d11_dup_span_coverage" -> d11Sql,
     "d06_contamination" -> d06Sql,
     "d01_dedup_exact_stats" -> d01Sql,
