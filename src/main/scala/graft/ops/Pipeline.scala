@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables._
@@ -362,7 +363,49 @@ object Pipeline {
       |    chunk_idx * $ChunkStride + $ChunkSize), ' ')) AS chunk_hash
       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** p08: deterministic round-robin SOURCE INTERLEAVE — the training
+    * ORDER operator: p06 decides how much of each source to keep, p04
+    * shuffles within an epoch, and this one fixes the fine-grained
+    * source cadence (position r·S + i for the r-th doc of the i-th
+    * source), so any contiguous batch window sees every source at its
+    * 1/S rate — no source-correlated gradient bursts. All positions
+    * are exact integers (unique by construction: i < S), so the oracle
+    * is bit-exact. Shape at 100 TB: one per-source window rank (hash
+    * shuffle on source), a broadcast ≤|sources|-row index + 1-row
+    * count, and the output sort; the source-index window runs over
+    * the DISTINCT source list (constant rows), never the corpus. */
+  def p08(s: SparkSession, d: String): DataFrame = {
+    val srcIdx = documents(s, d).select(col("source")).distinct()
+      // constant-size frame (|sources| rows): the unpartitioned window
+      // is a single task over ~dozens of rows, not a corpus sort
+      .withColumn("idx", row_number().over(Window.orderBy("source")) - 1)
+    val nSrc = srcIdx.agg(count(lit(1)).as("ns"))
+    documents(s, d)
+      .withColumn("r",
+        row_number().over(Window.partitionBy("source").orderBy("doc_id")) - 1)
+      .join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(
+        (col("r").cast(LongType) * col("ns") + col("idx")).as("position"),
+        col("doc_id"), col("source"))
+      .orderBy("position")
+  }
+
+  val p08Sql: String =
+    """WITH si AS (
+      |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS idx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r
+      |  FROM documents),
+      |s AS (SELECT COUNT(DISTINCT source) AS ns FROM documents)
+      |SELECT CAST(r.r * s.ns + si.idx AS BIGINT) AS position, r.doc_id, r.source
+      |FROM r JOIN si USING (source) CROSS JOIN s
+      |ORDER BY position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_source_interleave" -> p08 _,
     "p07_chunk_sliding" -> p07 _,
     "p01_clean_corpus" -> p01 _,
     "p02_stratified_sample" -> p02 _,
@@ -371,6 +414,7 @@ object Pipeline {
     "p05_sequence_pack" -> p05 _,
     "p06_source_mix" -> p06 _)
   val oracle: Map[String, String] = Map(
+    "p08_source_interleave" -> p08Sql,
     "p07_chunk_sliding" -> p07Sql,
     "p01_clean_corpus" -> p01Sql,
     "p02_stratified_sample" -> p02Sql,

@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t08_tfidf_terms" -> "crossJoin vs broadcast 1-row distinct-source count (the N of tf*N/df)",
     "a07_kmeans" -> "vector x broadcast <=8-row centroid model (the Lloyd assignment product)",
     "a08_semantic_dedup" -> "a07's centroid-model broadcast (the within-cluster pair join itself is hash)",
-    "a10_ann_recall" -> "composes a01/a02/a03 (their allowed broadcast probe/codebook crosses) + 1-row x 1-row hits/total aggregates")
+    "a10_ann_recall" -> "composes a01/a02/a03 (their allowed broadcast probe/codebook crosses) + 1-row x 1-row hits/total aggregates",
+    "p08_source_interleave" -> "crossJoin vs broadcast 1-row source-count aggregate (position arithmetic)")
 
   test("no CartesianProduct anywhere; BNLJ only in named constant-size crosses") {
     val sf = "/root/testdata/sf0.001"
