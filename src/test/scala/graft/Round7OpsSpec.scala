@@ -236,6 +236,27 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p08: positions are unique, dense from 0, and round-robin by source") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Pipeline.p08(spark, sf)
+      .select(col("position"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val positions = rows.map(_._1)
+    assert(positions.distinct.length == positions.length, "positions unique")
+    val nSrc = rows.map(_._2).distinct.length
+    // the first nSrc positions are 0..nSrc-1 with nSrc distinct sources
+    // (every batch window of width nSrc sees every source once while
+    // all sources still have documents remaining)
+    val head = rows.sortBy(_._1).take(nSrc)
+    assert(head.map(_._1).toSeq == (0L until nSrc.toLong), "dense prefix")
+    assert(head.map(_._2).distinct.length == nSrc, "one doc per source per window")
+    // position mod nSrc identifies the source everywhere
+    val bySlot = rows.groupBy(_._1 % nSrc).view.mapValues(_.map(_._2).distinct)
+    bySlot.foreach { case (slot, srcs) =>
+      assert(srcs.length == 1, s"slot $slot maps to one source, got $srcs")
+    }
+  }
+
   // ---- q40: data-driven recursion depth ----
 
   test("q40: depth histogram equals the closed-form floor(log2(k)) counts") {
