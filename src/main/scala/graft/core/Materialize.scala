@@ -153,8 +153,13 @@ object Materialize {
   }
 
   /** Delete `.inprogress-*` siblings older than one hour — residue of
-    * crashed JVMs (a LIVE writer's temp dir is younger than that; this
-    * sweep is belt-and-braces on top of the in-process try/finally). */
+    * crashed JVMs (this sweep is belt-and-braces on top of the
+    * in-process try/finally). Staleness is judged by the NEWEST mtime
+    * anywhere under the temp dir, not the top-level dir's: on HDFS/S3A
+    * the parent's mtime need not advance while Spark writes task files
+    * beneath it, so a top-level check could delete a live >1h publish
+    * out from under its writer. A live writer keeps creating/renaming
+    * task files, so its newest descendant stays fresh. */
   private def sweepStale(fs: org.apache.hadoop.fs.FileSystem,
                          parent: org.apache.hadoop.fs.Path): Unit = {
     try {
@@ -162,10 +167,27 @@ object Materialize {
       val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
       fs.listStatus(parent).foreach { st =>
         if (st.isDirectory && st.getPath.getName.contains(".inprogress-") &&
-            st.getModificationTime < cutoff)
+            newestMtime(fs, st.getPath, st.getModificationTime) < cutoff)
           fs.delete(st.getPath, true)
       }
     } catch { case scala.util.control.NonFatal(_) => () } // sweep is best-effort
+  }
+
+  /** Newest modification time at or under `p` (bounded recursion; a
+    * temp parquet dir is 2–3 levels). Errors (e.g. a file deleted
+    * mid-listing by the live writer) report "fresh now" — the safe
+    * direction for a deletion guard. */
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path,
+                          own: Long, depth: Int = 8): Long = {
+    if (depth <= 0) return System.currentTimeMillis()
+    try {
+      fs.listStatus(p).foldLeft(own) { (acc, st) =>
+        math.max(acc,
+          if (st.isDirectory) newestMtime(fs, st.getPath, st.getModificationTime, depth - 1)
+          else st.getModificationTime)
+      }
+    } catch { case scala.util.control.NonFatal(_) => System.currentTimeMillis() }
   }
 
   private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString

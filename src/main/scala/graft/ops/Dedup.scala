@@ -312,11 +312,20 @@ object Dedup {
     * — callers at 100 TB should keep maxH small relative to `bits`,
     * exactly like d03's 7x~8-bit layout. */
   private[graft] def hammingSelfJoin(fps: DataFrame, bits: Int, maxH: Int): DataFrame = {
+    // Degenerate parameters silently collapse the multi-index into one
+    // bucket (an O(n^2) join): maxH+1 > bits yields zero-width chunks
+    // whose mask is 0, and a naive (1L << 64) - 1 wraps to 0 on the
+    // JVM. Reject the former, and compute full-width masks explicitly.
+    require(bits >= 1 && bits <= 64, s"fingerprint width $bits not in [1, 64]")
+    require(maxH >= 0 && maxH + 1 <= bits,
+      s"maxH=$maxH needs ${maxH + 1} chunks but only $bits bits — " +
+        "zero-width chunks would degenerate to a single-bucket join")
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val defs = hammingChunkLayout(bits, maxH + 1)
     val chunked = fps.select(col("id"), col("fp"),
       explode(array(defs.map { case (idx, off, w) =>
         struct(lit(idx).as("ck"),
-          shiftright(col("fp"), off).bitwiseAND(lit((1L << w) - 1)).as("cv"))
+          shiftright(col("fp"), off).bitwiseAND(lit(mask(w))).as("cv"))
       }: _*)).as("c"))
       .select(col("id"), col("fp"), col("c.ck").as("ck"), col("c.cv").as("cv"))
     val a = chunked.select(col("id").as("id_a"), col("fp").as("fa"),
@@ -325,8 +334,8 @@ object Dedup {
       col("ck").as("ck_b"), col("cv").as("cv_b"))
     def chunkEq(k: Int): Column = {
       val (_, off, w) = defs(k)
-      (shiftright(col("fa"), off).bitwiseAND(lit((1L << w) - 1))) ===
-        (shiftright(col("fb"), off).bitwiseAND(lit((1L << w) - 1)))
+      (shiftright(col("fa"), off).bitwiseAND(lit(mask(w)))) ===
+        (shiftright(col("fb"), off).bitwiseAND(lit(mask(w))))
     }
     val firstMatch = (1 until defs.length)
       .foldLeft(when(col("ck") === 0, lit(true))) { (acc, idx) =>
@@ -343,6 +352,80 @@ object Dedup {
     a.join(b, col("ck") === col("ck_b") && col("cv") === col("cv_b") &&
         col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType))
+      .where(col("hamming") <= maxH)
+      .where(firstMatch)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Multi-word generalization of [[hammingSelfJoin]] for fingerprints
+    * wider than one BIGINT: the fingerprint is the little-endian
+    * concatenation of `wordBits.length` long columns `fp0, fp1, ...`
+    * (word k holds bits `[sum(wordBits.take(k)), +wordBits(k))`; each
+    * word ≤ 63 bits so values stay non-negative and arithmetic
+    * shiftright is safe on both engines). Chunks are laid out over the
+    * CONCATENATED bit space — a chunk may straddle a word boundary, in
+    * which case its value is assembled from two masked pieces — so a
+    * 120-bit fingerprint at maxH=14 gets 15 uniform 8-bit chunks
+    * (256-way buckets) instead of the 4-bit (16-way) chunks a 60-bit
+    * hash is forced into: 16x less birthday-collision candidate volume
+    * on hash-uniform corpora at identical exact recall. This is m03's
+    * scale fix (round-7 verdict); input (id, fp0, fp1, ...), output
+    * (id_a, id_b, hamming) with id_a < id_b, hamming summed across
+    * words. */
+  private[graft] def hammingSelfJoinWide(fps: DataFrame, wordBits: Seq[Int],
+                                         maxH: Int): DataFrame = {
+    require(wordBits.nonEmpty && wordBits.forall(b => b >= 1 && b <= 63),
+      s"word widths $wordBits must each be in [1, 63]")
+    val bits = wordBits.sum
+    require(maxH >= 0 && maxH + 1 <= bits,
+      s"maxH=$maxH needs ${maxH + 1} chunks but only $bits bits")
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    val nWords = wordBits.length
+    val wordOff = wordBits.scanLeft(0)(_ + _) // start bit of each word
+    // chunk value at [off, off+w) of the concatenated space, assembled
+    // from the overlapping piece(s) of the given word columns
+    def extract(words: Seq[Column], off: Int, w: Int): Column =
+      (0 until nWords).flatMap { k =>
+        val lo = math.max(off, wordOff(k))
+        val hi = math.min(off + w, wordOff(k) + wordBits(k))
+        if (hi <= lo) None
+        else Some(shiftleft(
+          shiftright(words(k), lo - wordOff(k)).bitwiseAND(lit(mask(hi - lo))),
+          lo - off))
+      }.reduce(_.bitwiseOR(_))
+    val defs = hammingChunkLayout(bits, maxH + 1)
+    val fpCols = (0 until nWords).map(k => col(s"fp$k"))
+    val chunked = fps.select((col("id") +: fpCols) :+
+      explode(array(defs.map { case (idx, off, w) =>
+        struct(lit(idx).as("ck"), extract(fpCols, off, w).as("cv"))
+      }: _*)).as("c"): _*)
+      .select((col("id") +: fpCols) ++
+        Seq(col("c.ck").as("ck"), col("c.cv").as("cv")): _*)
+    val a = chunked.select((col("id").as("id_a") +:
+      (0 until nWords).map(k => col(s"fp$k").as(s"fa$k"))) ++
+      Seq(col("ck"), col("cv")): _*)
+    val b = chunked.select((col("id").as("id_b") +:
+      (0 until nWords).map(k => col(s"fp$k").as(s"fb$k"))) ++
+      Seq(col("ck").as("ck_b"), col("cv").as("cv_b")): _*)
+    val faCols = (0 until nWords).map(k => col(s"fa$k"))
+    val fbCols = (0 until nWords).map(k => col(s"fb$k"))
+    def chunkEq(k: Int): Column = {
+      val (_, off, w) = defs(k)
+      extract(faCols, off, w) === extract(fbCols, off, w)
+    }
+    val firstMatch = (1 until defs.length)
+      .foldLeft(when(col("ck") === 0, lit(true))) { (acc, idx) =>
+        acc.when(col("ck") === idx, !(0 until idx).map(chunkEq).reduce(_ || _))
+      }
+      .otherwise(lit(false))
+    val hamming = (0 until nWords)
+      .map(k => bit_count(faCols(k).bitwiseXOR(fbCols(k))))
+      .reduce(_ + _).cast(LongType)
+    // same predicate order as the single-word kernel: cheap exact
+    // verify first, O(chunks^2) first-match chain only on true pairs
+    a.join(b, col("ck") === col("ck_b") && col("cv") === col("cv_b") &&
+        col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming)
       .where(col("hamming") <= maxH)
       .where(firstMatch)
       .select("id_a", "id_b", "hamming")

@@ -190,11 +190,14 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val h2 = Multimodal.dhashImage(dim)
     // mirrored gradient: most adjacent comparisons flip
     val h3 = Multimodal.dhashImage(card(96, 64, invert = true))
-    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(h0, h1) <= Multimodal.M03HammingMax, s"jpeg re-encode: ${ham(h0, h1)}")
     assert(ham(h0, h2) <= Multimodal.M03HammingMax, s"brightness: ${ham(h0, h2)}")
     assert(ham(h0, h3) > Multimodal.M03HammingMax, s"unrelated: ${ham(h0, h3)}")
   }
+
+  /** hamming over the two-word 120-bit fingerprint. */
+  private def ham(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
 
   test("dhashMedia dispatch: image bytes take the real path, text the byte stub") {
     val png = encode(card(32, 24, invert = false), "png")
@@ -216,7 +219,71 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = df.where(col("doc_a") >= col("doc_b") ||
       col("hamming") > Multimodal.M03HammingMax || col("hamming") < 0).count()
     assert(bad == 0)
-    assert(df.count() > 0, "sf0.001 corpus has near-dup pairs at the threshold")
+    // the 120-bit hash separates true near-dups from birthday pairs:
+    // the sf0.001 sample has no mutated copies, so the truthful answer
+    // at the absolute threshold is EMPTY (the 60-bit hash's "pairs"
+    // here were artifacts of 4-bit buckets; see DhashRows scaladoc)
+    assert(df.count() == 0, "sf0.001 has no true perceptual near-dups")
+  }
+
+  test("m03 kernel: 120-bit dhash keeps mutated blobs near and unrelated blobs far") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(2048)((rnd.nextInt(26) + 'a').toByte)
+    // a localized mutation (the corpus' true-near-dup shape): flip a
+    // 64-byte span — only the grid cells covering it can change
+    val mut = base.clone()
+    for (i <- 900 until 964) mut(i) = (rnd.nextInt(26) + 'a').toByte
+    val unrelated = Array.fill(2048)((rnd.nextInt(26) + 'a').toByte)
+    val hb = Multimodal.dhashBytes(base)
+    assert(ham(hb, Multimodal.dhashBytes(mut)) <= Multimodal.M03HammingMax,
+      "localized mutation stays within the absolute threshold")
+    assert(ham(hb, Multimodal.dhashBytes(unrelated)) > 2 * Multimodal.M03HammingMax,
+      "unrelated blob sits in the random cloud (~60 of 120)")
+  }
+
+  test("hammingSelfJoinWide == brute force over two-word fingerprints") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val m60 = (1L << 60) - 1
+    val base = (0L until 400L).map(i => (i, rnd.nextLong() & m60, rnd.nextLong() & m60))
+    val dups = base.take(40).map { case (i, f0, f1) =>
+      (i + 400L, f0 ^ (1L << rnd.nextInt(60)), f1 ^ (1L << rnd.nextInt(60)))
+    }
+    val all = base ++ dups
+    val fps = all.toDF("id", "fp0", "fp1").repartition(4)
+    val brute = for {
+      (ia, a0, a1) <- all; (ib, b0, b1) <- all
+      if ia < ib
+    } yield (ia, ib,
+      java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1))
+    for (maxH <- Seq(0, 2, 14)) {
+      val got = Dedup.hammingSelfJoinWide(fps, Seq(60, 60), maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+      val want = brute.filter(_._3 <= maxH).toSet
+      assert(got == want, s"maxH=$maxH: got ${got.size} want ${want.size}")
+    }
+  }
+
+  test("hamming join kernels reject degenerate single-bucket parameterizations") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val fps = Seq((1L, 2L)).toDF("id", "fp")
+    // maxH+1 > bits would yield zero-width chunks (mask 0 -> one giant
+    // bucket -> silent O(n^2) join); the guard must reject it
+    intercept[IllegalArgumentException] { Dedup.hammingSelfJoin(fps, 4, 4) }
+    intercept[IllegalArgumentException] { Dedup.hammingSelfJoin(fps, 65, 1) }
+    val wide = Seq((1L, 2L, 3L)).toDF("id", "fp0", "fp1")
+    intercept[IllegalArgumentException] { Dedup.hammingSelfJoinWide(wide, Seq(60, 64), 1) }
+    intercept[IllegalArgumentException] { Dedup.hammingSelfJoinWide(wide, Seq(2, 2), 4) }
+    // bits=64, maxH=0: a single full-width chunk — the (1L<<64)-1 wrap
+    // would mask to 0; the explicit mask keeps exact equality
+    val full = Seq((1L, -1L), (2L, -1L), (3L, 0L)).toDF("id", "fp")
+    val got = Dedup.hammingSelfJoin(full, 64, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
   }
 
   test("d11: span accounting tiles the corpus (total == sum of per-doc span counts)") {
