@@ -44,6 +44,27 @@ object Bench {
       .getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
 
+  /** FROZEN control probe — NEVER change this query (it is the
+    * cross-session yardstick; round-8 freeze and all later rounds
+    * compare against its history). It touches no graft operator code,
+    * so its wall-clock moves ONLY with the host/session: the same box
+    * has measured identical-code sessions 1.5–1.7× apart (r6 vs r7),
+    * and without an in-run control the 2× bench gate can be breached by
+    * ambient slowdown alone. The probe runs three times (before, mid,
+    * after the query loop); the reported value is the median, so a
+    * consumer can normalize: regression ratio = (query / frozen_query)
+    * ÷ (control / frozen_control). */
+  private def controlProbe(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(col("l_quantity") < 25)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_extendedprice"), avg("l_discount"), count(lit(1)))
+      .count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,7 +93,18 @@ object Bench {
     }
     cleanStorage()
     val diag = new StringBuilder
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ctlRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runControl(tag: String): Unit = {
+      val s = controlProbe(spark, sfDir)
+      ctlRuns += s
+      System.err.println(f"[bench-ctl] $tag ${s}%.3fs")
+      cleanStorage()
+    }
+    runControl("pre")
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val midAt = allQueries.size / 2
+    val results = allQueries.zipWithIndex.map { case ((name, fn), qIdx) =>
+      if (qIdx == midAt) runControl("mid")
       val load0 = loadAvg
       val gc0 = gcMillis
       val t0 = System.nanoTime()
@@ -91,13 +123,19 @@ object Bench {
       diag.append(d).append('\n')
       name -> secs
     }
+    runControl("post")
     // 3-decimal seconds: ms precision (scheduling noise is +-100 ms);
     // full precision doubled the line length past the driver's capture.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val rounded = results.map { case (k, v) => k -> r3(v) }
+    // session-ambient yardstick: median of the 3 control runs (full
+    // list in the diag file). Extra top-level JSON keys are additive —
+    // the driver's parser reads metric/value/queries and ignores these.
+    val ctl = r3(ctlRuns.sorted.apply(ctlRuns.size / 2))
     def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""control":$ctl,"sf":"$sfDir"}"""
     }
     // total = sum of the ALREADY-ROUNDED per-query values (re-rounded to
     // strip FP dust), so a consumer cross-summing the queries map gets
@@ -119,6 +157,7 @@ object Bench {
       else jsonLine(rounded, total)
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (jsonLine(rounded, total) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    diag.append(s"""{"control_runs":[${ctlRuns.map(r3).mkString(",")}]}""").append('\n')
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_diag.json"),
       diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(compact)
