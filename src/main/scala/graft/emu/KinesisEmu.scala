@@ -211,14 +211,10 @@ object KinesisEmu {
     committed
   }
 
-  /** Validate one service-limit-sized batch and resolve shard routing,
-    * mutating nothing but the rate windows (admission consumes rate
-    * budget whether or not the epoch later commits, like the real
-    * service). Throws on any validation error or per-record failure. */
-  private def stageBatch(streamName: String, records: Seq[KinesisRecord],
-                         token: String): Seq[(Shard, KinesisRecord)] = {
-    val st = stream(streamName).getOrElse(
-      throw new IllegalArgumentException(s"ResourceNotFoundException: stream $streamName"))
+  /** The service-limit + injected-failure checks shared by the in-JVM
+    * and durable commit paths. Throws on any violation. */
+  private def validateBatch(streamName: String, records: Seq[KinesisRecord],
+                            token: String): Unit = {
     require(records.nonEmpty, "ValidationException: empty record list")
     require(records.size <= Limits.PutRecordsLimit,
       s"ValidationException: ${records.size} records exceeds limit ${Limits.PutRecordsLimit}")
@@ -234,6 +230,17 @@ object KinesisEmu {
     if (failures.nonEmpty)
       throw new IllegalStateException(
         s"PutRecords partial failure: ${failures.size} records; epoch $token aborted before append")
+  }
+
+  /** Validate one service-limit-sized batch and resolve shard routing,
+    * mutating nothing but the rate windows (admission consumes rate
+    * budget whether or not the epoch later commits, like the real
+    * service). Throws on any validation error or per-record failure. */
+  private def stageBatch(streamName: String, records: Seq[KinesisRecord],
+                         token: String): Seq[(Shard, KinesisRecord)] = {
+    val st = stream(streamName).getOrElse(
+      throw new IllegalArgumentException(s"ResourceNotFoundException: stream $streamName"))
+    validateBatch(streamName, records, token)
     val now = clock()
     records.map { r =>
       val shard = st.shardFor(r.partitionKey)
@@ -243,6 +250,45 @@ object KinesisEmu {
           s"PutRecords partial failure: ProvisionedThroughputExceeded; epoch $token aborted before append")
       (shard, r)
     }
+  }
+
+  /** Durable, CROSS-PROCESS variant of [[putRecordsIdempotent]]: same
+    * validation and exactly-once (stream, epoch, partition) token
+    * semantics, but the token and the staged records live in
+    * [[FileEmuStore]]'s shared-filesystem layout — so the protocol
+    * holds across JVMs (a real cluster's executors, or any concurrent
+    * writer process), which the in-memory singleton cannot provide.
+    * The failure injector still applies in the CALLING process (a test
+    * hook, not service state); per-shard rate admission is in-process
+    * state and is not enforced on this path. */
+  def putRecordsIdempotentPersisted(dir: String, streamName: String, epochId: Long,
+                                    partitionId: Int,
+                                    records: Seq[KinesisRecord]): Boolean = {
+    FileEmuStore.numShardsOf(dir, streamName) // ResourceNotFound on a missing stream
+    if (FileEmuStore.isCommitted(dir, streamName, epochId, partitionId)) return false
+    val token = s"$streamName/$epochId/$partitionId"
+    graft.ingest.RecordBatcher.batch(records)
+      .foreach(b => validateBatch(streamName, b, token))
+    FileEmuStore.commitEpoch(dir, streamName, epochId, partitionId, records, clock())
+  }
+
+  /** Rebuild this JVM's in-memory view of a persisted stream by
+    * replaying every committed batch in deterministic (epoch,
+    * partition) order through the normal shard-append path (MD5
+    * routing, dense per-shard sequence numbers — identical in every
+    * process that loads the same dir). The previous in-memory stream
+    * of that name, if any, is replaced. */
+  def loadPersisted(dir: String, streamName: String): Stream = {
+    val shards = FileEmuStore.numShardsOf(dir, streamName)
+    FileEmuStore.sweepOrphans(dir, streamName)
+    streams.remove(streamName)
+    val st = createStream(streamName, shards)
+    FileEmuStore.loadCommitted(dir, streamName).foreach { batch =>
+      batch.records.foreach { case (key, data, ts) =>
+        st.shardFor(key).append(key, data, ts)
+      }
+    }
+    st
   }
 
   /** Evict commit tokens/locks more than [[EpochRetention]] epochs

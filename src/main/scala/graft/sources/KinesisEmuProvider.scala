@@ -78,7 +78,8 @@ class KinesisEmuTable(options: CaseInsensitiveStringMap) extends Table
 final case class SinkConfig(streamName: String, partitionKey: String,
                             bufferSize: Int, queueDepth: Int,
                             dropOnBackpressure: Boolean, drainPerOffer: Double,
-                            valueField: Int, keyField: Int)
+                            valueField: Int, keyField: Int,
+                            persistDir: Option[String] = None)
 
 class KinesisEmuWriteBuilder(stream: String, options: CaseInsensitiveStringMap,
                              schema: StructType) extends WriteBuilder {
@@ -94,19 +95,34 @@ class KinesisEmuWriteBuilder(stream: String, options: CaseInsensitiveStringMap,
       queueDepth = options.getInt("queueDepth", 4),               // FastWriter queue (kinesis.go:52)
       dropOnBackpressure = options.getBoolean("dropOnBackpressure", false),
       drainPerOffer = options.getDouble("drainPerOffer", 1.0),
-      valueField = valueIdx, keyField = keyIdx)
+      valueField = valueIdx, keyField = keyIdx,
+      // durable cross-process epoch commits (FileEmuStore layout). The
+      // option rides the serialized SinkConfig to every executor JVM,
+      // which is exactly why it is an option and not driver-side state.
+      persistDir = Option(options.get("persistDir")))
     val isString = schema.fields(valueIdx).dataType == StringType
     new KinesisEmuWrite(cfg, isString)
   }
+}
+
+// custom-metric classes must be TOP-LEVEL with zero-arg constructors:
+// the streaming progress reporter re-instantiates them reflectively
+// (anonymous classes capture the enclosing Write and fail there)
+class DroppedBytesMetric extends CustomSumMetric {
+  override def name = "droppedBytes"; override def description = "bytes shed by drop policy"
+}
+class DroppedUnitsMetric extends CustomSumMetric {
+  override def name = "droppedUnits"; override def description = "flush units shed by drop policy"
+}
+class DeliveredRecordsMetric extends CustomSumMetric {
+  override def name = "deliveredRecords"; override def description = "records delivered to the stream"
 }
 
 class KinesisEmuWrite(cfg: SinkConfig, valueIsString: Boolean) extends Write {
   override def toBatch: BatchWrite = new KinesisEmuBatchWrite(cfg, valueIsString)
   override def toStreaming: StreamingWrite = new KinesisEmuStreamingWrite(cfg, valueIsString)
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
-    new CustomSumMetric { def name = "droppedBytes"; def description = "bytes shed by drop policy" },
-    new CustomSumMetric { def name = "droppedUnits"; def description = "flush units shed by drop policy" },
-    new CustomSumMetric { def name = "deliveredRecords"; def description = "records delivered to the stream" })
+    new DroppedBytesMetric, new DroppedUnitsMetric, new DeliveredRecordsMetric)
 }
 
 class KinesisEmuBatchWrite(cfg: SinkConfig, valueIsString: Boolean) extends BatchWrite {
@@ -228,7 +244,12 @@ class KinesisEmuDataWriter(cfg: SinkConfig, valueIsString: Boolean,
   override def commit(): WriterCommitMessage = {
     flusher.flush(); drain() // final flush drains EVERYTHING (fixes quirk (b))
     epoch.foreach { e =>
-      KinesisEmu.putRecordsIdempotent(cfg.streamName, e, partitionId, staged.toSeq)
+      cfg.persistDir match {
+        case Some(dir) => KinesisEmu.putRecordsIdempotentPersisted(
+          dir, cfg.streamName, e, partitionId, staged.toSeq)
+        case None =>
+          KinesisEmu.putRecordsIdempotent(cfg.streamName, e, partitionId, staged.toSeq)
+      }
       staged.clear()
     }
     KinesisCommit(stats.delivered, stats.dropped, stats.droppedBytes)
