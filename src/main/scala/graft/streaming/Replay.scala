@@ -234,16 +234,73 @@ object Replay {
       | AND epoch_us(c.ts) <= epoch_us(p.ts)
       |ORDER BY p.user_id, purchase_id, click_id""".stripMargin
 
+  /** s04: streaming DEDUP through the real engine — the bounded-state
+    * `dropDuplicatesWithinWatermark` policy ([[StreamDedup]], the S6
+    * kernel) with a horizon covering the whole replay, so the result is
+    * the exact distinct set. The OUTPUT is the key columns only: the
+    * operator keeps an arbitrary first-SEEN row per key (processing
+    * order, engine-dependent), so projecting to the key makes every
+    * possible winner identical and the oracle deterministic. Emission
+    * is immediate on first sight (append, no watermark wait) — no
+    * flush pass needed. */
+  def s04(s: SparkSession, d: String): DataFrame = {
+    val out = replay(s, d, "s04", flushRun = false) { stream =>
+      StreamDedup.dedupWithinWatermark(
+        stream.withColumn("day", date_trunc("day", col("ts")))
+          .select(col("user_id"), col("event_type"), col("day"), col("ts")),
+        Seq("user_id", "event_type", "day"), "ts", "90 days")
+        .select(col("user_id"), col("event_type"), col("day"))
+    }
+    out
+      .where(col("event_type") =!= "\u0000sentinel")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .orderBy("user_id", "event_type", "day")
+  }
+
+  val s04Sql: String =
+    """SELECT DISTINCT user_id, event_type,
+      |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |FROM events
+      |ORDER BY user_id, event_type, day""".stripMargin
+
+  /** s05: stream-static ENRICHMENT through the real engine — every
+    * event picks up its customer dimension row as it arrives
+    * ([[Enrich]], the S9 kernel). The static side is broadcast, so the
+    * join is map-side per micro-batch with NO streaming state at all —
+    * the 100 TB/day shape where the dimension snapshot rides the
+    * executors and the stream never shuffles. Stateless ⇒ no watermark,
+    * no flush pass; the sentinel's user_id -1 has no dimension row and
+    * drops out of the inner join naturally. */
+  def s05(s: SparkSession, d: String): DataFrame = {
+    val out = replay(s, d, "s05", flushRun = false) { stream =>
+      Enrich.enrichWithCustomer(stream, graft.core.Tables.customer(s, d))
+    }
+    out.select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("c_nationkey"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val s05Sql: String =
+    """SELECT e.event_id, e.user_id, e.event_type,
+      |  c.c_mktsegment, c.c_nationkey, e.value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_sessionize" -> s01 _,
     "s02_stream_tumbling" -> s02 _,
-    "s03_stream_interval_join" -> s03 _)
+    "s03_stream_interval_join" -> s03 _,
+    "s04_stream_dedup" -> s04 _,
+    "s05_stream_enrich" -> s05 _)
 
   /** the streaming replays must equal their BATCH counterparts exactly
-    * — q38's oracle IS s01's, q22's IS s02's; s03's is the SQL interval
-    * self-join. */
+    * — q38's oracle IS s01's, q22's IS s02's; s03/s04/s05 get their own
+    * SQL (interval self-join / distinct keys / dimension join). */
   val oracle: Map[String, String] = Map(
     "s01_stream_sessionize" -> graft.queries.Sessions.q38Sql,
     "s02_stream_tumbling" -> graft.queries.Analytics.q22Sql,
-    "s03_stream_interval_join" -> s03Sql)
+    "s03_stream_interval_join" -> s03Sql,
+    "s04_stream_dedup" -> s04Sql,
+    "s05_stream_enrich" -> s05Sql)
 }
