@@ -817,6 +817,77 @@ object Dedup {
       |FROM documents JOIN lab ON lab.doc = documents.doc_id
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** d13: the canonical KEEP-LIST — the artifact a dedup pipeline
+    * actually ships to the trainer: for every document, its cluster,
+    * the cluster's canonical survivor, and the keep/remove decision.
+    * Canonical selection is QUALITY-aware, not id-arbitrary: the
+    * LONGEST document per cluster wins (ties → min doc_id) — real
+    * pipelines keep the most complete instance of a near-dup family,
+    * not whichever arrived first. Consumes the MATERIALIZED cluster
+    * labels (like d09 — no re-clustering); the canonical choice is one
+    * per-cluster max of a (n_tok, -doc_id) struct (partial-aggregable,
+    * no window over the full corpus) joined back on the cluster key.
+    * At 100 TB: two keyed shuffles over slim (doc, label, n_tok) rows;
+    * the wide text column is never carried past the length projection. */
+  def d13(s: SparkSession, d: String): DataFrame = {
+    val labels = ccLabels(s, d)
+      .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+    val sized = documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .join(labels, "doc_id")
+    val canon = sized.groupBy("cluster_id")
+      .agg(max(struct(col("n_tok"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("cluster_id"), (-col("m.neg_id")).as("canonical_id"))
+    sized.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the d07 closure + a per-cluster (n_tok DESC, doc ASC)
+    * ranking for the canonical pick. */
+  val d13Sql: String =
+    s"""WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+      |votes AS (
+      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM th, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)
+      |  GROUP BY doc_id, j),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+      |  WHERE r.label <> e.dst),
+      |lab AS (SELECT doc, MIN(label) AS cluster_id FROM reach GROUP BY doc),
+      |sized AS (
+      |  SELECT lab.doc AS doc_id, lab.cluster_id,
+      |    len(string_split(d.text, ' ')) AS n_tok
+      |  FROM lab JOIN documents d ON d.doc_id = lab.doc),
+      |ranked AS (
+      |  SELECT doc_id, cluster_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |                       ORDER BY n_tok DESC, doc_id ASC) AS rn
+      |  FROM sized),
+      |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+      |SELECT s.doc_id, s.cluster_id, c.canonical_id,
+      |  CAST(CASE WHEN s.doc_id = c.canonical_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM sized s JOIN canon c ON s.cluster_id = c.cluster_id
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Oracle: transitive closure by recursive CTE (labels flood the
     * component; MIN per doc = component min), over the same d03 pair
     * predicate. */
@@ -1386,7 +1457,8 @@ object Dedup {
     "d07_neardup_clusters" -> d07 _,
     "d08_contamination_bloom" -> d08 _,
     "d09_dedup_savings" -> d09 _,
-    "d10_cross_source_leakage" -> d10 _)
+    "d10_cross_source_leakage" -> d10 _,
+    "d13_canonical_keep" -> d13 _)
 
   val oracle: Map[String, String] = Map(
     "d12_span_containment" -> d12Sql,
@@ -1400,5 +1472,6 @@ object Dedup {
     "d07_neardup_clusters" -> d07Sql,
     "d08_contamination_bloom" -> d08Sql,
     "d09_dedup_savings" -> d09Sql,
-    "d10_cross_source_leakage" -> d10Sql)
+    "d10_cross_source_leakage" -> d10Sql,
+    "d13_canonical_keep" -> d13Sql)
 }
