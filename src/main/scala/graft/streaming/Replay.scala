@@ -287,12 +287,64 @@ object Replay {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin
 
+  /** s06: streaming MinHash NEAR-DUP FLAGGING at ingest through the
+    * real engine — the S8 kernel ([[StreamNearDup]]): each arriving
+    * document expands to its LSH band keys (EXACTLY d02's kernel) and
+    * collides against per-bucket min-id state, so likely near-dups are
+    * quarantined ON ARRIVAL instead of waiting for the nightly batch
+    * pass. The corpus replays through a real file stream (no sentinel,
+    * no watermark — flatMapGroupsWithState with NoTimeout emits on
+    * collision); the per-bucket transition processes rows in doc_id
+    * order, so `dup_of` is the bucket MINIMUM regardless of micro-
+    * batch partitioning and the DuckDB oracle (which truncates band
+    * sigs to the same 60-bit BIGINT as the Spark kernel) is exact. */
+  def s06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rootDir = new java.io.File("/tmp/graft_replay")
+    rootDir.mkdirs()
+    sweepOldRuns(rootDir)
+    val base = s"/tmp/graft_replay/s06-" +
+      s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
+    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val docStream = s.readStream.schema(docSchema)
+      .parquet(s"$d/[d]ocuments.parquet") // one-file glob, as with events
+      .select(col("doc_id"), col("text")).as[StreamNearDup.DocIn]
+    val q = StreamNearDup.flags(docStream).toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("band").cast(LongType).as("band"), col("dup_of"))
+      .orderBy("doc_id", "band")
+  }
+
+  val s06Sql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      |sigs AS (
+      |  SELECT doc_id, seed, MIN(md5(seed || ':' || w)) AS sig
+      |  FROM tok, (SELECT unnest(generate_series(0, ${graft.ops.Dedup.MinhashSeeds - 1})) AS seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // ${graft.ops.Dedup.BandRows} AS band,
+      |    CAST(('0x' || substring(md5(string_agg(sig, '|' ORDER BY seed)), 1, 15)) AS BIGINT) AS key
+      |  FROM sigs GROUP BY 1, 2),
+      |firsts AS (SELECT band, key, MIN(doc_id) AS dup_of FROM bands GROUP BY 1, 2)
+      |SELECT b.doc_id, CAST(b.band AS BIGINT) AS band, f.dup_of
+      |FROM bands b JOIN firsts f ON b.band = f.band AND b.key = f.key
+      |WHERE b.doc_id <> f.dup_of
+      |ORDER BY doc_id, band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_sessionize" -> s01 _,
     "s02_stream_tumbling" -> s02 _,
     "s03_stream_interval_join" -> s03 _,
     "s04_stream_dedup" -> s04 _,
-    "s05_stream_enrich" -> s05 _)
+    "s05_stream_enrich" -> s05 _,
+    "s06_stream_neardup_flags" -> s06 _)
 
   /** the streaming replays must equal their BATCH counterparts exactly
     * — q38's oracle IS s01's, q22's IS s02's; s03/s04/s05 get their own
@@ -302,5 +354,6 @@ object Replay {
     "s02_stream_tumbling" -> graft.queries.Analytics.q22Sql,
     "s03_stream_interval_join" -> s03Sql,
     "s04_stream_dedup" -> s04Sql,
-    "s05_stream_enrich" -> s05Sql)
+    "s05_stream_enrich" -> s05Sql,
+    "s06_stream_neardup_flags" -> s06Sql)
 }
