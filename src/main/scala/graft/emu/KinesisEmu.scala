@@ -277,7 +277,15 @@ object KinesisEmu {
     * partition) order through the normal shard-append path (MD5
     * routing, dense per-shard sequence numbers — identical in every
     * process that loads the same dir). The previous in-memory stream
-    * of that name, if any, is replaced. */
+    * of that name, if any, is replaced.
+    *
+    * Scale note (honest): this load materializes the stream in ONE
+    * JVM — the emu's read model, fine for the emulator's log sizes. A
+    * production-scale reader would not funnel through it: the durable
+    * layout is plain files on a shared filesystem, so a distributed
+    * read path scans `data/*.bin` as a file source and inner-joins the
+    * token list (exactly how [[FileEmuStore.loadCommitted]] filters),
+    * keeping the log read partition-parallel end to end. */
   def loadPersisted(dir: String, streamName: String): Stream = {
     val shards = FileEmuStore.numShardsOf(dir, streamName)
     FileEmuStore.sweepOrphans(dir, streamName)
