@@ -283,8 +283,9 @@ object KinesisEmu {
     * JVM — the emu's read model, fine for the emulator's log sizes. A
     * production-scale reader would not funnel through it: the durable
     * layout is plain files on a shared filesystem, so a distributed
-    * read path scans `data/*.bin` as a file source and inner-joins the
-    * token list (exactly how [[FileEmuStore.loadCommitted]] filters),
+    * read path scans the `.bin` attempt files under `data/` as a file
+    * source and inner-joins the token list (exactly how
+    * [[FileEmuStore.loadCommitted]] filters),
     * keeping the log read partition-parallel end to end. */
   def loadPersisted(dir: String, streamName: String): Stream = {
     val shards = FileEmuStore.numShardsOf(dir, streamName)
