@@ -50,8 +50,16 @@ object FileEmuStore {
   private def streamDir(dir: String, stream: String): Path = Paths.get(dir, stream)
   private def commitsDir(dir: String, stream: String): Path = streamDir(dir, stream).resolve("commits")
   private def dataDir(dir: String, stream: String): Path = streamDir(dir, stream).resolve("data")
-  private def tokenPath(dir: String, stream: String, epoch: Long, partition: Int): Path =
-    commitsDir(dir, stream).resolve(s"${epoch}_$partition.token")
+  /** Commit keys are strings: streaming epochs use the epoch number
+    * ("42"), batch jobs a "b<uuid-hex>" id — anything without '_', '-',
+    * or '/'. Numeric keys order numerically in [[loadCommitted]] (so
+    * replayed sequences are stable as epochs grow), non-numeric keys
+    * after them in lexicographic order. */
+  private[emu] def requireKey(key: String): Unit =
+    require(key.nonEmpty && !key.exists(c => c == '_' || c == '-' || c == '/'),
+      s"bad commit key '$key'")
+  private def tokenPath(dir: String, stream: String, key: String, partition: Int): Path =
+    commitsDir(dir, stream).resolve(s"${key}_$partition.token")
 
   /** Idempotent: first creator writes meta; later calls must agree on
     * the shard count. */
@@ -77,19 +85,26 @@ object FileEmuStore {
       .getOrElse(throw new IllegalStateException(s"bad meta.json for $stream"))
   }
 
+  def isCommitted(dir: String, stream: String, key: String, partition: Int): Boolean =
+    Files.exists(tokenPath(dir, stream, key, partition))
   def isCommitted(dir: String, stream: String, epoch: Long, partition: Int): Boolean =
-    Files.exists(tokenPath(dir, stream, epoch, partition))
+    isCommitted(dir, stream, epoch.toString, partition)
 
   /** The durable exactly-once commit. Returns true iff THIS call won
     * the (stream, epoch, partition) token. Empty record lists commit
     * the token only (Spark emits empty partitions routinely). */
   def commitEpoch(dir: String, stream: String, epoch: Long, partition: Int,
-                  records: Seq[KinesisRecord], arrivalNanos: Long): Boolean = {
-    val token = tokenPath(dir, stream, epoch, partition)
+                  records: Seq[KinesisRecord], arrivalNanos: Long): Boolean =
+    commit(dir, stream, epoch.toString, partition, records, arrivalNanos)
+
+  def commit(dir: String, stream: String, key: String, partition: Int,
+             records: Seq[KinesisRecord], arrivalNanos: Long): Boolean = {
+    requireKey(key)
+    val token = tokenPath(dir, stream, key, partition)
     if (Files.exists(token)) return false
     val visible: Option[Path] = if (records.nonEmpty) {
       val uniq = s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
-      val tmp = dataDir(dir, stream).resolve(s".tmp-${epoch}_$partition-$uniq")
+      val tmp = dataDir(dir, stream).resolve(s".tmp-${key}_$partition-$uniq")
       val out = new DataOutputStream(
         new java.io.BufferedOutputStream(Files.newOutputStream(tmp)))
       try {
@@ -101,7 +116,7 @@ object FileEmuStore {
           out.writeLong(arrivalNanos)
         }
       } finally out.close()
-      val target = dataDir(dir, stream).resolve(s"${epoch}_$partition-$uniq.bin")
+      val target = dataDir(dir, stream).resolve(s"${key}_$partition-$uniq.bin")
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       Some(target)
     } else None
@@ -115,7 +130,7 @@ object FileEmuStore {
     }
   }
 
-  final case class CommittedBatch(epoch: Long, partition: Int,
+  final case class CommittedBatch(key: String, partition: Int,
                                   records: Seq[(String, Array[Byte], Long)])
 
   /** Every committed batch, in deterministic (epoch, partition) order,
@@ -125,23 +140,31 @@ object FileEmuStore {
   def loadCommitted(dir: String, stream: String): Seq[CommittedBatch] = {
     val tokens = listDir(commitsDir(dir, stream))
       .flatMap { p =>
-        p.getFileName.toString.stripSuffix(".token").split('_') match {
-          case Array(e, part) if p.getFileName.toString.endsWith(".token") =>
-            for (el <- e.toLongOption; pl <- part.toIntOption) yield (el, pl)
+        val n = p.getFileName.toString
+        if (!n.endsWith(".token")) None
+        else n.stripSuffix(".token").split('_') match {
+          case Array(k, part) => part.toIntOption.map(pl => (k, pl))
           case _ => None
         }
-      }.sorted
+      }
+      // numeric keys (streaming epochs) first in NUMERIC order — so a
+      // growing stream only APPENDS to the replay and previously
+      // assigned sequence numbers stay stable — then non-numeric keys
+      // (batch write ids) lexicographically
+      .sortBy { case (k, pl) =>
+        (k.toLongOption.getOrElse(Long.MaxValue), k, pl)
+      }
     val attempts = listDir(dataDir(dir, stream))
       .filter(_.getFileName.toString.endsWith(".bin"))
       .groupBy { p =>
         val n = p.getFileName.toString
-        n.substring(0, n.indexOf('-')) // "<epoch>_<partition>" (uniq suffix has dashes; the key never does)
+        n.substring(0, n.indexOf('-')) // "<key>_<partition>" (uniq suffix has dashes; the key never does)
       }
-    tokens.map { case (epoch, partition) =>
-      val recs = attempts.get(s"${epoch}_$partition").toSeq.flatten
+    tokens.map { case (key, partition) =>
+      val recs = attempts.get(s"${key}_$partition").toSeq.flatten
         .sortBy(_.getFileName.toString).headOption
         .map(readAttempt).getOrElse(Seq.empty)
-      CommittedBatch(epoch, partition, recs)
+      CommittedBatch(key, partition, recs)
     }
   }
 
@@ -175,9 +198,8 @@ object FileEmuStore {
         Some(n.substring(0, n.indexOf('-'))) else None
       val orphan = key match {
         case Some(k) => k.split('_') match {
-          case Array(e, part) =>
-            !(for (el <- e.toLongOption; pl <- part.toIntOption)
-              yield isCommitted(dir, stream, el, pl)).getOrElse(true)
+          case Array(ck, part) =>
+            !part.toIntOption.map(pl => isCommitted(dir, stream, ck, pl)).getOrElse(true)
           case _ => false
         }
         case None => n.startsWith(".tmp-") // crashed mid-stage

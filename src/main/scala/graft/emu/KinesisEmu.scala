@@ -272,6 +272,24 @@ object KinesisEmu {
     FileEmuStore.commitEpoch(dir, streamName, epochId, partitionId, records, clock())
   }
 
+  /** Durable exactly-once commit for a BATCH write job: the token is
+    * (writeId, partition) where `writeId` is minted once per job on the
+    * driver ("b" + UUID hex) and rides the serialized writer factory —
+    * so task retries of the same partition cannot duplicate (Spark's
+    * batch commit coordinator admits one commit per partition; a
+    * crashed attempt's staged file is an invisible orphan). Two
+    * separate write JOBS get two writeIds and both land — batch append
+    * semantics, unlike streaming's per-epoch idempotence. */
+  def putRecordsBatchPersisted(dir: String, streamName: String, writeId: String,
+                               partitionId: Int,
+                               records: Seq[KinesisRecord]): Boolean = {
+    FileEmuStore.numShardsOf(dir, streamName)
+    if (FileEmuStore.isCommitted(dir, streamName, writeId, partitionId)) return false
+    graft.ingest.RecordBatcher.batch(records)
+      .foreach(b => validateBatch(streamName, b, s"$streamName/$writeId/$partitionId"))
+    FileEmuStore.commit(dir, streamName, writeId, partitionId, records, clock())
+  }
+
   /** Rebuild this JVM's in-memory view of a persisted stream by
     * replaying every committed batch in deterministic (epoch,
     * partition) order through the normal shard-append path (MD5

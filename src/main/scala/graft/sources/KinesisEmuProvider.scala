@@ -70,7 +70,7 @@ class KinesisEmuTable(options: CaseInsensitiveStringMap) extends Table
     new KinesisEmuWriteBuilder(streamName, options, info.schema())
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new KinesisEmuScanBuilder(streamName)
+    new KinesisEmuScanBuilder(streamName, Option(options.get("persistDir")))
 }
 
 // ---------------------------------------------------------------- write
@@ -79,7 +79,8 @@ final case class SinkConfig(streamName: String, partitionKey: String,
                             bufferSize: Int, queueDepth: Int,
                             dropOnBackpressure: Boolean, drainPerOffer: Double,
                             valueField: Int, keyField: Int,
-                            persistDir: Option[String] = None)
+                            persistDir: Option[String] = None,
+                            writeId: String = "b0")
 
 class KinesisEmuWriteBuilder(stream: String, options: CaseInsensitiveStringMap,
                              schema: StructType) extends WriteBuilder {
@@ -99,7 +100,11 @@ class KinesisEmuWriteBuilder(stream: String, options: CaseInsensitiveStringMap,
       // durable cross-process epoch commits (FileEmuStore layout). The
       // option rides the serialized SinkConfig to every executor JVM,
       // which is exactly why it is an option and not driver-side state.
-      persistDir = Option(options.get("persistDir")))
+      persistDir = Option(options.get("persistDir")),
+      // one durable-commit id per write JOB, minted here on the driver:
+      // batch tasks commit under (writeId, partition), so retries of a
+      // partition are exactly-once while separate jobs append
+      writeId = "b" + java.util.UUID.randomUUID().toString.replace("-", ""))
     val isString = schema.fields(valueIdx).dataType == StringType
     new KinesisEmuWrite(cfg, isString)
   }
@@ -189,16 +194,16 @@ class KinesisEmuDataWriter(cfg: SinkConfig, valueIsString: Boolean,
 
   private val staged = scala.collection.mutable.ArrayBuffer[KinesisRecord]()
 
-  /** chunk a payload and either stage (streaming epoch) or send now. */
+  /** Stage when the task commits transactionally — streaming epochs
+    * AND durable batch writes (persistDir) — else send now. */
   private def sendPayload(c: KinesisWriter.Config, payload: Array[Byte]): Long =
-    epoch match {
-      case Some(_) =>
-        val recs = RecordChunker.toRecords(c.partitionKey, payload, c.recordSizeLimit)
-        staged ++= recs
-        recs.size.toLong
-      case None =>
-        val resps = KinesisWriter.write(c, payload)
-        resps.map(_.results.count(_.isRight)).sum.toLong
+    if (epoch.isDefined || cfg.persistDir.isDefined) {
+      val recs = RecordChunker.toRecords(c.partitionKey, payload, c.recordSizeLimit)
+      staged ++= recs
+      recs.size.toLong
+    } else {
+      val resps = KinesisWriter.write(c, payload)
+      resps.map(_.results.count(_.isRight)).sum.toLong
     }
 
   private val writerCfg = KinesisWriter.Config(cfg.streamName, cfg.partitionKey,
@@ -243,15 +248,16 @@ class KinesisEmuDataWriter(cfg: SinkConfig, valueIsString: Boolean,
 
   override def commit(): WriterCommitMessage = {
     flusher.flush(); drain() // final flush drains EVERYTHING (fixes quirk (b))
-    epoch.foreach { e =>
-      cfg.persistDir match {
-        case Some(dir) => KinesisEmu.putRecordsIdempotentPersisted(
-          dir, cfg.streamName, e, partitionId, staged.toSeq)
-        case None =>
-          KinesisEmu.putRecordsIdempotent(cfg.streamName, e, partitionId, staged.toSeq)
-      }
-      staged.clear()
+    (epoch, cfg.persistDir) match {
+      case (Some(e), Some(dir)) => KinesisEmu.putRecordsIdempotentPersisted(
+        dir, cfg.streamName, e, partitionId, staged.toSeq)
+      case (Some(e), None) =>
+        KinesisEmu.putRecordsIdempotent(cfg.streamName, e, partitionId, staged.toSeq)
+      case (None, Some(dir)) => KinesisEmu.putRecordsBatchPersisted(
+        dir, cfg.streamName, cfg.writeId, partitionId, staged.toSeq)
+      case (None, None) => () // non-durable batch: records already sent
     }
+    staged.clear()
     KinesisCommit(stats.delivered, stats.dropped, stats.droppedBytes)
   }
   override def abort(): Unit = pendingUnits.clear()
@@ -282,19 +288,39 @@ object ShardOffsets {
       .map(m => m.group(1) -> m.group(2).toLong).toMap)
 }
 
-class KinesisEmuScanBuilder(stream: String) extends ScanBuilder {
-  override def build(): Scan = new KinesisEmuScan(stream)
+class KinesisEmuScanBuilder(stream: String, persistDir: Option[String] = None)
+    extends ScanBuilder {
+  override def build(): Scan = new KinesisEmuScan(stream, persistDir)
 }
 
-class KinesisEmuScan(stream: String) extends Scan {
+class KinesisEmuScan(stream: String, persistDir: Option[String] = None) extends Scan {
   override def readSchema(): StructType = KinesisEmuTable.READ_SCHEMA
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KinesisEmuMicroBatchStream(stream)
+    new KinesisEmuMicroBatchStream(stream, persistDir)
 }
 
-class KinesisEmuMicroBatchStream(stream: String) extends MicroBatchStream {
-  private def shards = KinesisEmu.stream(stream)
-    .getOrElse(throw new IllegalArgumentException(s"stream $stream not found")).shards
+/** Executor-side view of a durable stream: (re)load the shared
+  * directory into this JVM's emu registry when the reader needs
+  * sequences the current view does not hold — a remote executor starts
+  * empty and hydrates here. Synchronized: one reload serves all
+  * partitions of a micro-batch. */
+object DurableStreamView {
+  def ensure(dir: String, stream: String, needUntil: Long): Unit = synchronized {
+    val have = KinesisEmu.stream(stream)
+      .map(_.shards.map(_.latestSequence + 1).sum).getOrElse(-1L)
+    if (have < needUntil) KinesisEmu.loadPersisted(dir, stream)
+  }
+}
+
+class KinesisEmuMicroBatchStream(stream: String, persistDir: Option[String] = None)
+    extends MicroBatchStream {
+  private def shards = {
+    // durable streams: refresh the driver's view so cross-process
+    // commits made since the last trigger become visible offsets
+    persistDir.foreach(d => KinesisEmu.loadPersisted(d, stream))
+    KinesisEmu.stream(stream)
+      .getOrElse(throw new IllegalArgumentException(s"stream $stream not found")).shards
+  }
 
   override def initialOffset(): Offset =
     ShardOffsets(shards.map(s => s.shardId -> 0L).toMap)
@@ -309,7 +335,8 @@ class KinesisEmuMicroBatchStream(stream: String) extends MicroBatchStream {
     val e = end.asInstanceOf[ShardOffsets].next
     shards.map { sh =>
       KinesisEmuInputPartition(stream, sh.shardId,
-        s.getOrElse(sh.shardId, 0L), e.getOrElse(sh.shardId, 0L)): InputPartition
+        s.getOrElse(sh.shardId, 0L), e.getOrElse(sh.shardId, 0L),
+        persistDir): InputPartition
     }.filter { case p: KinesisEmuInputPartition => p.from < p.until }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -317,7 +344,9 @@ class KinesisEmuMicroBatchStream(stream: String) extends MicroBatchStream {
 }
 
 final case class KinesisEmuInputPartition(stream: String, shardId: String,
-                                          from: Long, until: Long) extends InputPartition
+                                          from: Long, until: Long,
+                                          persistDir: Option[String] = None)
+    extends InputPartition
 
 class KinesisEmuReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -328,6 +357,9 @@ class KinesisEmuReaderFactory extends PartitionReaderFactory {
 
 class KinesisEmuPartitionReader(p: KinesisEmuInputPartition)
     extends PartitionReader[InternalRow] {
+  // durable streams: hydrate this JVM (no-op when the view already
+  // covers the requested range — always true in local mode)
+  p.persistDir.foreach(d => DurableStreamView.ensure(d, p.stream, p.until))
   private val recs = KinesisEmu.stream(p.stream).get.shards
     .find(_.shardId == p.shardId).get.records
     .filter(r => r.sequenceNumber >= p.from && r.sequenceNumber < p.until)

@@ -107,7 +107,7 @@ class CrossProcessEmuSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.copy(Files.list(Paths.get(dir, "o", "data")).toArray.map(_.asInstanceOf[java.nio.file.Path])
       .find(_.toString.endsWith(".bin")).get, orphan)
     // invisible to readers
-    assert(FileEmuStore.loadCommitted(dir, "o").map(_.epoch) == Seq(0L))
+    assert(FileEmuStore.loadCommitted(dir, "o").map(_.key) == Seq("0"))
     assert(KinesisEmu.loadPersisted(dir, "o").allRecords.size == 5)
     // young orphans survive the sweep (could be a live writer)...
     FileEmuStore.sweepOrphans(dir, "o")
@@ -144,10 +144,72 @@ class CrossProcessEmuSpec extends AnyFunSuite with BeforeAndAfterAll {
     val text = recs.map(r => new String(r.data, "UTF-8")).mkString
     (1 to 10).foreach(i => assert(text.contains(s"row-$i")))
     // a late cross-process retry of an already-committed epoch is a no-op
-    val epochs = FileEmuStore.loadCommitted(dir, "sps").map(_.epoch).distinct
+    val epochs = FileEmuStore.loadCommitted(dir, "sps").map(_.key).distinct
     assert(epochs.nonEmpty)
-    assert(!KinesisEmu.putRecordsIdempotentPersisted(dir, "sps", epochs.head, 0,
+    assert(!KinesisEmu.putRecordsIdempotentPersisted(dir, "sps", epochs.head.toLong, 0,
       CrossProcessCommitter.recordsFor(0)))
     assert(KinesisEmu.loadPersisted(dir, "sps").allRecords.size == recs.size)
+  }
+
+  test("Spark batch writes are durable exactly-once per (writeId, partition); jobs append") {
+    val dir = Files.createTempDirectory("graft_xproc_batch").toString
+    FileEmuStore.createStream(dir, "bat", numShards = 2)
+    KinesisEmu.reset()
+    KinesisEmu.createStream("bat", shards = 2)
+    val s = spark
+    import s.implicits._
+    def writeOnce(tag: String): Unit =
+      (1 to 6).map(i => s"$tag-$i").toDF("value")
+        .repartition(3)
+        .write.format("kinesis-emu")
+        .option("stream", "bat").option("partitionKey", "pk")
+        .option("persistDir", dir)
+        .mode("append").save()
+    writeOnce("j1")
+    // the in-JVM singleton saw nothing: batch really took the durable path
+    assert(KinesisEmu.stream("bat").get.allRecords.isEmpty)
+    val after1 = KinesisEmu.loadPersisted(dir, "bat").allRecords
+    val text1 = after1.map(r => new String(r.data, "UTF-8")).mkString
+    (1 to 6).foreach(i => assert(text1.contains(s"j1-$i")))
+    // a SECOND job appends (new writeId), it does not idempotent-skip
+    writeOnce("j2")
+    val after2 = KinesisEmu.loadPersisted(dir, "bat").allRecords
+    val text2 = after2.map(r => new String(r.data, "UTF-8")).mkString
+    (1 to 6).foreach { i =>
+      assert(text2.contains(s"j1-$i")); assert(text2.contains(s"j2-$i"))
+    }
+    // a replayed commit under the SAME (writeId, partition) is a no-op
+    val writeIds = FileEmuStore.loadCommitted(dir, "bat")
+      .map(_.key).filter(_.startsWith("b")).distinct
+    assert(writeIds.size == 2, s"expected 2 batch writeIds, got $writeIds")
+    assert(!KinesisEmu.putRecordsBatchPersisted(dir, "bat", writeIds.head, 0,
+      CrossProcessCommitter.recordsFor(0)))
+    assert(KinesisEmu.loadPersisted(dir, "bat").allRecords.size == after2.size)
+  }
+
+  test("DSv2 source reads a durable stream committed by ANOTHER process") {
+    val dir = Files.createTempDirectory("graft_xproc_read").toString
+    FileEmuStore.createStream(dir, "xr", numShards = 2)
+    KinesisEmu.reset() // this JVM knows nothing about the stream's data
+    val child = spawnChild(dir, "xr", "0", "3", "1")
+    await(child)
+    implicit val sq = spark.sqlContext
+    val qn = s"xr_${System.nanoTime()}"
+    val q = spark.readStream.format("kinesis-emu")
+      .option("stream", "xr").option("persistDir", dir).load()
+      .writeStream.format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(qn).collect()
+    assert(rows.length == 4 * 5, s"4 epochs x 5 records, got ${rows.length}")
+    val texts = rows.map(r => new String(r.getAs[Array[Byte]]("data"), "UTF-8")).toSet
+    for (e <- 0 to 3; i <- 0 until 5) assert(texts.contains(s"epoch-$e-rec-$i"))
+    // both shards addressed, sequences unique per shard
+    val byShard = rows.groupBy(_.getAs[String]("shardId"))
+    assert(byShard.size == 2)
+    byShard.values.foreach { rs =>
+      val seqs = rs.map(_.getAs[Long]("sequenceNumber")).sorted
+      assert(seqs.toSeq == (0L until seqs.length.toLong))
+    }
   }
 }
