@@ -101,7 +101,7 @@ class HammingJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
           bit_count(col("fa").bitwiseXOR(col("fb"))) <= k && col("id_a") < col("id_b"))
         .select("id_a", "id_b")
       val plan = q.queryExecution.executedPlan.toString
-      if (k + 1 <= graft.plans.HammingJoinRule.MaxChunks) {
+      if (k + 1 <= graft.plans.HammingJoinRule.MaxChunksPerWord) {
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"k=$k: BNLJ survived:\n$plan")
         assert(plan.contains("Generate"), s"k=$k: chunk explode missing:\n$plan")
       } else {
@@ -115,6 +115,46 @@ class HammingJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.sameElements(want),
         s"k=$k: got=${got.length} want=${want.length} diff=${(got.toSet diff want.toSet).take(5)}/${(want.toSet diff got.toSet).take(5)}")
     }
+  }
+
+  test("multi-word form: sum of bit_counts <= k rewrites and equals the naive join") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = Seq.fill(6)((rnd.nextLong(), rnd.nextLong()))
+    val df = (0L until 150L).map { i =>
+      val (b0, b1) = base((i % 6).toInt)
+      val flips = rnd.nextInt(16)
+      var f0 = b0; var f1 = b1
+      (0 until flips).foreach { _ =>
+        val bit = rnd.nextInt(128)
+        if (bit < 64) f0 ^= 1L << bit else f1 ^= 1L << (bit - 64)
+      }
+      (i, f0, f1)
+    }.toDF("id", "fp0", "fp1")
+    val a = df.select(col("id").as("id_a"), col("fp0").as("fa0"), col("fp1").as("fa1"))
+    val b = df.select(col("id").as("id_b"), col("fp0").as("fb0"), col("fp1").as("fb1"))
+    for (k <- Seq(0, 7, 14)) { // 14 needs 15 chunks: > 8 (1-word cap) but <= 16 (2-word cap)
+      def q = a.join(b,
+          (bit_count(col("fa0").bitwiseXOR(col("fb0"))) +
+            bit_count(col("fa1").bitwiseXOR(col("fb1")))) <= k && col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"k=$k: BNLJ survived:\n$plan")
+      assert(plan.contains("Generate"), s"k=$k: chunk explode missing:\n$plan")
+      val got = q.orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = withoutRule {
+        q.orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      assert(got.length == got.distinct.length, s"k=$k: duplicate pairs")
+      assert(got.sameElements(want), s"k=$k: got=${got.length} want=${want.length}")
+    }
+    // past the 2-word cap (k+1 > 16): left to Spark
+    def big = a.join(b,
+        (bit_count(col("fa0").bitwiseXOR(col("fb0"))) +
+          bit_count(col("fa1").bitwiseXOR(col("fb1")))) <= 20 && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    assert(big.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
   test("k=0 rewrites to an exact fingerprint equi-join (no degenerate constant key)") {
