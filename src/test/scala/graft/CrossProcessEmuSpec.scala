@@ -187,6 +187,37 @@ class CrossProcessEmuSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(KinesisEmu.loadPersisted(dir, "bat").allRecords.size == after2.size)
   }
 
+  test("property: N threads racing every token — one winner each, no residue") {
+    val dir = Files.createTempDirectory("graft_xproc_race").toString
+    FileEmuStore.createStream(dir, "race", numShards = 2)
+    val threads = 8
+    val epochs = 40
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(threads)
+    try {
+      val futs = (0 until threads).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            barrier.await() // all threads hit the token race together
+            for (e <- 0L until epochs.toLong)
+              if (KinesisEmu.putRecordsIdempotentPersisted(dir, "race", e, 0,
+                CrossProcessCommitter.recordsFor(e))) wins.incrementAndGet()
+          }
+        })
+      }
+      futs.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(wins.get() == epochs, s"expected $epochs wins, got ${wins.get()}")
+    val batches = FileEmuStore.loadCommitted(dir, "race")
+    assert(batches.size == epochs)
+    assert(batches.forall(_.records.size == 5))
+    // losers deleted their staged attempts
+    val bins = Files.list(Paths.get(dir, "race", "data")).toArray.map(_.toString)
+      .filter(_.endsWith(".bin"))
+    assert(bins.length == epochs, s"${bins.length} attempt files for $epochs tokens")
+  }
+
   test("DSv2 source reads a durable stream committed by ANOTHER process") {
     val dir = Files.createTempDirectory("graft_xproc_read").toString
     FileEmuStore.createStream(dir, "xr", numShards = 2)
