@@ -386,7 +386,69 @@ object TextAnalysis {
       |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
       |FROM wc GROUP BY source ORDER BY source""".stripMargin
 
+  /** t10: cross-source shingle NOVELTY — the data-mixing diagnostic a
+    * curation team reads before weighting sources: for each source, how
+    * many of its distinct 8-token shingles ([[Dedup.SpanLen]], the d11
+    * definition) FIRST appear there (global first = the corpus-wide
+    * minimum doc_id carrying the shingle — deterministic, order-free)?
+    * A source whose novelty fraction is low mostly restates shingles
+    * other sources already contributed — its mixture weight buys less
+    * new text than its token count suggests.
+    *
+    * Scale shape: shingle explode (volume = token count, the d11
+    * class) → per-shingle min(doc_id) partial agg → slim
+    * (doc_id → source) join to resolve the first source → per-source
+    * distinct counts. No all-pairs term anywhere; the text column
+    * never travels past the shingle projection. */
+  def t10(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= Dedup.SpanLen)
+      .withColumn("sh", explode(expr(
+        s"transform(sequence(1, size(toks) - ${Dedup.SpanLen - 1}), i -> md5(concat_ws(' ', slice(toks, i, ${Dedup.SpanLen}))))")))
+      .select(col("source"), col("doc_id"), col("sh"))
+    val firstDoc = occ.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    val firstSource = firstDoc
+      .join(documents(s, d).select(col("doc_id").as("first_doc"),
+        col("source").as("first_source")), "first_doc")
+      .select(col("sh"), col("first_source"))
+    occ.select("source", "sh").distinct()
+      .join(firstSource, "sh")
+      .groupBy("source")
+      .agg(
+        big(count(lit(1))).as("shingles_distinct"),
+        big(sum(when(col("first_source") === col("source"), 1L).otherwise(0L)))
+          .as("shingles_novel"))
+      .withColumn("novelty_fraction",
+        col("shingles_novel").cast(DoubleType) / col("shingles_distinct").cast(DoubleType))
+      .orderBy("source")
+  }
+
+  val t10Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |e AS (
+      |  SELECT doc_id, source, t, unnest(generate_series(1, len(t) - ${Dedup.SpanLen - 1})) AS i
+      |  FROM toks WHERE len(t) >= ${Dedup.SpanLen}),
+      |occ AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(list_slice(t, CAST(i AS INT), CAST(i + ${Dedup.SpanLen - 1} AS INT)), ' ')) AS sh
+      |  FROM e),
+      |fd AS (SELECT sh, MIN(doc_id) AS first_doc FROM occ GROUP BY sh),
+      |fs AS (
+      |  SELECT fd.sh, d.source AS first_source
+      |  FROM fd JOIN documents d ON d.doc_id = fd.first_doc),
+      |ds AS (SELECT DISTINCT source, sh FROM occ)
+      |SELECT ds.source,
+      |  CAST(COUNT(*) AS BIGINT) AS shingles_distinct,
+      |  CAST(SUM(CASE WHEN fs.first_source = ds.source THEN 1 ELSE 0 END) AS BIGINT) AS shingles_novel,
+      |  CAST(SUM(CASE WHEN fs.first_source = ds.source THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS novelty_fraction
+      |FROM ds JOIN fs ON fs.sh = ds.sh
+      |GROUP BY ds.source ORDER BY ds.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_source_novelty" -> t10 _,
     "t09_lexical_diversity" -> t09 _,
     "t08_tfidf_terms" -> t08 _,
     "t01_lang_id" -> t01 _,
@@ -398,6 +460,7 @@ object TextAnalysis {
     "t07_web_noise" -> t07 _)
 
   val oracle: Map[String, String] = Map(
+    "t10_source_novelty" -> t10Sql,
     "t09_lexical_diversity" -> t09Sql,
     "t08_tfidf_terms" -> t08Sql,
     "t01_lang_id" -> t01Sql,
