@@ -53,4 +53,27 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .where(col("canonical_id") =!= col("best_id")).count() == 0)
     } finally df.unpersist()
   }
+
+  test("t10: novelty partitions the shingle space (sum of novel == corpus distinct shingles)") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val df = TextAnalysis.t10(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      // fractions well-formed and bounded
+      assert(df.where(col("novelty_fraction") < 0.0 ||
+        col("novelty_fraction") > 1.0 ||
+        col("shingles_novel") > col("shingles_distinct")).count() == 0)
+      // every distinct shingle's FIRST source is unique, so the novel
+      // counts across sources tile the corpus' distinct shingle set
+      val totalNovel = df.agg(sum("shingles_novel")).head().getLong(0)
+      val corpusDistinct = graft.core.Tables.documents(spark, sf)
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= Dedup.SpanLen)
+        .select(explode(expr(
+          s"transform(sequence(1, size(toks) - ${Dedup.SpanLen - 1}), i -> md5(concat_ws(' ', slice(toks, i, ${Dedup.SpanLen}))))")).as("sh"))
+        .agg(countDistinct(col("sh"))).head().getLong(0)
+      assert(totalNovel == corpusDistinct,
+        s"novel=$totalNovel distinct=$corpusDistinct")
+    } finally df.unpersist()
+  }
 }
