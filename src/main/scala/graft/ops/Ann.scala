@@ -375,6 +375,33 @@ object Ann {
     * probes x 8 x 4 = tiny broadcast; candidates come from the cluster
     * equi-join (partition pruning), never a scan of all codes. */
   def a06(s: SparkSession, d: String): DataFrame = {
+    val (cands, codes, adcTable) = a06Parts(s, d)
+    cands
+      .join(codes, "vec_id")
+      .join(broadcast(adcTable), Seq("probe_id", "sub"))
+      .where(col("pcid") === col("code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("dist")).cast(LongType).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** The scale-determining diagnostic for a06: how many (probe,
+    * candidate) pairs survive the coarse pruning — i.e. the number of
+    * ADC scorings the index performs. Grows with probes × probed-cluster
+    * size (≈ 10 · [[IvfProbeClusters]] · N/[[IvfCentroids]] — LINEAR in
+    * N at fixed probe count), never N²; the sweep table in BASELINE.md
+    * records the measured values. */
+  private[graft] def a06CandidateVolume(s: SparkSession, d: String): Long =
+    a06Parts(s, d)._1.count()
+
+  /** a06's internals, shared verbatim by the query and the candidate-
+    * volume diagnostic: (candidate pairs, PQ codes, probe ADC tables). */
+  private def a06Parts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val par = s.sparkContext.defaultParallelism
     val wExpr = s"CAST(size(q) / $PqSubspaces AS INT)"
     val q = embeddings(s, d)
@@ -434,18 +461,7 @@ object Ann {
     val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
         col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))
-    cands
-      .join(codes, "vec_id")
-      .join(broadcast(adcTable), Seq("probe_id", "sub"))
-      .where(col("pcid") === col("code"))
-      .groupBy("probe_id", "vec_id")
-      .agg(sum(col("dist")).cast(LongType).as("adist"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))))
-      .where(col("rank") <= 3)
-      .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
-        col("vec_id").as("neighbor_id"), col("adist"))
-      .orderBy("probe_id", "rank")
+    (cands, codes, adcTable)
   }
 
   val a06Sql: String =

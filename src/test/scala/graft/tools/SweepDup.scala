@@ -7,10 +7,21 @@ import org.apache.spark.sql.functions._
   * grows ~k^2, the worst case for output-bound kernels) and times the
   * requested queries at each multiple. Usage:
   *   Test/runMain graft.tools.SweepDup build      # write /tmp/graft_sweep/x{2,5}
+  *   Test/runMain graft.tools.SweepDup abuild     # x{20,50} embeddings-only (a-suite)
   *   Test/runMain graft.tools.SweepDup time d07_neardup_clusters d09_dedup_savings
+  * `time` walks sf0.1 + x2 + x5 by default; set SWEEP_DIRS to a comma-
+  * separated dir list to override (e.g. the a-suite x20/x50 points).
+  * a06/a07/a08 get extra per-dir diagnostics: a06 candidate volume
+  * (ADC scorings after coarse pruning), a07's derived K, a08's
+  * within-cluster pair volume — the three numbers whose growth decides
+  * whether the ANN path survives 100 TB.
   */
 object SweepDup {
   val Multiples = Seq(2, 5)
+  /** Embeddings-only multiples past the K(N) knee (N > 8·4096 = 32768
+    * vectors engages the census-derived K) — documents are not
+    * duplicated at these points, so only a-suite queries may run there. */
+  val AnnMultiples = Seq(20, 50)
   val Src = "/root/testdata/sf0.1"
   def dirFor(k: Int): String = s"/tmp/graft_sweep/x$k"
 
@@ -23,14 +34,16 @@ object SweepDup {
     spark.sparkContext.setLogLevel("ERROR")
     args.headOption match {
       case Some("build") => build(spark)
+      case Some("abuild") => abuild(spark)
       case Some("time") => time(spark, args.drop(1).toSeq)
-      case _ => System.err.println("usage: SweepDup build | time <query...>")
+      case _ => System.err.println("usage: SweepDup build | abuild | time <query...>")
     }
     spark.stop()
   }
 
+  private val Offset = 10L * 1000 * 1000
+
   private def build(spark: SparkSession): Unit = {
-    val Offset = 10L * 1000 * 1000
     val docs = spark.read.parquet(s"$Src/documents.parquet")
     val embs = spark.read.parquet(s"$Src/embeddings.parquet")
     Multiples.foreach { k =>
@@ -44,11 +57,25 @@ object SweepDup {
     }
   }
 
+  private def abuild(spark: SparkSession): Unit = {
+    val embs = spark.read.parquet(s"$Src/embeddings.parquet")
+    AnnMultiples.foreach { k =>
+      val e = (0 until k).map(i => embs.withColumn("vec_id", col("vec_id") + lit(i * Offset)))
+        .reduce(_ union _)
+      e.write.mode("overwrite").parquet(s"${dirFor(k)}/embeddings.parquet")
+      println(s"[sweep] built x$k (embeddings only): ${e.count()} vectors")
+    }
+  }
+
   private def time(spark: SparkSession, names: Seq[String]): Unit = {
     // warm-up (shared codegen/IO paths)
     spark.read.parquet(s"$Src/documents.parquet").count()
     val reps = sys.env.getOrElse("SWEEP_REPS", "3").toInt
-    (Seq(Src) ++ Multiples.map(dirFor)).foreach { dir =>
+    val dirs = sys.env.get("SWEEP_DIRS") match {
+      case Some(ds) => ds.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      case None => Seq(Src) ++ Multiples.map(dirFor)
+    }
+    dirs.foreach { dir =>
       names.foreach { n =>
         val times = (1 to reps).map { _ =>
           spark.catalog.clearCache()
@@ -62,7 +89,29 @@ object SweepDup {
         println(f"[sweep] $n @ $dir: median $med%.2fs " +
           f"(all ${times.map(t => f"${t._1}%.2f").mkString("/")}) rows=${times.head._2}" +
           (if (n.startsWith("d07")) s" rounds=${graft.ops.Dedup.lastCcRounds}" else ""))
+        diag(spark, n, dir)
       }
+    }
+  }
+
+  /** Scale diagnostics for the ANN kernels — the candidate/pair volumes
+    * the BASELINE.md exponents are explained against. */
+  private def diag(spark: SparkSession, n: String, dir: String): Unit = {
+    if (n.startsWith("a06"))
+      println(s"[sweep]   a06 candidate volume @ $dir: " +
+        s"${graft.ops.Ann.a06CandidateVolume(spark, dir)} ADC scorings")
+    if (n.startsWith("a07") || n.startsWith("a08")) {
+      // derive K and the within-cluster pair volume from the published
+      // assignment table (a07 materializes it; this is a metadata-cheap
+      // groupBy over (vec_id, cluster), not a re-train)
+      val asg = graft.SparkEntry.queries("a07_kmeans")(spark, dir)
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+      val row = asg.agg(
+        count(lit(1)).as("k"),
+        sum(expr("n * (n - 1) DIV 2")).as("pairs"),
+        max(col("n")).as("maxc")).head()
+      println(s"[sweep]   ${n.take(3)} K=${row.getLong(0)} " +
+        s"within-cluster pairs=${row.getLong(1)} max cluster=${row.getLong(2)}")
     }
   }
 }
