@@ -375,18 +375,72 @@ object Ann {
     * probes x 8 x 4 = tiny broadcast; candidates come from the cluster
     * equi-join (partition pruning), never a scan of all codes. */
   def a06(s: SparkSession, d: String): DataFrame = {
-    val (cands, codes, adcTable) = a06Parts(s, d)
+    val (cands, codes, adcTable, _) = a06Parts(s, d)
+    adcScores(cands, codes, adcTable)
+      .where(col("arank") <= 3)
+      .select(col("probe_id"), col("arank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** ADC scoring + per-probe ranking shared by a06 (top-3 IS the
+    * answer) and a11 (top-[[A11Shortlist]] is the rerank shortlist). */
+  private def adcScores(cands: DataFrame, codes: DataFrame,
+      adcTable: DataFrame): DataFrame =
     cands
       .join(codes, "vec_id")
       .join(broadcast(adcTable), Seq("probe_id", "sub"))
       .where(col("pcid") === col("code"))
       .groupBy("probe_id", "vec_id")
       .agg(sum(col("dist")).cast(LongType).as("adist"))
-      .withColumn("rank", row_number().over(
+      .withColumn("arank", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))))
+
+  /** a11 shortlist depth: candidates that survive the ADC stage and get
+    * an exact re-scoring. 10 per probe — the standard 3–10× over-fetch
+    * for a top-3 answer. */
+  val A11Shortlist = 10
+
+  /** the ADC-ranked shortlist cut (pure shaping over [[adcScores]]). */
+  private def shortlistFrom(cands: DataFrame, codes: DataFrame,
+      adcTable: DataFrame): DataFrame =
+    adcScores(cands, codes, adcTable)
+      .where(col("arank") <= A11Shortlist)
+      .select(col("probe_id"), col("vec_id"))
+
+  /** a11's stage-1 shortlist, exposed for the spec's exact-top-3-of-
+    * shortlist invariant. */
+  private[graft] def a11ShortlistDf(s: SparkSession, d: String): DataFrame = {
+    val (cands, codes, adcTable, _) = a06Parts(s, d)
+    shortlistFrom(cands, codes, adcTable)
+  }
+
+  /** a11: two-stage retrieval — the production ANN serving shape: the
+    * compressed index (a06's IVF-PQ ADC path, verbatim via
+    * [[adcScores]]) over-fetches a [[A11Shortlist]]-deep shortlist per
+    * probe, and only those few candidates are re-scored EXACTLY
+    * (integer L2 over the raw quantized vectors) to fix the ranking
+    * errors lossy PQ compression introduces. Output: top-3 per probe by
+    * exact distance.
+    *
+    * Scale shape: the expensive part is a06's (linear-in-N candidate
+    * volume, broadcast codebooks); the re-rank joins a PROBES×10-row
+    * shortlist back to the vector table on vec_id — an equi-join whose
+    * probe side is negligible, so the raw vectors are touched only for
+    * shortlisted ids (the re-rank HOF is interpreted but runs on ~10
+    * rows per probe, not per candidate). */
+  def a11(s: SparkSession, d: String): DataFrame = {
+    val (cands, codes, adcTable, q) = a06Parts(s, d)
+    shortlistFrom(cands, codes, adcTable)
+      .join(q.select(col("vec_id"), col("q").as("cq")), "vec_id")
+      .join(q.select(col("vec_id").as("probe_id"), col("q").as("pq")), "probe_id")
+      .withColumn("edist", aggregate(zip_with(col("pq"), col("cq"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("edist"), col("vec_id"))))
       .where(col("rank") <= 3)
       .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
-        col("vec_id").as("neighbor_id"), col("adist"))
+        col("vec_id").as("neighbor_id"), col("edist"))
       .orderBy("probe_id", "rank")
   }
 
@@ -399,9 +453,10 @@ object Ann {
   private[graft] def a06CandidateVolume(s: SparkSession, d: String): Long =
     a06Parts(s, d)._1.count()
 
-  /** a06's internals, shared verbatim by the query and the candidate-
-    * volume diagnostic: (candidate pairs, PQ codes, probe ADC tables). */
-  private def a06Parts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  /** a06's internals, shared verbatim by the query, a11's re-rank and
+    * the candidate-volume diagnostic: (candidate pairs, PQ codes, probe
+    * ADC tables, quantized vectors). */
+  private def a06Parts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val par = s.sparkContext.defaultParallelism
     val wExpr = s"CAST(size(q) / $PqSubspaces AS INT)"
     val q = embeddings(s, d)
@@ -461,11 +516,13 @@ object Ann {
     val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
         col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))
-    (cands, codes, adcTable)
+    (cands, codes, adcTable, q)
   }
 
-  val a06Sql: String =
-    s"""WITH q AS (
+  /** the IVF-PQ CTE chain (through per-candidate ADC ranking), shared
+    * by a06's answer and a11's shortlist — one definition, two cuts. */
+  private def ivfPqCtes: String =
+    s"""q AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
       |  FROM embeddings),
@@ -519,9 +576,30 @@ object Ann {
       |ranked AS (
       |  SELECT probe_id, vec_id AS neighbor_id, adist,
       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank
-      |  FROM scored)
+      |  FROM scored)""".stripMargin
+
+  val a06Sql: String =
+    s"""WITH $ivfPqCtes
       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  val a11Sql: String =
+    s"""WITH $ivfPqCtes,
+      |shortlist AS (
+      |  SELECT probe_id, neighbor_id FROM ranked WHERE rank <= $A11Shortlist),
+      |exact AS (
+      |  SELECT sl.probe_id, sl.neighbor_id,
+      |    CAST(SUM((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS edist
+      |  FROM shortlist sl
+      |    JOIN ex p ON p.vec_id = sl.probe_id
+      |    JOIN ex c ON c.vec_id = sl.neighbor_id AND c.i = p.i
+      |  GROUP BY 1, 2),
+      |rr AS (
+      |  SELECT probe_id, neighbor_id, edist,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY edist, neighbor_id) AS rank
+      |  FROM exact)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, edist
+      |FROM rr WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
   // ---- a07/a08: k-means clustering + semantic dedup (SemDeDup) ----
 
@@ -935,6 +1013,7 @@ object Ann {
     "a08_semantic_dedup" -> a08 _,
     "a09_random_projection" -> a09 _,
     "a10_ann_recall" -> a10 _,
+    "a11_ann_rerank" -> a11 _,
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
@@ -947,6 +1026,7 @@ object Ann {
     "a08_semantic_dedup" -> a08Sql,
     "a09_random_projection" -> a09Sql,
     "a10_ann_recall" -> a10Sql,
+    "a11_ann_rerank" -> a11Sql,
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql,

@@ -447,7 +447,71 @@ object TextAnalysis {
       |FROM ds JOIN fs ON fs.sh = ds.sh
       |GROUP BY ds.source ORDER BY ds.source""".stripMargin
 
+  /** t11 keeps only bigrams seen at least this often — the classic
+    * minimum-support cut that stops one-off juxtapositions from topping
+    * a lift ranking on spurious 1/1 counts. */
+  val T11MinPairCount = 5L
+
+  /** t11: collocation mining — the top-20 adjacent word pairs by LIFT
+    * (observed bigram frequency over the frequency independence
+    * predicts: c_ab·T / (c_a·c_b), the exponential of PMI), the
+    * phrase/tokenizer-merit diagnostic a curation team reads to decide
+    * merge candidates and spot templated boilerplate. Kept exact: the
+    * numerator and denominator are BIGINT products (exact below 2^53 —
+    * holds through the 50× sweep; a 100 TB run would route the two
+    * products through Decimal(38,0)/HUGEINT the way p06's keep
+    * predicate does) and the single IEEE division is bit-identical
+    * cross-engine; ties at the top-20 boundary break on (w1, w2).
+    *
+    * Scale shape: token explode (volume = token count) feeds two
+    * map-side-combined counts (unigrams, adjacent bigrams ≥ min
+    * support); the bigram table joins the vocabulary-sized unigram
+    * table twice on slim word keys (Catalyst broadcasts while it fits,
+    * shuffles past that); the 1-row total rides the p06-style broadcast
+    * cross; the top-20 is TakeOrdered (no global sort materialization). */
+  def t11(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(count(lit(1)).as("tot"))
+    val bi = toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+      .where(col("c_pair") >= T11MinPairCount)
+    bi
+      .join(ucnt.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(ucnt.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift", (col("c_pair") * col("tot")).cast(DoubleType) /
+        (col("c1") * col("c2")).cast(DoubleType))
+      .select(col("w1"), col("w2"), big(col("c_pair")).as("c_pair"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val t11Sql: String =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      |tot AS (SELECT COUNT(*) AS tot FROM uni),
+      |e AS (
+      |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      |  FROM toks WHERE len(t) >= 2),
+      |bcnt AS (
+      |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2, COUNT(*) AS c_pair
+      |  FROM e GROUP BY 1, 2 HAVING COUNT(*) >= $T11MinPairCount)
+      |SELECT b.w1, b.w2, CAST(b.c_pair AS BIGINT) AS c_pair,
+      |  CAST(b.c_pair * tot.tot AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+      |FROM bcnt b
+      |CROSS JOIN tot
+      |JOIN ucnt u1 ON u1.w = b.w1
+      |JOIN ucnt u2 ON u2.w = b.w2
+      |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_bigram_lift" -> t11 _,
     "t10_source_novelty" -> t10 _,
     "t09_lexical_diversity" -> t09 _,
     "t08_tfidf_terms" -> t08 _,
@@ -460,6 +524,7 @@ object TextAnalysis {
     "t07_web_noise" -> t07 _)
 
   val oracle: Map[String, String] = Map(
+    "t11_bigram_lift" -> t11Sql,
     "t10_source_novelty" -> t10Sql,
     "t09_lexical_diversity" -> t09Sql,
     "t08_tfidf_terms" -> t08Sql,

@@ -118,6 +118,39 @@ object Skew {
       |GROUP BY CUBE(event_type, weekday)
       |ORDER BY event_type ASC NULLS FIRST, weekday ASC NULLS FIRST""".stripMargin
 
+  /** q42: arbitrary grouping sets through the DATAFRAME API —
+    * `Dataset.groupingSets` (new in Spark 4), the typed-pipeline
+    * counterpart of q29's SQL-text GROUPING SETS: two INDEPENDENT
+    * single-column breakdowns plus the grand total in one pass, a
+    * combination rollup (q10) and cube (q34) cannot express without
+    * adding cross combinations. Spark plans all three sets as one
+    * Expand + hash aggregate (one scan of orders, no self-union);
+    * GROUPING() flags disambiguate the NULL-keyed rows exactly as in
+    * q34. Decimal-exact sum, cast to double only at the output edge. */
+  def q42(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("price", dec2(col("o_totalprice")))
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        big(count(lit(1))).as("n_orders"),
+        money(sum(col("price"))).as("total_price"),
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g_p"),
+        grouping(col("o_orderstatus")).cast(IntegerType).as("g_s"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  val q42Sql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
   /** q35: discrete percentiles (PERCENTILE_DISC) — median and p90
     * account balance per market segment. Discrete percentiles return an
     * ACTUAL data value (no interpolation arithmetic), so the oracle is
@@ -189,6 +222,7 @@ object Skew {
     "q29_grouping_sets" -> q29 _,
     "q30_correlated_subquery" -> q30 _,
     "q34_cube_weekday" -> q34 _,
+    "q42_grouping_sets" -> q42 _,
     "q35_percentile_disc" -> q35 _,
     "q40_recursive_hierarchy" -> q40 _)
   val oracle: Map[String, String] = Map(
@@ -196,6 +230,7 @@ object Skew {
     "q29_grouping_sets" -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q34_cube_weekday" -> q34Sql,
+    "q42_grouping_sets" -> q42Sql,
     "q35_percentile_disc" -> q35Sql,
     "q40_recursive_hierarchy" -> q40Sql)
 }

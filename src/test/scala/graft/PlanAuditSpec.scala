@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a07_kmeans" -> "vector x broadcast <=8-row centroid model (the Lloyd assignment product)",
     "a08_semantic_dedup" -> "a07's centroid-model broadcast (the within-cluster pair join itself is hash)",
     "a10_ann_recall" -> "composes a01/a02/a03 (their allowed broadcast probe/codebook crosses) + 1-row x 1-row hits/total aggregates",
-    "p08_source_interleave" -> "crossJoin vs broadcast 1-row source-count aggregate (position arithmetic)")
+    "p08_source_interleave" -> "crossJoin vs broadcast 1-row source-count aggregate (position arithmetic)",
+    "t11_bigram_lift" -> "crossJoin vs broadcast 1-row total-token aggregate (the T of c_ab*T/(c_a*c_b))",
+    "a11_ann_rerank" -> "a06's constant-size broadcast codebook/ADC crosses (the shortlist re-rank itself is hash)")
 
   test("no CartesianProduct anywhere; BNLJ only in named constant-size crosses") {
     val sf = "/root/testdata/sf0.001"

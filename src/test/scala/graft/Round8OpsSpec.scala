@@ -76,4 +76,93 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"novel=$totalNovel distinct=$corpusDistinct")
     } finally df.unpersist()
   }
+
+  test("t11: every reported lift re-derives from raw counts; nothing above the 20th was skipped") {
+    import graft.ops.TextAnalysis
+    val df = TextAnalysis.t11(spark, sf).cache()
+    try {
+      assert(df.count() == 20)
+      // recompute ALL bigram lifts brute-force from the corpus
+      val toks = graft.core.Tables.documents(spark, sf)
+        .select(split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+      val tot = uni.count()
+      val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
+      val all = toks.where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+        .where(col("c_pair") >= TextAnalysis.T11MinPairCount)
+        .join(ucnt.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(ucnt.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .withColumn("lift_ref", (col("c_pair") * lit(tot)).cast("double") /
+          (col("c1") * col("c2")).cast("double"))
+        .cache()
+      try {
+        // each reported row matches the brute-force value exactly
+        val joined = df.join(all.select(col("w1"), col("w2"),
+          col("c_pair").as("cp_ref"), col("lift_ref")), Seq("w1", "w2"))
+        assert(joined.count() == 20)
+        assert(joined.where(col("c_pair") =!= col("cp_ref") ||
+          col("lift") =!= col("lift_ref")).count() == 0)
+        // top-20 really is the top: no excluded pair beats the reported minimum
+        val minReported = df.agg(min(struct(col("lift"), col("w1"), col("w2")))).head().getStruct(0)
+        val better = all.join(df.select(col("w1"), col("w2"), lit(1).as("rep")),
+            Seq("w1", "w2"), "left").where(col("rep").isNull)
+          .where(col("lift_ref") > minReported.getDouble(0))
+        assert(better.count() == 0)
+      } finally all.unpersist()
+    } finally df.unpersist()
+  }
+
+  test("q42: rows tile the three grouping sets and each breakdown sums to the grand total") {
+    val rows = graft.queries.Skew.q42(spark, sf).collect()
+    val byFlags = rows.groupBy(r => (r.getInt(r.fieldIndex("g_p")), r.getInt(r.fieldIndex("g_s"))))
+    // only (0,1)=priority set, (1,0)=status set, (1,1)=grand total
+    assert(byFlags.keySet == Set((0, 1), (1, 0), (1, 1)))
+    assert(byFlags((1, 1)).length == 1)
+    val grand = byFlags((1, 1)).head
+    val grandN = grand.getLong(grand.fieldIndex("n_orders"))
+    val grandP = BigDecimal(grand.getDouble(grand.fieldIndex("total_price")))
+    for (set <- Seq((0, 1), (1, 0))) {
+      assert(byFlags(set).map(r => r.getLong(r.fieldIndex("n_orders"))).sum == grandN)
+      // group sums are exact 2-dp decimals rendered as doubles, so a
+      // BigDecimal re-sum recovers the grand total exactly
+      val s = byFlags(set).map(r => BigDecimal(r.getDouble(r.fieldIndex("total_price")))).sum
+      assert(s == grandP, s"$set: $s != $grandP")
+    }
+  }
+
+  test("a11: output is exactly the top-3 of the ADC shortlist under true integer L2") {
+    import graft.ops.Ann
+    val out = Ann.a11(spark, sf).cache()
+    try {
+      // exact distances for EVERY shortlist member, re-derived from raw embeddings
+      val q = graft.core.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      val sl = Ann.a11ShortlistDf(spark, sf)
+        .join(q.select(col("vec_id"), col("q").as("cq")), "vec_id")
+        .join(q.select(col("vec_id").as("probe_id"), col("q").as("pq")), "probe_id")
+        .withColumn("edist_ref", expr(
+          "aggregate(zip_with(pq, cq, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+            .orderBy(col("edist_ref"), col("vec_id"))))
+        .cache()
+      try {
+        // per probe: exactly 3 output rows, and they are the shortlist's
+        // true top-3 with matching exact distances
+        val expect = sl.where(col("rk") <= 3)
+          .select(col("probe_id"), col("rk").cast("long").as("rank"),
+            col("vec_id").as("neighbor_id"), col("edist_ref"))
+        val o = out.select(col("probe_id"), col("rank"), col("neighbor_id"), col("edist"))
+        val e = expect.select(col("probe_id"), col("rank"),
+          col("neighbor_id"), col("edist_ref").as("edist"))
+        assert(out.count() == expect.count())
+        assert(o.except(e).count() == 0 && e.except(o).count() == 0)
+      } finally sl.unpersist()
+    } finally out.unpersist()
+  }
 }
