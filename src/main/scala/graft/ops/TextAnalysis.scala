@@ -472,8 +472,14 @@ object TextAnalysis {
   def t11(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d).select(split(col("text"), " ").as("t"))
     val uni = toks.select(explode(col("t")).as("w"))
+    // persisted: consumed three times (c_a join, c_b join, total) — one
+    // corpus-wide token pass instead of three; the table is
+    // vocabulary-sized, so the cache cost is trivial at any corpus size
     val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
-    val total = uni.agg(count(lit(1)).as("tot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // T = Σ_w c_w — a vocab-sized aggregate over the cached table, NOT
+    // another corpus scan
+    val total = ucnt.agg(sum(col("c")).as("tot"))
     val bi = toks.where(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
