@@ -699,6 +699,16 @@ object Ann {
   private def kmeansFinal(s: SparkSession, d: String): DataFrame =
     kmeansAssign(qvecs(s, d), kmeansModel(s, d))
 
+  /** the trained model collapsed to ONE broadcastable row
+    * (array<struct<cid,cq>>, sorted by cid) — the shape a stateless
+    * serving path (streaming s07) carries to every executor; sorted so
+    * an array_min over (dist, cid) structs reproduces kmeansAssign's
+    * (dist, cid) tie-break exactly. */
+  private[graft] def kmeansModelRow(s: SparkSession, d: String): DataFrame =
+    kmeansModel(s, d)
+      .select(struct(col("cid"), col("cq")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("model"))
+
   /** Code salt for the materialized assignment — `Ann$` (quantization,
     * Lloyd construction, K derivation) and its dependency `Tables$`
     * (corpus loading). See [[graft.core.Materialize.codeSalt]]. */

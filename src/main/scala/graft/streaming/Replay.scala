@@ -338,7 +338,52 @@ object Replay {
       |WHERE b.doc_id <> f.dup_of
       |ORDER BY doc_id, band""".stripMargin
 
+  /** s07: ONLINE CLUSTER ASSIGNMENT at ingest — model serving through
+    * the real streaming engine: the a07-trained centroid model (≤K
+    * rows) collapses to a single broadcast array row
+    * ([[graft.ops.Ann.kmeansModelRow]]) and every arriving vector is
+    * assigned to its nearest centroid with the SAME exact integer
+    * squared-L2 and (dist, cid) tie-break as the batch Lloyd
+    * assignment — array_min over a transform, a pure stateless map: no
+    * watermark, no state store, no flush pass, and the oracle is a07's
+    * own unrolled CTE chain, so the streamed assignment must equal the
+    * batch training assignment bit-for-bit. The 100 TB/day shape: the
+    * model rides every executor (broadcast); the vector stream never
+    * shuffles. */
+  def s07(s: SparkSession, d: String): DataFrame = {
+    val rootDir = new java.io.File("/tmp/graft_replay")
+    rootDir.mkdirs()
+    sweepOldRuns(rootDir)
+    val base = s"/tmp/graft_replay/s07-" +
+      s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
+    val embSchema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val vecStream = s.readStream.schema(embSchema)
+      .parquet(s"$d/[e]mbeddings.parquet") // one-file glob, as with events
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+    val model = graft.ops.Ann.kmeansModelRow(s, d)
+    val q = vecStream.crossJoin(broadcast(model))
+      .withColumn("sc", array_min(expr(
+        """transform(model, c -> struct(
+          |  aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)),
+          |            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist,
+          |  c.cid AS cid))""".stripMargin)))
+      .select(col("vec_id"), col("sc.cid").as("cluster"), col("sc.dist").as("dist"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+        col("dist").cast(LongType).as("dist"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_stream_cluster_assign" -> s07 _,
     "s01_stream_sessionize" -> s01 _,
     "s02_stream_tumbling" -> s02 _,
     "s03_stream_interval_join" -> s03 _,
@@ -347,9 +392,11 @@ object Replay {
     "s06_stream_neardup_flags" -> s06 _)
 
   /** the streaming replays must equal their BATCH counterparts exactly
-    * — q38's oracle IS s01's, q22's IS s02's; s03/s04/s05 get their own
-    * SQL (interval self-join / distinct keys / dimension join). */
+    * — q38's oracle IS s01's, q22's IS s02's, a07's IS s07's;
+    * s03/s04/s05 get their own SQL (interval self-join / distinct keys
+    * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s07_stream_cluster_assign" -> graft.ops.Ann.a07Sql,
     "s01_stream_sessionize" -> graft.queries.Sessions.q38Sql,
     "s02_stream_tumbling" -> graft.queries.Analytics.q22Sql,
     "s03_stream_interval_join" -> s03Sql,

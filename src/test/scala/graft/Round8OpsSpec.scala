@@ -134,6 +134,13 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s07: streamed online assignment == batch a07 training assignment") {
+    val stream = graft.streaming.Replay.s07(spark, sf)
+    val batch = graft.ops.Ann.a07(spark, sf)
+    assert(stream.count() == batch.count())
+    assert(stream.except(batch).count() == 0 && batch.except(stream).count() == 0)
+  }
+
   test("a11: output is exactly the top-3 of the ADC shortlist under true integer L2") {
     import graft.ops.Ann
     val out = Ann.a11(spark, sf).cache()
