@@ -734,7 +734,7 @@ object Ann {
     * been trained on this storage, else compute-and-publish — the
     * production contract: training runs ONCE (a07); reports consume
     * its output table. */
-  private def assignmentTable(s: SparkSession, d: String): DataFrame =
+  private[graft] def assignmentTable(s: SparkSession, d: String): DataFrame =
     graft.core.Materialize.readOrCompute(s, "kmeans", kmeansFingerprint(s, d))(
       kmeansFinal(s, d))
 

@@ -76,6 +76,30 @@ object Replay {
     }
   }
 
+  /** fresh per-run working dir under the swept replay root — one
+    * policy (mkdirs + age sweep + pid/nanoTime uniqueness) for every
+    * replay entry. */
+  private def runBase(name: String): String = {
+    val rootDir = new java.io.File("/tmp/graft_replay")
+    rootDir.mkdirs()
+    sweepOldRuns(rootDir)
+    s"/tmp/graft_replay/$name-" +
+      s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
+  }
+
+  /** one AvailableNow pass of a streaming `df` into `$base/out`,
+    * returned as a batch reader — the single-bootstrap entries'
+    * (s06/s07) whole sink protocol. */
+  private def sinkRun(s: SparkSession, df: DataFrame, base: String): DataFrame = {
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+  }
+
   /** Replay events.parquet + sentinel through `pipe` (a streaming
     * transform over the raw unioned stream: user_id, ts, value,
     * event_type — sentinel rows carry user_id = -1 and must be
@@ -85,11 +109,7 @@ object Replay {
   private def replay(s: SparkSession, d: String, name: String,
                      flushRun: Boolean = true)
                     (pipe: DataFrame => DataFrame): DataFrame = {
-    val rootDir = new java.io.File("/tmp/graft_replay")
-    rootDir.mkdirs()
-    sweepOldRuns(rootDir)
-    val base = s"/tmp/graft_replay/$name-" +
-      s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
+    val base = runBase(name)
     val sentinelDir = s"$base/sentinel"
     val outDir = s"$base/out"
     val ckDir = s"$base/ck"
@@ -300,23 +320,11 @@ object Replay {
     * sigs to the same 60-bit BIGINT as the Spark kernel) is exact. */
   def s06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rootDir = new java.io.File("/tmp/graft_replay")
-    rootDir.mkdirs()
-    sweepOldRuns(rootDir)
-    val base = s"/tmp/graft_replay/s06-" +
-      s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
     val docSchema = s.read.parquet(s"$d/documents.parquet").schema
     val docStream = s.readStream.schema(docSchema)
       .parquet(s"$d/[d]ocuments.parquet") // one-file glob, as with events
       .select(col("doc_id"), col("text")).as[StreamNearDup.DocIn]
-    val q = StreamNearDup.flags(docStream).toDF()
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ck")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.read.parquet(s"$base/out")
+    sinkRun(s, StreamNearDup.flags(docStream).toDF(), runBase("s06"))
       .select(col("doc_id"), col("band").cast(LongType).as("band"), col("dup_of"))
       .orderBy("doc_id", "band")
   }
@@ -351,11 +359,6 @@ object Replay {
     * model rides every executor (broadcast); the vector stream never
     * shuffles. */
   def s07(s: SparkSession, d: String): DataFrame = {
-    val rootDir = new java.io.File("/tmp/graft_replay")
-    rootDir.mkdirs()
-    sweepOldRuns(rootDir)
-    val base = s"/tmp/graft_replay/s07-" +
-      s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
     val embSchema = s.read.parquet(s"$d/embeddings.parquet").schema
     val vecStream = s.readStream.schema(embSchema)
       .parquet(s"$d/[e]mbeddings.parquet") // one-file glob, as with events
@@ -363,20 +366,14 @@ object Replay {
         transform(col("embedding"),
           x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
     val model = graft.ops.Ann.kmeansModelRow(s, d)
-    val q = vecStream.crossJoin(broadcast(model))
+    val assigned = vecStream.crossJoin(broadcast(model))
       .withColumn("sc", array_min(expr(
         """transform(model, c -> struct(
           |  aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)),
           |            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist,
           |  c.cid AS cid))""".stripMargin)))
       .select(col("vec_id"), col("sc.cid").as("cluster"), col("sc.dist").as("dist"))
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ck")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.read.parquet(s"$base/out")
+    sinkRun(s, assigned, runBase("s07"))
       .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
         col("dist").cast(LongType).as("dist"))
       .orderBy("vec_id")

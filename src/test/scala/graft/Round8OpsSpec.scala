@@ -106,11 +106,23 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(joined.count() == 20)
         assert(joined.where(col("c_pair") =!= col("cp_ref") ||
           col("lift") =!= col("lift_ref")).count() == 0)
-        // top-20 really is the top: no excluded pair beats the reported minimum
-        val minReported = df.agg(min(struct(col("lift"), col("w1"), col("w2")))).head().getStruct(0)
+        // top-20 really is the top in the DECLARED (lift DESC, w1, w2)
+        // order: no excluded pair sorts strictly before the reported
+        // boundary row — including ties broken the wrong way. (The
+        // formula itself is independently checked by the DuckDB oracle;
+        // this spec checks the cut.) The boundary row is the one that
+        // sorts LAST among the 20 reported (tiny, driver-side).
+        val boundary = df.collect()
+          .sortBy(r => (-r.getDouble(r.fieldIndex("lift")),
+            r.getString(r.fieldIndex("w1")), r.getString(r.fieldIndex("w2")))).last
+        val (bLift, bW1, bW2) = (boundary.getDouble(boundary.fieldIndex("lift")),
+          boundary.getString(boundary.fieldIndex("w1")),
+          boundary.getString(boundary.fieldIndex("w2")))
         val better = all.join(df.select(col("w1"), col("w2"), lit(1).as("rep")),
             Seq("w1", "w2"), "left").where(col("rep").isNull)
-          .where(col("lift_ref") > minReported.getDouble(0))
+          .where(col("lift_ref") > bLift ||
+            (col("lift_ref") === bLift &&
+              (col("w1") < bW1 || (col("w1") === bW1 && col("w2") < bW2))))
         assert(better.count() == 0)
       } finally all.unpersist()
     } finally df.unpersist()

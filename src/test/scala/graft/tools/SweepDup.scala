@@ -101,16 +101,21 @@ object SweepDup {
       println(s"[sweep]   a06 candidate volume @ $dir: " +
         s"${graft.ops.Ann.a06CandidateVolume(spark, dir)} ADC scorings")
     if (n.startsWith("a07") || n.startsWith("a08")) {
-      // derive K and the within-cluster pair volume from the published
-      // assignment table (a07 materializes it; this is a metadata-cheap
-      // groupBy over (vec_id, cluster), not a re-train)
-      val asg = graft.SparkEntry.queries("a07_kmeans")(spark, dir)
+      // READ the published assignment table (a07 just ran, so the
+      // fingerprint is fresh — readOrCompute is a parquet scan here,
+      // not a re-train) and derive the pair volume from cluster sizes
+      val asg = graft.ops.Ann.assignmentTable(spark, dir)
         .groupBy("cluster").agg(count(lit(1)).as("n"))
       val row = asg.agg(
         count(lit(1)).as("k"),
         sum(expr("n * (n - 1) DIV 2")).as("pairs"),
-        max(col("n")).as("maxc")).head()
-      println(s"[sweep]   ${n.take(3)} K=${row.getLong(0)} " +
+        max(col("n")).as("maxc"),
+        sum(col("n")).as("nvec")).head()
+      // derived K(N) printed separately: empty clusters drop out of the
+      // assignment (standard Lloyd), so the observed non-empty count
+      // can undershoot the derivation without anything being broken
+      val derivedK = graft.ops.Ann.kmeansKFor(row.getLong(3))
+      println(s"[sweep]   ${n.take(3)} K(N)=$derivedK non-empty=${row.getLong(0)} " +
         s"within-cluster pairs=${row.getLong(1)} max cluster=${row.getLong(2)}")
     }
   }
