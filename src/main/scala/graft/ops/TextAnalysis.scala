@@ -516,7 +516,119 @@ object TextAnalysis {
       |JOIN ucnt u2 ON u2.w = b.w2
       |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** t12 learns this many merges — enough to show the iterative
+    * structure (each round's counts see the previous round's merges)
+    * while keeping the unrolled DuckDB oracle readable. */
+  val T12Rounds = 3
+
+  /** t12: BPE-style MERGE LEARNING — the tokenizer-training kernel at
+    * corpus scale: [[T12Rounds]] rounds of (count adjacent pairs →
+    * take the global argmax, ties by (w1, w2) → merge it EVERYWHERE,
+    * greedy left-to-right non-overlapping, exactly like BPE training)
+    * over the whitespace-token corpus. Output: one row per round —
+    * the learned merge and its adjacent-pair count at selection time.
+    * Every step is window/aggregate arithmetic with a total order, so
+    * the unrolled CTE chain reproduces it bit-for-bit (the a07
+    * pattern).
+    *
+    * The greedy left-to-right rewrite is pure window algebra: within a
+    * maximal run of consecutive matching positions (only possible for
+    * self-pairs like "a a a"), exactly the odd offsets merge — islands
+    * via pos − row_number over matches, parity via row_number within
+    * the island, and the token AFTER a merged position drops via lag.
+    *
+    * Scale shape: per round, one map-side-combined pair count + a
+    * TakeOrdered(1) argmax broadcast back as a 1-row left join + three
+    * doc_id-partitioned windows (docs are bounded, so window
+    * partitions are; the doc_id exchange is reused across the round's
+    * windows). Merged tokens concatenate with '_' — two different
+    * merge histories can collide textually ("a_b"+"c" vs "a"+"b_c"),
+    * which is harmless here because both engines see the same strings. */
+  def t12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    var cur = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("tok"))
+    var rounds = Seq.empty[DataFrame]
+    for (r <- 1 to T12Rounds) {
+      val paired = cur.withColumn("next", lead(col("tok"), 1).over(w))
+      // global argmax pair — TakeOrdered(1); persisted because it feeds
+      // both the result row and the rewrite join (1 row, freed by the
+      // harness' between-query clearCache)
+      val best = paired.where(col("next").isNotNull)
+        .groupBy(col("tok").as("bw1"), col("next").as("bw2"))
+        .agg(count(lit(1)).as("bc"))
+        .orderBy(col("bc").desc, col("bw1"), col("bw2"))
+        .limit(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rounds = rounds :+ best.select(lit(r.toLong).as("round"),
+        col("bw1").as("w1"), col("bw2").as("w2"), big(col("bc")).as("occurrences"))
+      val flagged = paired.join(broadcast(best), lit(true), "left")
+        .withColumn("m", coalesce(
+          col("next").isNotNull && col("tok") === col("bw1") && col("next") === col("bw2"),
+          lit(false)))
+        .withColumn("rnm", row_number().over(
+          Window.partitionBy(col("doc_id"), col("m")).orderBy("pos")))
+        .withColumn("isl", when(col("m"), col("pos") - col("rnm")))
+        .withColumn("merged", col("m") && row_number().over(
+          Window.partitionBy(col("doc_id"), col("isl")).orderBy("pos")) % 2 === 1)
+      cur = flagged
+        .withColumn("pm", coalesce(lag(col("merged"), 1).over(w), lit(false)))
+        .where(!col("pm"))
+        .withColumn("tok", when(col("merged"),
+          concat(col("tok"), lit("_"), col("next"))).otherwise(col("tok")))
+        .withColumn("pos", row_number().over(w).cast(LongType))
+        .select("doc_id", "pos", "tok")
+    }
+    rounds.reduce(_ unionByName _).orderBy("round")
+  }
+
+  val t12Sql: String = {
+    def round(k: Int): String = {
+      val prev = s"t${k - 1}"
+      s"""p$k AS (
+        |  SELECT doc_id, pos, tok,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |  FROM $prev),
+        |b$k AS (
+        |  SELECT tok AS w1, next AS w2, COUNT(*) AS c
+        |  FROM p$k WHERE next IS NOT NULL
+        |  GROUP BY 1, 2 ORDER BY c DESC, w1, w2 LIMIT 1),
+        |m$k AS (
+        |  SELECT p.doc_id, p.pos, p.tok, p.next,
+        |    COALESCE(p.next IS NOT NULL AND p.tok = b.w1 AND p.next = b.w2, FALSE) AS m
+        |  FROM p$k p LEFT JOIN b$k b ON TRUE),
+        |i$k AS (
+        |  SELECT *, CASE WHEN m THEN pos -
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, m ORDER BY pos) END AS isl
+        |  FROM m$k),
+        |g$k AS (
+        |  SELECT *, (m AND
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, isl ORDER BY pos) % 2 = 1) AS merged
+        |  FROM i$k),
+        |k$k AS (
+        |  SELECT *, COALESCE(LAG(merged) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS pm
+        |  FROM g$k),
+        |t$k AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+        |    CASE WHEN merged THEN tok || '_' || next ELSE tok END AS tok
+        |  FROM k$k WHERE NOT pm)""".stripMargin
+    }
+    val selects = (1 to T12Rounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, w1, w2, CAST(c AS BIGINT) AS occurrences FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t0 AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INT)] AS tok FROM (
+      |    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+      |${(1 to T12Rounds).map(round).mkString(",\n")}
+      |SELECT round, w1, w2, occurrences FROM (
+      |  $selects) ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_bpe_merges" -> t12 _,
     "t11_bigram_lift" -> t11 _,
     "t10_source_novelty" -> t10 _,
     "t09_lexical_diversity" -> t09 _,
@@ -530,6 +642,7 @@ object TextAnalysis {
     "t07_web_noise" -> t07 _)
 
   val oracle: Map[String, String] = Map(
+    "t12_bpe_merges" -> t12Sql,
     "t11_bigram_lift" -> t11Sql,
     "t10_source_novelty" -> t10Sql,
     "t09_lexical_diversity" -> t09Sql,

@@ -146,6 +146,29 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t12: merges learned on a hand-checkable corpus, incl. greedy non-overlap and tie-break") {
+    import graft.ops.TextAnalysis
+    // doc1 "x x x" exercises the self-pair overlap rule (only pos 1
+    // merges); round 2 has a (x_x,x) vs (x_x,y) COUNT tie broken by w2
+    val dir = java.nio.file.Files.createTempDirectory("graft-t12").toString
+    spark.createDataFrame(Seq(
+        (1L, "x x x", "en", "srcA", 5L),
+        (2L, "x x y", "en", "srcA", 5L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.t12(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (x,x) appears at doc1 pos1+pos2 and doc2 pos1 = 3;
+    //   greedy rewrite: doc1 -> "x_x x", doc2 -> "x_x y"
+    // round 2: (x_x,x)=1 ties (x_x,y)=1 -> w2 "x" < "y" wins;
+    //   doc1 -> "x_x_x"
+    // round 3: only (x_x,y)=1 remains
+    assert(rows.toSeq == Seq(
+      (1L, "x", "x", 3L),
+      (2L, "x_x", "x", 1L),
+      (3L, "x_x", "y", 1L)))
+  }
+
   test("s07: streamed online assignment == batch a07 training assignment") {
     val stream = graft.streaming.Replay.s07(spark, sf)
     val batch = graft.ops.Ann.a07(spark, sf)
