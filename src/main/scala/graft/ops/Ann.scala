@@ -699,13 +699,23 @@ object Ann {
   private def kmeansFinal(s: SparkSession, d: String): DataFrame =
     kmeansAssign(qvecs(s, d), kmeansModel(s, d))
 
+  /** the trained centroid model as a MATERIALIZED table (cid, cq) —
+    * the assignment table alone cannot reproduce it (it encodes the
+    * final assignment a_N; the model is c_{N-1}), so serving consumers
+    * (s07) read this instead of re-deriving the Lloyd rounds per run:
+    * training happens once per corpus fingerprint, exactly the
+    * Materialize contract the other kernels follow. */
+  private[graft] def kmeansModelTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "kmeansmodel", kmeansFingerprint(s, d))(
+      kmeansModel(s, d))
+
   /** the trained model collapsed to ONE broadcastable row
     * (array<struct<cid,cq>>, sorted by cid) — the shape a stateless
     * serving path (streaming s07) carries to every executor; sorted so
     * an array_min over (dist, cid) structs reproduces kmeansAssign's
-    * (dist, cid) tie-break exactly. */
+    * (dist, cid) tie-break exactly. Reads the materialized model. */
   private[graft] def kmeansModelRow(s: SparkSession, d: String): DataFrame =
-    kmeansModel(s, d)
+    kmeansModelTable(s, d)
       .select(struct(col("cid"), col("cq")).as("c"))
       .agg(array_sort(collect_list(col("c"))).as("model"))
 

@@ -538,10 +538,12 @@ object TextAnalysis {
     * the island, and the token AFTER a merged position drops via lag.
     *
     * Scale shape: per round, one map-side-combined pair count + a
-    * TakeOrdered(1) argmax broadcast back as a 1-row left join + three
-    * doc_id-partitioned windows (docs are bounded, so window
-    * partitions are; the doc_id exchange is reused across the round's
-    * windows). Merged tokens concatenate with '_' — two different
+    * TakeOrdered(1) argmax whose three scalars ride the driver (the
+    * learned merge rule IS the model — the d04 census precedent) into
+    * literal match predicates + three doc_id-partitioned windows (docs
+    * are bounded, so window partitions are; the doc_id exchange is
+    * reused across the round's windows). Merged tokens concatenate
+    * with '_' — two different
     * merge histories can collide textually ("a_b"+"c" vs "a"+"b_c"),
     * which is harmless here because both engines see the same strings. */
   def t12(s: SparkSession, d: String): DataFrame = {
@@ -549,38 +551,44 @@ object TextAnalysis {
     var cur = documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("tok"))
-    var rounds = Seq.empty[DataFrame]
-    for (r <- 1 to T12Rounds) {
+    var merges = Seq.empty[(Long, String, String, Long)]
+    var done = false
+    for (r <- 1 to T12Rounds if !done) {
       val paired = cur.withColumn("next", lead(col("tok"), 1).over(w))
-      // global argmax pair — TakeOrdered(1); persisted because it feeds
-      // both the result row and the rewrite join (1 row, freed by the
-      // harness' between-query clearCache)
+      // global argmax pair — TakeOrdered(1). The THREE SCALARS cross the
+      // driver (the d04 salt-census precedent: aggregates, not data) —
+      // which is also what real BPE training does: the learned merge
+      // rule IS the driver-held model. The rewrite below then matches
+      // against literals: no broadcast join, no cached plan to leak,
+      // and each round's lineage stays a straight window chain.
       val best = paired.where(col("next").isNotNull)
         .groupBy(col("tok").as("bw1"), col("next").as("bw2"))
         .agg(count(lit(1)).as("bc"))
         .orderBy(col("bc").desc, col("bw1"), col("bw2"))
-        .limit(1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rounds = rounds :+ best.select(lit(r.toLong).as("round"),
-        col("bw1").as("w1"), col("bw2").as("w2"), big(col("bc")).as("occurrences"))
-      val flagged = paired.join(broadcast(best), lit(true), "left")
-        .withColumn("m", coalesce(
-          col("next").isNotNull && col("tok") === col("bw1") && col("next") === col("bw2"),
-          lit(false)))
-        .withColumn("rnm", row_number().over(
-          Window.partitionBy(col("doc_id"), col("m")).orderBy("pos")))
-        .withColumn("isl", when(col("m"), col("pos") - col("rnm")))
-        .withColumn("merged", col("m") && row_number().over(
-          Window.partitionBy(col("doc_id"), col("isl")).orderBy("pos")) % 2 === 1)
-      cur = flagged
-        .withColumn("pm", coalesce(lag(col("merged"), 1).over(w), lit(false)))
-        .where(!col("pm"))
-        .withColumn("tok", when(col("merged"),
-          concat(col("tok"), lit("_"), col("next"))).otherwise(col("tok")))
-        .withColumn("pos", row_number().over(w).cast(LongType))
-        .select("doc_id", "pos", "tok")
+        .limit(1).collect()
+      if (best.isEmpty) done = true // no adjacent pair anywhere: nothing left to learn
+      else {
+        val (w1, w2, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges = merges :+ ((r.toLong, w1, w2, c))
+        val flagged = paired
+          .withColumn("m",
+            col("next").isNotNull && col("tok") === lit(w1) && col("next") === lit(w2))
+          .withColumn("rnm", row_number().over(
+            Window.partitionBy(col("doc_id"), col("m")).orderBy("pos")))
+          .withColumn("isl", when(col("m"), col("pos") - col("rnm")))
+          .withColumn("merged", col("m") && row_number().over(
+            Window.partitionBy(col("doc_id"), col("isl")).orderBy("pos")) % 2 === 1)
+        cur = flagged
+          .withColumn("pm", coalesce(lag(col("merged"), 1).over(w), lit(false)))
+          .where(!col("pm"))
+          .withColumn("tok", when(col("merged"),
+            concat(col("tok"), lit("_"), col("next"))).otherwise(col("tok")))
+          .withColumn("pos", row_number().over(w).cast(LongType))
+          .select("doc_id", "pos", "tok")
+      }
     }
-    rounds.reduce(_ unionByName _).orderBy("round")
+    import s.implicits._
+    merges.toDF("round", "w1", "w2", "occurrences").orderBy("round")
   }
 
   val t12Sql: String = {

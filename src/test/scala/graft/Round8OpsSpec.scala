@@ -110,11 +110,14 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         // order: no excluded pair sorts strictly before the reported
         // boundary row — including ties broken the wrong way. (The
         // formula itself is independently checked by the DuckDB oracle;
-        // this spec checks the cut.) The boundary row is the one that
-        // sorts LAST among the 20 reported (tiny, driver-side).
-        val boundary = df.collect()
-          .sortBy(r => (-r.getDouble(r.fieldIndex("lift")),
-            r.getString(r.fieldIndex("w1")), r.getString(r.fieldIndex("w2")))).last
+        // this spec checks the cut.) The boundary row — LAST among the
+        // 20 reported — is derived with SPARK's own sort (UTF8String
+        // binary order), not a driver sortBy, so the spec's string
+        // ordering can never diverge from the engine's on non-ASCII
+        // vocabulary (Java UTF-16 order differs past U+E000).
+        val boundary = df
+          .orderBy(col("lift").asc, col("w1").desc, col("w2").desc)
+          .limit(1).head()
         val (bLift, bW1, bW2) = (boundary.getDouble(boundary.fieldIndex("lift")),
           boundary.getString(boundary.fieldIndex("w1")),
           boundary.getString(boundary.fieldIndex("w2")))
