@@ -1445,7 +1445,117 @@ object Dedup {
       |WHERE n * 2 >= c
       |ORDER BY inter.doc_id, in_doc_id""".stripMargin
 
+  // ---- d14: LSH recall evaluation on a deterministic sample ----
+
+  /** d14 bounds its exact ground-truth computation to about this many
+    * sampled documents — pair volume stays ≤ target² regardless of
+    * corpus size, the same census-derived-parameter pattern as d04's
+    * salt count and a08's K(N). */
+  val D14SampleTarget = 512L
+
+  /** d14: MinHash-LSH RECALL evaluation — the dedup-quality report a
+    * curation team runs before trusting d02's sketch at 100 TB, and
+    * the dedup-suite analogue of a10's ANN recall grade: on a
+    * DETERMINISTIC census-derived sample (doc_id % step == 0 with
+    * step = ⌈N/[[D14SampleTarget]]⌉ — derivable in pure SQL, so the
+    * oracle samples identically), compute the EXACT set of true
+    * near-dup pairs (token-set Jaccard ≥ 0.5 via the integer
+    * cross-multiply 3·|∩| ≥ |A|+|B| — exactly d02's verify
+    * definition) through a token inverted-index join, and the set of
+    * pairs d02's band kernel ([[docBandKeys]], the batch operator's
+    * exact keys) would surface; recall = found / true. Exact ground
+    * truth at full corpus scale is unpayable (that is WHY d02 exists)
+    * — the bounded sample is the production eval shape.
+    *
+    * Output (one row): sampled_docs, true_pairs, found_pairs, recall
+    * (1.0 when the sample holds no true pair — vacuous). On this
+    * corpus the expected recall of 4 bands × 3 rows at τ=0.5 is
+    * 1−(1−0.5³)⁴ ≈ 0.41 at the threshold — a diagnostic with real
+    * signal, not a tautology. */
+  def d14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val par = s.sparkContext.defaultParallelism
+    val n = documents(s, d).count() // census (metadata-only row count)
+    val step = math.max(1L, (n + D14SampleTarget - 1) / D14SampleTarget)
+    val sample = documents(s, d)
+      .where(col("doc_id") % step === 0)
+      .select(col("doc_id"), col("text"))
+    val tok = sample
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+    val inter = tok.select(col("doc_id").as("a"), col("w"))
+      .join(tok.select(col("doc_id").as("b"), col("w")), "w")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("a"), col("nn").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("nn").as("nb")), "b")
+      .where(col("c") * 3 >= col("na") + col("nb"))
+      .select("a", "b")
+    val bands = sample.repartition(par, col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          docBandKeys(md, text.split(" ", -1).distinct)
+            .iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
+        }
+      }
+      .toDF("doc_id", "band", "key")
+    val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val found = truth.join(cand, Seq("a", "b"))
+    sample.agg(big(count(lit(1))).as("sampled_docs"))
+      .crossJoin(truth.agg(big(count(lit(1))).as("true_pairs")))
+      .crossJoin(found.agg(big(count(lit(1))).as("found_pairs")))
+      .withColumn("recall",
+        when(col("true_pairs") === 0, lit(1.0))
+          .otherwise(col("found_pairs").cast(DoubleType) / col("true_pairs").cast(DoubleType)))
+  }
+
+  val d14Sql: String =
+    s"""WITH st AS (
+      |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / ${D14SampleTarget}.0) AS BIGINT)) AS step
+      |  FROM documents),
+      |sample AS (
+      |  SELECT doc_id, text FROM documents, st WHERE doc_id % st.step = 0),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM sample),
+      |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+      |  FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT a, b FROM inter
+      |    JOIN sizes sa ON sa.doc_id = a
+      |    JOIN sizes sb ON sb.doc_id = b
+      |  WHERE c * 3 >= sa.nn + sb.nn),
+      |sigs AS (
+      |  SELECT doc_id, seed, MIN(md5(seed || ':' || w)) AS sig
+      |  FROM tok, (SELECT unnest(generate_series(0, ${MinhashSeeds - 1})) AS seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // $BandRows AS band,
+      |    CAST(('0x' || substring(md5(string_agg(sig, '|' ORDER BY seed)), 1, 15)) AS BIGINT) AS key
+      |  FROM sigs GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      |found AS (SELECT t.a, t.b FROM truth t JOIN cand c ON t.a = c.a AND t.b = c.b)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM sample) AS BIGINT) AS sampled_docs,
+      |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS true_pairs,
+      |  CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS found_pairs,
+      |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
+      |       ELSE CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+      |            / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END AS recall""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_lsh_recall" -> d14 _,
     "d12_span_containment" -> d12 _,
     "d11_dup_span_coverage" -> d11 _,
     "d06_contamination" -> d06 _,
@@ -1461,6 +1571,7 @@ object Dedup {
     "d13_canonical_keep" -> d13 _)
 
   val oracle: Map[String, String] = Map(
+    "d14_lsh_recall" -> d14Sql,
     "d12_span_containment" -> d12Sql,
     "d11_dup_span_coverage" -> d11Sql,
     "d06_contamination" -> d06Sql,

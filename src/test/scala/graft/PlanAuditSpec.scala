@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a10_ann_recall" -> "composes a01/a02/a03 (their allowed broadcast probe/codebook crosses) + 1-row x 1-row hits/total aggregates",
     "p08_source_interleave" -> "crossJoin vs broadcast 1-row source-count aggregate (position arithmetic)",
     "t11_bigram_lift" -> "crossJoin vs broadcast 1-row total-token aggregate (the T of c_ab*T/(c_a*c_b))",
-    "a11_ann_rerank" -> "a06's constant-size broadcast codebook/ADC crosses (the shortlist re-rank itself is hash)")
+    "a11_ann_rerank" -> "a06's constant-size broadcast codebook/ADC crosses (the shortlist re-rank itself is hash)",
+    "d14_lsh_recall" -> "crossJoins of three 1-row count aggregates (the report row assembly)")
 
   test("no CartesianProduct anywhere; BNLJ only in named constant-size crosses") {
     val sf = "/root/testdata/sf0.001"

@@ -172,6 +172,20 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "x_x", "y", 1L)))
   }
 
+  test("d14: recall well-formed, sample bounded by the census derivation") {
+    val r = graft.ops.Dedup.d14(spark, sf).head()
+    val (sampled, truePairs, foundPairs, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    // the census-derived step bounds the sample (dense ids at gate SFs)
+    assert(sampled > 0 && sampled <= graft.ops.Dedup.D14SampleTarget)
+    // found is a subset of truth; recall is its exact ratio
+    assert(foundPairs <= truePairs)
+    assert(recall >= 0.0 && recall <= 1.0)
+    if (truePairs > 0)
+      assert(recall == foundPairs.toDouble / truePairs.toDouble)
+    else assert(recall == 1.0)
+  }
+
   test("s07: streamed online assignment == batch a07 training assignment") {
     val stream = graft.streaming.Replay.s07(spark, sf)
     val batch = graft.ops.Ann.a07(spark, sf)
