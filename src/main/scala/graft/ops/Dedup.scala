@@ -1477,11 +1477,18 @@ object Dedup {
     val par = s.sparkContext.defaultParallelism
     val n = documents(s, d).count() // census (metadata-only row count)
     val step = math.max(1L, (n + D14SampleTarget - 1) / D14SampleTarget)
+    // persisted: the ≤512-row sample feeds the token explode, the MD5
+    // band pass AND the report's sampled_docs count (d02's persist
+    // rationale for exactly this multi-consumer self-join shape; the
+    // harness clears per-query persisted state between entries)
     val sample = documents(s, d)
       .where(col("doc_id") % step === 0)
       .select(col("doc_id"), col("text"))
-    val tok = sample
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the shared tokens() definition, filtered to the sample (the
+    // doc_id predicate pushes below the generate) — one tokenization
+    // definition to keep in step with the oracle's string_split
+    val tok = tokens(s, d).where(col("doc_id") % step === 0)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("nn"))
     val inter = tok.select(col("doc_id").as("a"), col("w"))
       .join(tok.select(col("doc_id").as("b"), col("w")), "w")
@@ -1502,6 +1509,9 @@ object Dedup {
         }
       }
       .toDF("doc_id", "band", "key")
+      // both sides of the (band, key) self-join would re-run the MD5
+      // pass otherwise — same persist d02 applies to its band table
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
       .join(bands.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
       .where(col("a") < col("b"))
