@@ -455,7 +455,12 @@ object Ann {
 
   /** a06's internals, shared verbatim by the query, a11's re-rank and
     * the candidate-volume diagnostic: (candidate pairs, PQ codes, probe
-    * ADC tables, quantized vectors). */
+    * ADC tables, quantized vectors). Each CALL persists its own `q`
+    * copy — two a06-family entries evaluated in one pass (e.g. a06 +
+    * a06CandidateVolume in a sweep iteration) hold duplicate cached
+    * copies until the harness's per-entry clearCache. Accepted: the
+    * copies are slim (id + quantized vector), the harness clears them,
+    * and cross-call memoization would leak session state. */
   private def a06Parts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val par = s.sparkContext.defaultParallelism
     val wExpr = s"CAST(size(q) / $PqSubspaces AS INT)"

@@ -45,8 +45,17 @@ object Dedup {
 
   // ---- d02: MinHash + LSH banding (the scalable near-dup path) ----
 
-  val MinhashSeeds = 12
-  val BandRows = 3 // -> 4 bands
+  /** (seeds, rows-per-band) tuned for RECALL at the τ=0.5 verify
+    * threshold: 8 bands × 2 rows gives 1−(1−j²)⁸ ≈ 0.90 at j=0.5
+    * (vs 0.41 for the previous 4 bands × 3 rows — d14 measured that
+    * shape at 0.80 on this corpus's dup mass, a 20% miss rate the
+    * production dedup path can't afford at 100 TB). The price is more
+    * false candidates per band (j² vs j³ collision rate), all rejected
+    * by the exact Jaccard verify — candidate volume stays bucketed,
+    * never all-pairs. d14 is the instrument that grades this choice;
+    * d02/d14/s06's oracles all parameterize on these two constants. */
+  val MinhashSeeds = 16
+  val BandRows = 2 // -> 8 bands
 
   /** d02 implementation, scale-shaped end to end (the typed
     * MinHashAggregator in graft.functions is the API-surface equivalent
@@ -118,20 +127,19 @@ object Dedup {
   def d02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val numBands = MinhashSeeds / BandRows
-    // the (id, band, sig, s0..s3) row shape below hardcodes 4 carried
-    // band keys; changing MinhashSeeds/BandRows must update it in step
-    require(numBands == 4, s"band row shape is written for 4 bands, got $numBands")
     val par = s.sparkContext.defaultParallelism
-    // One row per (doc, band): the bucket key for THIS band plus all
-    // band keys inline (s0..s3) for the first-match predicate. Band keys
-    // are the band-MD5 truncated to 60 bits in a BIGINT. A truncation
-    // collision usually only adds a candidate pair that exact verify
-    // rejects; the residual risk is a falsely-bucketed pair whose true
-    // Jaccard >= 0.5 — emitted here but absent from the full-128-bit
-    // oracle — at ~2^-60 per pair, accepted as negligible. Explicit
-    // partition count: the signature pass is CPU-bound (MD5 per
-    // seed x token) and the source is a single row group — without the
-    // pinned repartition it runs on one core.
+    // One row per (doc, band): the bucket key for THIS band plus the
+    // full band-key ARRAY (ks) for the first-match predicate — the
+    // array form keeps the row shape independent of the band count, so
+    // (MinhashSeeds, BandRows) tune without touching this join. Band
+    // keys are the band-MD5 truncated to 60 bits in a BIGINT. A
+    // truncation collision usually only adds a candidate pair that
+    // exact verify rejects; the residual risk is a falsely-bucketed
+    // pair whose true Jaccard >= 0.5 — emitted here but absent from
+    // the full-128-bit oracle — at ~2^-60 per pair, accepted as
+    // negligible. Explicit partition count: the signature pass is
+    // CPU-bound (MD5 per seed x token) and the source is a single row
+    // group — without the pinned repartition it runs on one core.
     val bandRows = documents(s, d).select(col("doc_id"), col("text"))
       .repartition(par, col("doc_id"))
       .as[(Long, String)]
@@ -152,27 +160,27 @@ object Dedup {
           java.util.Arrays.sort(ids)
           val bandKeys = docBandKeys(md, toks)
           Iterator.tabulate(numBands) { b =>
-            (id, b, bandKeys(b), bandKeys(0), bandKeys(1), bandKeys(2), bandKeys(3),
+            (id, b, bandKeys(b), bandKeys,
               // carry the id array once per doc (band 0 only) so the
-              // persisted table stays slim on the other 3 rows
+              // persisted table stays slim on the other rows
               if (b == 0) ids else Array.emptyLongArray)
           }
         }
       }
-      .toDF("i", "band", "sig", "s0", "s1", "s2", "s3", "toks")
+      .toDF("i", "band", "sig", "ks", "toks")
       // both sides of the self-join (broadcast build + probe) would
-      // otherwise re-run the MD5 pass; the table is 4 rows/doc of 7
-      // numeric columns, cheap to keep
+      // otherwise re-run the MD5 pass; the table is numBands rows/doc
+      // of slim numeric columns, cheap to keep
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bandRows
     val b = bandRows.select(col("i").as("j"), col("band").as("band_b"),
-      col("sig").as("sig_b"), col("s0").as("t0"), col("s1").as("t1"),
-      col("s2").as("t2"), col("s3").as("t3"))
+      col("sig").as("sig_b"), col("ks").as("kt"))
     // first-match emission (same trick as d03): a pair colliding in
     // several bands is emitted only from its lowest colliding band —
     // unique pairs with NO distinct shuffle over the collision stream,
-    // and the predicate is plain codegen'd column comparisons.
-    def bandEq(k: Int): Column = col(s"s$k") === col(s"t$k")
+    // and the predicate is plain codegen'd array-element comparisons.
+    def bandEq(k: Int): Column =
+      element_at(col("ks"), k + 1) === element_at(col("kt"), k + 1)
     val firstMatch = (1 until numBands)
       .foldLeft(when(col("band") === 0, lit(true))) { (acc, idx) =>
         acc.when(col("band") === idx, !(0 until idx).map(bandEq).reduce(_ || _))
@@ -1468,10 +1476,11 @@ object Dedup {
     * — the bounded sample is the production eval shape.
     *
     * Output (one row): sampled_docs, true_pairs, found_pairs, recall
-    * (1.0 when the sample holds no true pair — vacuous). On this
-    * corpus the expected recall of 4 bands × 3 rows at τ=0.5 is
-    * 1−(1−0.5³)⁴ ≈ 0.41 at the threshold — a diagnostic with real
-    * signal, not a tautology. */
+    * (1.0 when the sample holds no true pair — vacuous). The expected
+    * recall of the current 8 bands × 2 rows at exactly τ=0.5 is
+    * 1−(1−0.5²)⁸ ≈ 0.90 (this instrument measured the previous
+    * 4×3 shape at 0.80 on this corpus and drove the retune) — a
+    * diagnostic with real signal, not a tautology. */
   def d14(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val par = s.sparkContext.defaultParallelism
@@ -1487,8 +1496,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the shared tokens() definition, filtered to the sample (the
     // doc_id predicate pushes below the generate) — one tokenization
-    // definition to keep in step with the oracle's string_split
+    // definition to keep in step with the oracle's string_split;
+    // persisted for the same multi-consumer reason as sample/bands
+    // (it feeds sizes plus BOTH sides of the inverted-index self-join)
     val tok = tokens(s, d).where(col("doc_id") % step === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("nn"))
     val inter = tok.select(col("doc_id").as("a"), col("w"))
       .join(tok.select(col("doc_id").as("b"), col("w")), "w")

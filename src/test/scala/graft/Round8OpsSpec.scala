@@ -176,8 +176,11 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = graft.ops.Dedup.d14(spark, sf).head()
     val (sampled, truePairs, foundPairs, recall) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
-    // the census-derived step bounds the sample (dense ids at gate SFs)
-    assert(sampled > 0 && sampled <= graft.ops.Dedup.D14SampleTarget)
+    // The modulo-step census bounds the count at the target only for
+    // dense 0/1-based ids (true at the gate SFs); sparse or clustered
+    // ids can legitimately land above or below it, so assert a
+    // generous multiple rather than the exact target.
+    assert(sampled > 0 && sampled <= 2 * graft.ops.Dedup.D14SampleTarget)
     // found is a subset of truth; recall is its exact ratio
     assert(foundPairs <= truePairs)
     assert(recall >= 0.0 && recall <= 1.0)

@@ -100,10 +100,13 @@ object SweepDup {
     if (n.startsWith("a06"))
       println(s"[sweep]   a06 candidate volume @ $dir: " +
         s"${graft.ops.Ann.a06CandidateVolume(spark, dir)} ADC scorings")
-    if (n.startsWith("a07") || n.startsWith("a08")) {
-      // READ the published assignment table (a07 just ran, so the
-      // fingerprint is fresh — readOrCompute is a parquet scan here,
-      // not a re-train) and derive the pair volume from cluster sizes
+    if ((n.startsWith("a07") || n.startsWith("a08")) &&
+        graft.core.Materialize.exists(spark, "kmeans",
+          graft.ops.Ann.kmeansFingerprint(spark, dir))) {
+      // READ the published assignment table (guarded on it existing:
+      // a07 in the timed list publishes it, so readOrCompute is a
+      // parquet scan — timing a08 alone must NOT silently pay a full
+      // k-means training inside an untimed diagnostic)
       val asg = graft.ops.Ann.assignmentTable(spark, dir)
         .groupBy("cluster").agg(count(lit(1)).as("n"))
       val row = asg.agg(
