@@ -81,7 +81,7 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) ->
         acc + CAST(POWER(2, p) AS BIGINT) * (CASE WHEN
           aggregate(sequence(0, size(q)-1), CAST(0 AS BIGINT),
-            (s2, i) -> s2 + q[i] * (((p * 73856093 + i * 19349663) % 2003) - 1001)) >= 0
+            (s2, i) -> s2 + q[i] * (((CAST(p AS BIGINT) * 73856093 + CAST(i AS BIGINT) * 19349663) % 2003) - 1001)) >= 0
           THEN 1 ELSE 0 END))"""))
       .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // codegen path (whole-stage) and interpreted eval of the expression
