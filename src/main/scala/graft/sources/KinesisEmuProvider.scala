@@ -70,7 +70,10 @@ class KinesisEmuTable(options: CaseInsensitiveStringMap) extends Table
     new KinesisEmuWriteBuilder(streamName, options, info.schema())
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new KinesisEmuScanBuilder(streamName, Option(options.get("persistDir")))
+    new KinesisEmuScanBuilder(streamName, Option(options.get("persistDir")),
+      AdmissionCaps(
+        Option(options.get("maxRecordsPerTrigger")).map(_.toLong),
+        Option(options.get("maxBytesPerTrigger")).map(_.toLong)))
 }
 
 // ---------------------------------------------------------------- write
@@ -288,15 +291,28 @@ object ShardOffsets {
       .map(m => m.group(1) -> m.group(2).toLong).toMap)
 }
 
-class KinesisEmuScanBuilder(stream: String, persistDir: Option[String] = None)
-    extends ScanBuilder {
-  override def build(): Scan = new KinesisEmuScan(stream, persistDir)
+/** Source-side admission control configuration (reference R3: the
+  * whole point of the reference's buffer layer is bounded-memory
+  * transfer — `kinesis/kinesis.go:75-89` flushes at most one buffer
+  * per tick). Unbounded catch-up reads are the streaming-restart OOM
+  * at 100 TB/day; these caps bound every micro-batch. */
+final case class AdmissionCaps(maxRecords: Option[Long], maxBytes: Option[Long]) {
+  maxRecords.foreach(n => require(n > 0, s"maxRecordsPerTrigger must be > 0, got $n"))
+  maxBytes.foreach(n => require(n > 0, s"maxBytesPerTrigger must be > 0, got $n"))
+  def isUnlimited: Boolean = maxRecords.isEmpty && maxBytes.isEmpty
 }
 
-class KinesisEmuScan(stream: String, persistDir: Option[String] = None) extends Scan {
+class KinesisEmuScanBuilder(stream: String, persistDir: Option[String] = None,
+                            caps: AdmissionCaps = AdmissionCaps(None, None))
+    extends ScanBuilder {
+  override def build(): Scan = new KinesisEmuScan(stream, persistDir, caps)
+}
+
+class KinesisEmuScan(stream: String, persistDir: Option[String] = None,
+                     caps: AdmissionCaps = AdmissionCaps(None, None)) extends Scan {
   override def readSchema(): StructType = KinesisEmuTable.READ_SCHEMA
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KinesisEmuMicroBatchStream(stream, persistDir)
+    new KinesisEmuMicroBatchStream(stream, persistDir, caps)
 }
 
 /** Executor-side view of a durable stream: (re)load the shared
@@ -312,8 +328,13 @@ object DurableStreamView {
   }
 }
 
-class KinesisEmuMicroBatchStream(stream: String, persistDir: Option[String] = None)
-    extends MicroBatchStream {
+class KinesisEmuMicroBatchStream(stream: String, persistDir: Option[String] = None,
+                                 caps: AdmissionCaps = AdmissionCaps(None, None))
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{
+    CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxRows}
+
   private def shards = {
     // durable streams: refresh the driver's view so cross-process
     // commits made since the last trigger become visible offsets
@@ -329,6 +350,104 @@ class KinesisEmuMicroBatchStream(stream: String, persistDir: Option[String] = No
   override def deserializeOffset(json: String): Offset = ShardOffsets.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // ---- admission control (reference R3's bounded-transfer intent):
+  // the engine calls latestOffset(start, limit) INSTEAD of the 0-arg
+  // form, so a restart after an outage drains the backlog across many
+  // bounded micro-batches instead of one unbounded catch-up batch.
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims = (caps.maxRecords.map(ReadLimit.maxRows) ++
+      caps.maxBytes.map(ReadLimit.maxBytes)).toArray
+    lims.length match {
+      case 0 => ReadLimit.allAvailable()
+      case 1 => lims.head
+      case _ => ReadLimit.compositeLimit(lims)
+    }
+  }
+
+  /** the true shard head, for progress/lag reporting — never capped. */
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    def capsOf(l: ReadLimit): (Option[Long], Option[Long]) = l match {
+      case r: ReadMaxRows => (Some(r.maxRows), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(capsOf).reduce((x, y) =>
+          (x._1.orElse(y._1), x._2.orElse(y._2)))
+      case _ => (None, None) // allAvailable / minRows: no ceiling
+    }
+    val (rowCap, byteCap) = capsOf(limit)
+    if (rowCap.isEmpty && byteCap.isEmpty) latestOffset()
+    else {
+      val from = start.asInstanceOf[ShardOffsets].next
+      ShardOffsets(cappedAdvance(from, rowCap, byteCap))
+    }
+  }
+
+  /** Per-shard bounded advance. Rows: max-min fair share across shards
+    * (smallest backlog first, remainder re-split over the rest — no
+    * shard starves while another drains). Bytes: one GLOBAL budget
+    * walked round-robin across shards in shardId order, always
+    * admitting at least one record when any backlog exists (a single
+    * record larger than the cap must still make progress — the file
+    * source's maxBytesPerTrigger behaves the same way). The byte walk
+    * touches only the records it admits (plus the emu's per-shard
+    * snapshot); a row-only cap is pure offset arithmetic. */
+  private def cappedAdvance(from: Map[String, Long], rowCap: Option[Long],
+                            byteCap: Option[Long]): Map[String, Long] = {
+    val snap = shards.sortBy(_.shardId)
+    val avail = snap.map(sh => sh.shardId ->
+      math.max(0L, sh.latestSequence + 1 - from.getOrElse(sh.shardId, 0L))).toMap
+    // rows: max-min fair allocation of the global row cap
+    val rowAlloc: Map[String, Long] = rowCap match {
+      case None => avail
+      case Some(cap) =>
+        var remaining = cap
+        var left = snap.size
+        val out = scala.collection.mutable.Map[String, Long]()
+        snap.sortBy(sh => avail(sh.shardId)).foreach { sh =>
+          val share = if (left == 0) 0L else remaining / left
+          val take = math.min(avail(sh.shardId), share)
+          out(sh.shardId) = take
+          remaining -= take
+          left -= 1
+        }
+        out.toMap
+    }
+    byteCap match {
+      case None =>
+        snap.map(sh => sh.shardId ->
+          (from.getOrElse(sh.shardId, 0L) + rowAlloc(sh.shardId))).toMap
+      case Some(budget) =>
+        // round-robin global byte budget over the row-allocated ranges
+        val its = snap.map { sh =>
+          val f = from.getOrElse(sh.shardId, 0L)
+          sh.shardId -> sh.records.iterator
+            .filter(r => r.sequenceNumber >= f &&
+              r.sequenceNumber < f + rowAlloc(sh.shardId))
+        }.toMap
+        val taken = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        var bytesLeft = budget
+        var admittedAny = false
+        var progressed = true
+        while (progressed && (bytesLeft > 0 || !admittedAny)) {
+          progressed = false
+          snap.foreach { sh =>
+            val it = its(sh.shardId)
+            if ((bytesLeft > 0 || !admittedAny) && it.hasNext) {
+              val r = it.next()
+              taken(sh.shardId) += 1
+              bytesLeft -= r.data.length
+              admittedAny = true
+              progressed = true
+            }
+          }
+        }
+        snap.map(sh => sh.shardId ->
+          (from.getOrElse(sh.shardId, 0L) + taken(sh.shardId))).toMap
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShardOffsets].next

@@ -344,6 +344,77 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(qName).where(col("dup_of") >= col("doc_id")).count() == 0)
   }
 
+  test("S11: admission control — a preloaded backlog drains across bounded micro-batches") {
+    KinesisEmu.reset()
+    KinesisEmu.createStream("adm", 2)
+    // 47-record backlog BEFORE the query starts: the restart-after-
+    // outage shape the caps exist for (VERDICT r8: an uncapped
+    // catch-up batch reads the whole backlog at once)
+    (0 until 47).foreach { i =>
+      KinesisEmu.putRecords("adm",
+        Seq(graft.ingest.KinesisRecord(s"k$i", Array.fill(100)(i.toByte))))
+    }
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Seq[(Long, String)]]())
+    val q = spark.readStream.format("kinesis-emu")
+      .option("stream", "adm").option("maxRecordsPerTrigger", "10").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.add(df.select("sequenceNumber", "shardId").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq)
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batches.asScala.map(_.size).filter(_ > 0)
+    // bounded batches: never above the cap, and the backlog NEEDED
+    // multiple micro-batches (ceil(47/10) = 5)
+    assert(sizes.forall(_ <= 10), s"batch over cap: $sizes")
+    assert(sizes.size >= 5, s"backlog drained in too few batches: $sizes")
+    // exactly-once drain: all 47 (seq, shard) pairs, no dupes
+    val all = batches.asScala.flatten
+    assert(all.size == 47 && all.distinct.size == 47, s"loss/dup: ${all.size}")
+    KinesisEmu.reset()
+  }
+
+  test("S11b: maxBytesPerTrigger bounds batch bytes; an oversized record still progresses") {
+    KinesisEmu.reset()
+    KinesisEmu.createStream("admb", 2)
+    (0 until 30).foreach { i =>
+      KinesisEmu.putRecords("admb",
+        Seq(graft.ingest.KinesisRecord(s"k$i", Array.fill(100)(i.toByte))))
+    }
+    // one record larger than the whole cap — must be admitted alone
+    // rather than stall the stream forever
+    KinesisEmu.putRecords("admb",
+      Seq(graft.ingest.KinesisRecord("big", Array.fill(1000)(7.toByte))))
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Seq[(Long, String, Int)]]())
+    val q = spark.readStream.format("kinesis-emu")
+      .option("stream", "admb").option("maxBytesPerTrigger", "350").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.add(df.selectExpr("sequenceNumber", "shardId", "length(data)").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq)
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val nonEmpty = batches.asScala.filter(_.nonEmpty)
+    // byte-bounded: each batch stays within cap + one record overshoot
+    // (the admit-while-budget-remains contract; the overshoot record is
+    // what guarantees progress on oversized records)
+    assert(nonEmpty.forall(_.map(_._3).sum <= 350 + 1000),
+      s"batch bytes: ${nonEmpty.map(_.map(_._3).sum)}")
+    assert(nonEmpty.size >= 8, s"too few byte-capped batches: ${nonEmpty.size}")
+    val all = nonEmpty.flatten
+    assert(all.size == 31 && all.map(r => (r._1, r._2)).distinct.size == 31,
+      s"loss/dup: ${all.size}")
+    KinesisEmu.reset()
+  }
+
   test("S6b: tiny watermark horizon bounds state but may re-emit expired keys") {
     import graft.streaming.StreamDedup
     val keys = Seq("user_id", "event_type")
