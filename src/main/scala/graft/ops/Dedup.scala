@@ -1453,6 +1453,92 @@ object Dedup {
       |WHERE n * 2 >= c
       |ORDER BY inter.doc_id, in_doc_id""".stripMargin
 
+  // ---- d15: duplicated-span EXCISION (the cleaned-corpus artifact) ----
+
+  /** d15: span EXCISION — the artifact a pipeline actually trains on,
+    * where d11/d12 only REPORT span duplication: for every occurrence
+    * of a [[SpanLen]]-token span that appears ≥ 2 times corpus-wide
+    * (counting every position, so intra-document repeats count — the
+    * substring-dedup definition of Lee et al.'s fixed-length-span
+    * form, no suffix array needed), keep the GLOBAL FIRST occurrence
+    * (lexicographic min (doc_id, position)) and mark every other
+    * occurrence's token range removed. Overlapping/adjacent removed
+    * ranges merge per document (gaps-and-islands over a running max),
+    * so the output is the minimal set of (doc_id, rm_from, rm_to)
+    * 1-based inclusive token intervals a cleaner applies; kept text is
+    * the complement.
+    *
+    * Scale shape at 100 TB: one position-explode (≈ token count rows),
+    * a partial-aggregable groupBy(span-hash) for (count, first) — the
+    * survivors table is slim (hash + 2 ids) — one hash join back on
+    * the span hash, then per-DOCUMENT windows (bounded by doc length,
+    * never corpus-wide). Volume rides the token count, the same rail
+    * as d11; no pairwise term anywhere. */
+  def d15(s: SparkSession, d: String): DataFrame = {
+    val e = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= SpanLen) // sequence() counts DOWN below this
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${SpanLen - 1})")).as("i"))
+      .select(col("doc_id"), col("i").cast(LongType).as("i"),
+        expr(s"md5(concat_ws(' ', slice(toks, CAST(i AS INT), $SpanLen)))").as("sh"))
+    val firsts = e.groupBy("sh")
+      .agg(count(lit(1)).as("cnt"), min(struct(col("doc_id"), col("i"))).as("f"))
+      .where(col("cnt") >= 2)
+      .select(col("sh"), col("f.doc_id").as("fd"), col("f.i").as("fi"))
+    val rm = e.join(firsts, "sh")
+      .where(!(col("doc_id") === col("fd") && col("i") === col("fi")))
+      .select(col("doc_id"), col("i").as("s"),
+        (col("i") + (SpanLen - 1)).as("e"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val prevEnd = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    rm.withColumn("newi",
+        when(prevEnd.isNull || col("s") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("newi")).over(w))
+      .groupBy("doc_id", "grp")
+      .agg(big(min(col("s"))).as("rm_from"), big(max(col("e"))).as("rm_to"))
+      .select(col("doc_id"), col("rm_from"), col("rm_to"),
+        (col("rm_to") - col("rm_from") + 1).as("tokens_removed"))
+      .orderBy("doc_id", "rm_from")
+  }
+
+  val d15Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |e AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t) - ${SpanLen - 1})) AS i
+      |  FROM toks WHERE len(t) >= $SpanLen),
+      |occ AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    md5(array_to_string(list_slice(t, CAST(i AS INT), CAST(i + ${SpanLen - 1} AS INT)), ' ')) AS sh
+      |  FROM e),
+      |marked AS (
+      |  SELECT doc_id, i,
+      |    COUNT(*) OVER (PARTITION BY sh) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+      |  FROM occ),
+      |rm AS (
+      |  SELECT doc_id, i AS s, i + ${SpanLen - 1} AS e
+      |  FROM marked WHERE cnt >= 2 AND rn > 1),
+      |g AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+      |      THEN 1 ELSE 0 END AS newi
+      |  FROM rm),
+      |isl AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(newi) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+      |  FROM g)
+      |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS rm_from,
+      |  CAST(MAX(e) AS BIGINT) AS rm_to,
+      |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS tokens_removed
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, rm_from""".stripMargin
+
   // ---- d14: LSH recall evaluation on a deterministic sample ----
 
   /** d14 bounds its exact ground-truth computation to about this many
@@ -1577,6 +1663,7 @@ object Dedup {
       |            / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END AS recall""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_span_excision" -> d15 _,
     "d14_lsh_recall" -> d14 _,
     "d12_span_containment" -> d12 _,
     "d11_dup_span_coverage" -> d11 _,
@@ -1593,6 +1680,7 @@ object Dedup {
     "d13_canonical_keep" -> d13 _)
 
   val oracle: Map[String, String] = Map(
+    "d15_span_excision" -> d15Sql,
     "d14_lsh_recall" -> d14Sql,
     "d12_span_containment" -> d12Sql,
     "d11_dup_span_coverage" -> d11Sql,
