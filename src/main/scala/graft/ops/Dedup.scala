@@ -160,21 +160,21 @@ object Dedup {
           java.util.Arrays.sort(ids)
           val bandKeys = docBandKeys(md, toks)
           Iterator.tabulate(numBands) { b =>
-            (id, b, bandKeys(b), bandKeys,
+            (id, b, bandKeys(b), bandKeys, ids.length,
               // carry the id array once per doc (band 0 only) so the
               // persisted table stays slim on the other rows
               if (b == 0) ids else Array.emptyLongArray)
           }
         }
       }
-      .toDF("i", "band", "sig", "ks", "toks")
+      .toDF("i", "band", "sig", "ks", "n", "toks")
       // both sides of the self-join (broadcast build + probe) would
       // otherwise re-run the MD5 pass; the table is numBands rows/doc
       // of slim numeric columns, cheap to keep
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bandRows
     val b = bandRows.select(col("i").as("j"), col("band").as("band_b"),
-      col("sig").as("sig_b"), col("ks").as("kt"))
+      col("sig").as("sig_b"), col("ks").as("kt"), col("n").as("nb"))
     // first-match emission (same trick as d03): a pair colliding in
     // several bands is emitted only from its lowest colliding band —
     // unique pairs with NO distinct shuffle over the collision stream,
@@ -186,8 +186,16 @@ object Dedup {
         acc.when(col("band") === idx, !(0 until idx).map(bandEq).reduce(_ || _))
       }
       .otherwise(lit(false))
+    // size-ratio prune INSIDE the join predicate: jac = |∩|/|∪| ≤
+    // min(|A|,|B|)/max(|A|,|B|), so a pair whose distinct-token counts
+    // differ by more than 2× can never reach the 0.5 threshold — an
+    // exact necessary condition evaluated as codegen'd integer
+    // comparisons before any array is touched (the 2-row bands of the
+    // recall-tuned 8×2 shape admit far more false candidates than the
+    // old 3-row bands; this claws a slice of them back for free)
     val cand = a.join(b, col("band") === col("band_b") &&
-        col("sig") === col("sig_b") && col("i") < col("j"))
+        col("sig") === col("sig_b") && col("i") < col("j") &&
+        greatest(col("n"), col("nb")) <= lit(2) * least(col("n"), col("nb")))
       .where(firstMatch)
       .select("i", "j")
 
