@@ -103,8 +103,25 @@ object Bench {
     runControl("pre")
     val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val midAt = allQueries.size / 2
+    // per-SUITE control samples (r8 verdict: the p-suite incident was
+    // invisible because the probe ran pre/mid/post only — a transient
+    // host stall inside one suite couldn't be localized). One probe is
+    // stamped at each suite boundary (suites are contiguous under the
+    // name sort: a/d/m/p/q/s/t); these are reported separately and do
+    // NOT feed the frozen pre/mid/post median, whose protocol every
+    // prior freeze compares against.
+    val suiteCtl = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def runSuiteControl(suite: String): Unit = {
+      val s = controlProbe(spark, sfDir)
+      suiteCtl(suite) = s
+      System.err.println(f"[bench-ctl] suite:$suite ${s}%.3fs")
+      cleanStorage()
+    }
+    var prevSuite = ""
     val results = allQueries.zipWithIndex.map { case ((name, fn), qIdx) =>
       if (qIdx == midAt) runControl("mid")
+      val suite = name.take(1)
+      if (suite != prevSuite) { prevSuite = suite; runSuiteControl(suite) }
       val load0 = loadAvg
       val gc0 = gcMillis
       val t0 = System.nanoTime()
@@ -132,10 +149,12 @@ object Bench {
     // list in the diag file). Extra top-level JSON keys are additive —
     // the driver's parser reads metric/value/queries and ignores these.
     val ctl = r3(ctlRuns.sorted.apply(ctlRuns.size / 2))
+    val suites = suiteCtl.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""control":$ctl,"sf":"$sfDir"}"""
+        s""""control":$ctl,"suite_controls":$suites,"sf":"$sfDir"}"""
     }
     // total = sum of the ALREADY-ROUNDED per-query values (re-rounded to
     // strip FP dust), so a consumer cross-summing the queries map gets
