@@ -218,6 +218,79 @@ class CrossProcessEmuSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bins.length == epochs, s"${bins.length} attempt files for $epochs tokens")
   }
 
+  test("compaction folds the log into one bounded segment; reads byte-identical even mid-compaction") {
+    val dir = Files.createTempDirectory("graft_xproc_compact").toString
+    FileEmuStore.createStream(dir, "cp", numShards = 2)
+    for (e <- 0L until 20L)
+      assert(KinesisEmu.putRecordsIdempotentPersisted(dir, "cp", e, 0,
+        CrossProcessCommitter.recordsFor(e)))
+    // a second partition, and a legitimately EMPTY committed batch
+    // (Spark emits empty partitions routinely)
+    assert(FileEmuStore.commitEpoch(dir, "cp", 7L, 1,
+      CrossProcessCommitter.recordsFor(107L), 42L))
+    assert(FileEmuStore.commitEpoch(dir, "cp", 20L, 0, Seq.empty, 0L))
+    def snapshot() = FileEmuStore.loadCommitted(dir, "cp").map(b =>
+      (b.key, b.partition, b.records.map { case (k, d, ts) => (k, d.toSeq, ts) }))
+    val before = snapshot()
+    assert(before.size == 22)
+
+    // compact-while-reading: 4 readers hammer loadCommitted during the
+    // fold; every read must equal the pre-compaction snapshot exactly
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val readers = (1 to 4).map(_ => new Thread(() => {
+      while (!stop.get && bad.get == null) {
+        try { if (snapshot() != before) bad.compareAndSet(null, "read diverged mid-compaction") }
+        catch { case e: Throwable => bad.compareAndSet(null, e.toString) }
+      }
+    }))
+    readers.foreach(_.start())
+    val folded =
+      try FileEmuStore.compact(dir, "cp")
+      finally { stop.set(true); readers.foreach(_.join()) }
+    assert(bad.get == null, s"concurrent reader failed: ${bad.get}")
+    assert(folded == 22)
+    assert(snapshot() == before, "post-compaction read must be byte-identical")
+
+    // the directory is bounded: 1 segment, zero tokens, zero attempt files
+    def count(sub: String, suffix: String) =
+      Files.list(Paths.get(dir, "cp", sub)).toArray.map(_.toString).count(_.endsWith(suffix))
+    assert(count("segments", ".seg") == 1)
+    assert(count("commits", ".token") == 0)
+    assert(count("data", ".bin") == 0)
+
+    // exactly-once SURVIVES token deletion — in-process and from a real
+    // second JVM: the child retries every compacted epoch (all must
+    // no-op via segment coverage) and appends 21-25
+    assert(!KinesisEmu.putRecordsIdempotentPersisted(dir, "cp", 3L, 0,
+      CrossProcessCommitter.recordsFor(3)))
+    val out = await(spawnChild(dir, "cp", "0", "25", "1"))
+    val childWins = "CHILD_DONE wins=(\\d+)".r.findFirstMatchIn(out)
+      .map(_.group(1).toInt).getOrElse(fail(s"no summary in: $out"))
+    assert(childWins == 5, s"child must win ONLY the 5 new epochs: $out")
+    val after = snapshot()
+    assert(after.size == 27)
+    assert(after.take(22) == before, "compacted prefix stable as the stream grows")
+
+    // a second compact folds the new head and re-merges into ONE segment
+    assert(FileEmuStore.compact(dir, "cp") == 5)
+    assert(snapshot() == after)
+    assert(count("segments", ".seg") == 1)
+
+    // retention horizon: a token younger than the horizon is NOT folded
+    // and stays readable alongside the segment
+    assert(KinesisEmu.putRecordsIdempotentPersisted(dir, "cp", 99L, 0,
+      CrossProcessCommitter.recordsFor(99)))
+    assert(FileEmuStore.compact(dir, "cp", minAgeMillis = 3600L * 1000) == 0)
+    assert(count("commits", ".token") == 1)
+    assert(snapshot().size == 28)
+
+    // the full replay still assigns dense per-shard sequences
+    KinesisEmu.loadPersisted(dir, "cp").shards.foreach { sh =>
+      assert(sh.records.map(_.sequenceNumber) == (0L until sh.records.size.toLong))
+    }
+  }
+
   test("DSv2 source reads a durable stream committed by ANOTHER process") {
     val dir = Files.createTempDirectory("graft_xproc_read").toString
     FileEmuStore.createStream(dir, "xr", numShards = 2)
