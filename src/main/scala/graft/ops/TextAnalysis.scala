@@ -635,7 +635,132 @@ object TextAnalysis {
       |  $selects) ORDER BY round""".stripMargin
   }
 
+  /** Integer quantization scale for t13's per-bigram probabilities:
+    * q = ⌊T13Scale·(c_ab+1)/(c_a+V)⌋ keeps the whole score path in
+    * exact BIGINT arithmetic until one final division. */
+  val T13Scale = 1000000L
+
+  /** t13: bigram-LM quality scoring — the KenLM-style "does this text
+    * look like the corpus" filter (CCNet/Dolma run exactly this shape
+    * to rank web text before training): a Laplace-smoothed bigram model
+    * p(b|a) = (c_ab+1)/(c_a+V) is TRAINED FROM THE CORPUS ITSELF and
+    * every document is scored by its mean bigram probability. A mean of
+    * per-bigram IEEE values would hash-differ across engines (summation
+    * order), so each DISTINCT bigram's probability is quantized once to
+    * the exact integer q = ⌊[[T13Scale]]·(c_ab+1)/(c_a+V)⌋, summed per
+    * document in BIGINT, and divided ONCE at the end — bit-identical
+    * cross-engine (the t08/t11 rational-score discipline). Templated/
+    * in-distribution text scores high; out-of-vocabulary juxtapositions
+    * score near 1/V.
+    *
+    * Scale shape at 100 TB: one token explode feeds the map-side-
+    * combined unigram count (vocab-sized, persisted — the t11 pattern);
+    * one bigram explode feeds the distinct-bigram count; q is computed
+    * once per DISTINCT bigram (slim join to the unigram table + the
+    * 1-row vocab broadcast cross), then one equi-join of doc-bigram
+    * occurrences to the q table on slim word-pair keys and a partial-
+    * aggregable per-doc sum. Volume rides the token count; the BIGINT
+    * products stay below 2^53 through the sweeps (a 100 TB run would
+    * route them through Decimal(38,0) the way p06 does). */
+  def t13(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+    // persisted: consumed by the q-table join AND the vocab-size
+    // aggregate — one corpus token pass, vocab-sized cache (t11)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val docBi = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bq = docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .join(uni.select(col("w").as("w1"), col("c1")), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("q", expr(s"($T13Scale * (c2 + 1)) DIV (c1 + v)"))
+      .select(col("w1"), col("w2"), col("q"))
+    docBi.join(bq, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(big(count(lit(1))).as("n_bigrams"), big(sum(col("q"))).as("lm_q"))
+      .withColumn("lm_score", col("lm_q").cast(DoubleType) /
+        (lit(T13Scale) * col("n_bigrams")).cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
+  val t13Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ucnt AS (
+      |  SELECT w, COUNT(*) AS c1
+      |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |vocab AS (SELECT COUNT(*) AS v FROM ucnt),
+      |e AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |  FROM toks WHERE len(t) >= 2),
+      |db AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2 FROM e),
+      |bq AS (
+      |  SELECT b.w1, b.w2, ($T13Scale * (b.c2 + 1)) // (u.c1 + vocab.v) AS q
+      |  FROM (SELECT w1, w2, COUNT(*) AS c2 FROM db GROUP BY 1, 2) b
+      |  JOIN ucnt u ON u.w = b.w1
+      |  CROSS JOIN vocab)
+      |SELECT d.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(q) AS BIGINT) AS lm_q,
+      |  CAST(SUM(q) AS DOUBLE) / CAST($T13Scale * COUNT(*) AS DOUBLE) AS lm_score
+      |FROM db d JOIN bq ON bq.w1 = d.w1 AND bq.w2 = d.w2
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** t14: PII/noise REDACTION — the artifact t07 only reports on: every
+    * token matching a carrier pattern is replaced by a typed
+    * placeholder (the C4/Dolma pre-training redaction pass), with
+    * per-document counts and the md5 of the redacted text as the
+    * driver-hashable proof of the rewrite. Patterns are TOKEN-anchored
+    * (t07's email regex precedent) so Java-regex rlike and DuckDB/RE2
+    * regexp_matches agree by construction — no cross-dialect
+    * regexp_replace semantics in play. Counts are taken on the
+    * placeholder tokens themselves, so count and rewrite can never
+    * disagree. Priority: email, then URL prefix, then long-digit runs.
+    *
+    * Scale shape: entirely row-local (one transform + three filters
+    * per document) — zero shuffles before the output sort; the
+    * embarrassingly-parallel end of the suite. */
+  def t14(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+    val numRe = "^[0-9]{4,}$"
+    documents(s, d)
+      .withColumn("red", transform(split(col("text"), " "), tk =>
+        when(tk.rlike(emailRe), lit("<EMAIL>"))
+          .when(lower(tk).startsWith("http://") || lower(tk).startsWith("https://") ||
+            lower(tk).startsWith("www."), lit("<URL>"))
+          .when(tk.rlike(numRe), lit("<NUM>"))
+          .otherwise(tk)))
+      .select(col("doc_id"),
+        big(size(filter(col("red"), t => t === "<EMAIL>"))).as("n_email"),
+        big(size(filter(col("red"), t => t === "<URL>"))).as("n_url"),
+        big(size(filter(col("red"), t => t === "<NUM>"))).as("n_num"),
+        md5(concat_ws(" ", col("red"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val t14Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '), tk ->
+      |    CASE WHEN regexp_matches(tk, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') THEN '<EMAIL>'
+      |         WHEN starts_with(lower(tk), 'http://') OR starts_with(lower(tk), 'https://')
+      |           OR starts_with(lower(tk), 'www.') THEN '<URL>'
+      |         WHEN regexp_matches(tk, '^[0-9]{4,}$') THEN '<NUM>'
+      |         ELSE tk END) AS red
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(red, t -> t = '<EMAIL>')) AS BIGINT) AS n_email,
+      |  CAST(len(list_filter(red, t -> t = '<URL>')) AS BIGINT) AS n_url,
+      |  CAST(len(list_filter(red, t -> t = '<NUM>')) AS BIGINT) AS n_num,
+      |  md5(array_to_string(red, ' ')) AS redacted_md5
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_pii_redaction" -> t14 _,
+    "t13_lm_score" -> t13 _,
     "t12_bpe_merges" -> t12 _,
     "t11_bigram_lift" -> t11 _,
     "t10_source_novelty" -> t10 _,
@@ -650,6 +775,8 @@ object TextAnalysis {
     "t07_web_noise" -> t07 _)
 
   val oracle: Map[String, String] = Map(
+    "t14_pii_redaction" -> t14Sql,
+    "t13_lm_score" -> t13Sql,
     "t12_bpe_merges" -> t12Sql,
     "t11_bigram_lift" -> t11Sql,
     "t10_source_novelty" -> t10Sql,

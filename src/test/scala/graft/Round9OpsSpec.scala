@@ -1,16 +1,18 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.ops.Dedup
+import graft.ops.TextAnalysis
 
-/** Round-9 operator contracts: d15's span-excision output must be a
-  * valid set of removal intervals — in-bounds, disjoint, maximal
-  * (no two mergeable islands), and only ever removing spans the
-  * corpus actually duplicates.
+/** Round-9 operator contracts: t13's bigram-LM score pinned to
+  * hand-computed smoothed counts on a synthetic fixture, and t14's
+  * redaction pinned token-by-token (placeholders, counts, md5 of the
+  * rewritten text) plus no-op behavior on clean text.
   */
 class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -27,58 +29,66 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("d15: removal intervals are in-bounds, disjoint, maximal, and span-sized") {
-    val df = Dedup.d15(spark, sf).cache()
-    try {
-      assert(df.count() > 0, "sf0.001 holds near-dup docs; excision must fire")
-      // interval arithmetic: 1-based, ordered, at least one span wide
-      assert(df.where(col("rm_from") < 1 || col("rm_to") < col("rm_from")).count() == 0)
-      assert(df.where(col("tokens_removed") =!=
-        col("rm_to") - col("rm_from") + 1).count() == 0)
-      assert(df.where(col("tokens_removed") < Dedup.SpanLen).count() == 0,
-        "an island is at least one excised span long")
-      // in bounds of the document's token count
-      val nTok = graft.core.Tables.documents(spark, sf)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
-      assert(df.join(nTok, "doc_id").where(col("rm_to") > col("n")).count() == 0)
-      // islands are disjoint AND non-adjacent (maximally merged): the
-      // next island in a doc starts at least 2 past the previous end
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("rm_from")
-      val withPrev = df.withColumn("prev_to", lag(col("rm_to"), 1).over(w))
-      assert(withPrev.where(col("prev_to").isNotNull &&
-        col("rm_from") <= col("prev_to") + 1).count() == 0)
-    } finally df.unpersist()
+  private def fixtureDir(docs: Seq[(Long, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_r9_fixture").toString
+    docs.map { case (id, text) =>
+      (id, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
   }
 
-  test("d15: synthetic fixture — first occurrence survives, copies and embeds excised") {
-    import spark.implicits._
-    // a corpus whose duplication structure is known exactly:
-    //   doc 1: tokens a1..a10                      (the original)
-    //   doc 2: identical text                      (exact copy)
-    //   doc 3: u1 u2 a1..a8 v1 v2                  (embeds doc 1's first span)
-    //   doc 4: b1..b10, all unique                 (untouched)
-    //   doc 5: c1..c5, shorter than SpanLen        (no spans at all)
-    val a = (1 to 10).map(i => s"a$i").mkString(" ")
-    val fixture = Seq(
-      (1L, a, "en", "s1", a.length.toLong),
-      (2L, a, "en", "s1", a.length.toLong),
-      (3L, ("u1 u2 " + (1 to 8).map(i => s"a$i").mkString(" ") + " v1 v2"), "en", "s2", 0L),
-      (4L, (1 to 10).map(i => s"b$i").mkString(" "), "en", "s2", 0L),
-      (5L, (1 to 5).map(i => s"c$i").mkString(" "), "en", "s2", 0L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val dir = java.nio.file.Files.createTempDirectory("graft-d15").toString
-    fixture.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    try {
-      val out = Dedup.d15(spark, dir)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-      // doc 2 fully excised (its every span's first occurrence is in
-      // doc 1); doc 3's embedded copy [3, 10] excised (u1 u2 ... v1 v2
-      // collar survives); docs 1, 4, 5 untouched
-      assert(out == Seq((2L, 1L, 10L), (3L, 3L, 10L)), s"got $out")
-    } finally {
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(dir)).deleteRecursively()
-    }
+  test("t13: smoothed bigram quantization matches hand computation") {
+    // corpus: c(a,b)=3, c(b,a)=1, c(b,c)=1; c_a=3, c_b=3, c_c=1; V=3
+    // q(a,b) = 1e6*(3+1) DIV (3+3) = 666666
+    // q(b,a) = q(b,c) = 1e6*(1+1) DIV (3+3) = 333333
+    val dir = fixtureDir(Seq(1L -> "a b a b", 2L -> "a b c"))
+    val rows = TextAnalysis.t13(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 3L, 666666L + 333333L + 666666L, 1666665d / 3000000d),
+      (2L, 2L, 666666L + 333333L, 999999d / 2000000d)))
+  }
+
+  test("t13: single-token docs have no bigrams and drop out") {
+    val dir = fixtureDir(Seq(1L -> "solo", 2L -> "a a"))
+    val rows = TextAnalysis.t13(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("t13 @ sf: score in (0,1], lm_q == n_bigrams-weighted quantized sum bound") {
+    val df = TextAnalysis.t13(spark, sf)
+    assert(df.where(col("lm_score") <= 0d || col("lm_score") > 1d).count() == 0)
+    // every per-bigram q is < T13Scale (probability < 1), so the exact
+    // integer sum is bounded by n_bigrams * scale
+    assert(df.where(col("lm_q") >= col("n_bigrams") * TextAnalysis.T13Scale).count() == 0)
+  }
+
+  test("t14: placeholders, counts, and redacted md5 pinned; clean text untouched") {
+    val dir = fixtureDir(Seq(
+      1L -> "contact bob@x.com or WWW.foo.com id 12345 ok",
+      2L -> "plain text with short 123 number"))
+    val rows = TextAnalysis.t14(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 1L, 1L, md5hex("contact <EMAIL> or <URL> id <NUM> ok")),
+      // 3-digit token survives the {4,} long-number rule; text unchanged
+      (2L, 0L, 0L, 0L, md5hex("plain text with short 123 number"))))
+  }
+
+  test("t14 @ sf: email counts consistent with t07's email-carrier flags") {
+    // t07 flags a doc if ANY token matches the same anchored email
+    // regex t14 redacts on — so per-source email-doc counts must agree
+    val t14docs = TextAnalysis.t14(spark, sf).where(col("n_email") > 0)
+      .join(graft.core.Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val t07docs = TextAnalysis.t07(spark, sf).select(col("source"), col("email_docs"))
+    assert(t14docs.join(t07docs, "source")
+      .where(col("n") =!= col("email_docs")).count() == 0)
   }
 }
