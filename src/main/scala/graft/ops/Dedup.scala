@@ -124,80 +124,16 @@ object Dedup {
     }
   }
 
+  /** Candidate-pair count after banding + first-match + size prune but
+    * BEFORE exact verification — the volume the verify stage pays for;
+    * profiling/sweep diagnostic only. */
+  private[graft] def d02CandidateCount(s: SparkSession, d: String): Long =
+    d02Internals(s, d)._2.count()
+
   def d02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val numBands = MinhashSeeds / BandRows
+    val (bandRows, cand) = d02Internals(s, d)
     val par = s.sparkContext.defaultParallelism
-    // One row per (doc, band): the bucket key for THIS band plus the
-    // full band-key ARRAY (ks) for the first-match predicate — the
-    // array form keeps the row shape independent of the band count, so
-    // (MinhashSeeds, BandRows) tune without touching this join. Band
-    // keys are the band-MD5 truncated to 60 bits in a BIGINT. A
-    // truncation collision usually only adds a candidate pair that
-    // exact verify rejects; the residual risk is a falsely-bucketed
-    // pair whose true Jaccard >= 0.5 — emitted here but absent from
-    // the full-128-bit oracle — at ~2^-60 per pair, accepted as
-    // negligible. Explicit partition count: the signature pass is
-    // CPU-bound (MD5 per seed x token) and the source is a single row
-    // group — without the pinned repartition it runs on one core.
-    val bandRows = documents(s, d).select(col("doc_id"), col("text"))
-      .repartition(par, col("doc_id"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, text) =>
-          val toks = text.split(" ", -1).distinct
-          // sorted 64-bit token-id array for the verify kernel, from the
-          // tokenization this pass already did (first 8 MD5 bytes,
-          // big-endian signed long — internal ids, Spark-side only)
-          val ids = toks.map { w =>
-            val h = md.digest(w.getBytes("UTF-8"))
-            var v = 0L
-            var k = 0
-            while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
-            v
-          }
-          java.util.Arrays.sort(ids)
-          val bandKeys = docBandKeys(md, toks)
-          Iterator.tabulate(numBands) { b =>
-            (id, b, bandKeys(b), bandKeys, ids.length,
-              // carry the id array once per doc (band 0 only) so the
-              // persisted table stays slim on the other rows
-              if (b == 0) ids else Array.emptyLongArray)
-          }
-        }
-      }
-      .toDF("i", "band", "sig", "ks", "n", "toks")
-      // both sides of the self-join (broadcast build + probe) would
-      // otherwise re-run the MD5 pass; the table is numBands rows/doc
-      // of slim numeric columns, cheap to keep
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bandRows
-    val b = bandRows.select(col("i").as("j"), col("band").as("band_b"),
-      col("sig").as("sig_b"), col("ks").as("kt"), col("n").as("nb"))
-    // first-match emission (same trick as d03): a pair colliding in
-    // several bands is emitted only from its lowest colliding band —
-    // unique pairs with NO distinct shuffle over the collision stream,
-    // and the predicate is plain codegen'd array-element comparisons.
-    def bandEq(k: Int): Column =
-      element_at(col("ks"), k + 1) === element_at(col("kt"), k + 1)
-    val firstMatch = (1 until numBands)
-      .foldLeft(when(col("band") === 0, lit(true))) { (acc, idx) =>
-        acc.when(col("band") === idx, !(0 until idx).map(bandEq).reduce(_ || _))
-      }
-      .otherwise(lit(false))
-    // size-ratio prune INSIDE the join predicate: jac = |∩|/|∪| ≤
-    // min(|A|,|B|)/max(|A|,|B|), so a pair whose distinct-token counts
-    // differ by more than 2× can never reach the 0.5 threshold — an
-    // exact necessary condition evaluated as codegen'd integer
-    // comparisons before any array is touched (the 2-row bands of the
-    // recall-tuned 8×2 shape admit far more false candidates than the
-    // old 3-row bands; this claws a slice of them back for free)
-    val cand = a.join(b, col("band") === col("band_b") &&
-        col("sig") === col("sig_b") && col("i") < col("j") &&
-        greatest(col("n"), col("nb")) <= lit(2) * least(col("n"), col("nb")))
-      .where(firstMatch)
-      .select("i", "j")
 
     // per-doc sorted 64-bit id arrays: the band-0 projection of the
     // already-persisted band table — no extra corpus scan, no vocab
@@ -218,6 +154,80 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  private[graft] def d02Internals(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val numBands = MinhashSeeds / BandRows
+    val par = s.sparkContext.defaultParallelism
+    // One row per (doc, band): the bucket key for THIS band. Band keys
+    // are the band-MD5 truncated to 60 bits in a BIGINT. A truncation
+    // collision usually only adds a candidate pair that exact verify
+    // rejects; the residual risk is a falsely-bucketed pair whose true
+    // Jaccard >= 0.5 — emitted here but absent from the full-128-bit
+    // oracle — at ~2^-60 per pair, accepted as negligible. Explicit
+    // partition count: the signature pass is CPU-bound (MD5 per seed x
+    // token) and the source is a single row group — without the pinned
+    // repartition it runs on one core.
+    val bandRows = documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(par, col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1).distinct
+          // sorted 64-bit token-id array for the verify kernel, from the
+          // tokenization this pass already did (first 8 MD5 bytes,
+          // big-endian signed long — internal ids, Spark-side only)
+          val ids = toks.map { w =>
+            val h = md.digest(w.getBytes("UTF-8"))
+            var v = 0L
+            var k = 0
+            while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+            v
+          }
+          java.util.Arrays.sort(ids)
+          val bandKeys = docBandKeys(md, toks)
+          Iterator.tabulate(numBands) { b =>
+            (id, b, bandKeys(b), ids.length,
+              // carry the id array once per doc (band 0 only) so the
+              // persisted table stays slim on the other rows
+              if (b == 0) ids else Array.emptyLongArray)
+          }
+        }
+      }
+      .toDF("i", "band", "sig", "n", "toks")
+      // both sides of the self-join (broadcast build + probe) would
+      // otherwise re-run the MD5 pass; the table is numBands rows/doc
+      // of slim numeric columns, cheap to keep
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bandRows
+    val b = bandRows.select(col("i").as("j"), col("band").as("band_b"),
+      col("sig").as("sig_b"), col("n").as("nb"))
+    // size-ratio prune INSIDE the join predicate: jac = |∩|/|∪| ≤
+    // min(|A|,|B|)/max(|A|,|B|), so a pair whose distinct-token counts
+    // differ by more than 2× can never reach the 0.5 threshold — an
+    // exact necessary condition evaluated as codegen'd integer
+    // comparisons before any array is touched (the 2-row bands of the
+    // recall-tuned 8×2 shape admit far more false candidates than the
+    // old 3-row bands; this claws a slice of them back for free).
+    //
+    // Dedup across bands is a DISTINCT over slim (i, j) pairs, NOT the
+    // d03-style first-match predicate: first-match needs both docs'
+    // full band-key vectors on every collision row, and at the 8×2
+    // recall shape that array carriage measured 14.6 s for 10.3 M
+    // candidates at sf0.1 where the 16-byte-row distinct shuffle of the
+    // same 45 M collisions measures 2.6 s (D02Prof, round 9) — the
+    // collision stream is ~4× the candidate set, so shuffling it slim
+    // beats materializing 2×numBands keys per row in-stage. At scale
+    // the distinct's exchange volume is collisions × 16 B, map-side
+    // combined within each band partition.
+    val cand = a.join(b, col("band") === col("band_b") &&
+        col("sig") === col("sig_b") && col("i") < col("j") &&
+        greatest(col("n"), col("nb")) <= lit(2) * least(col("n"), col("nb")))
+      .select("i", "j")
+      .distinct()
+    (bandRows, cand)
   }
 
   private def sortedIntersectLong(a: Array[Long], b: Array[Long]): Int = {
