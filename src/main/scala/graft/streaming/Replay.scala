@@ -431,7 +431,50 @@ object Replay {
       .orderBy("vec_id")
   }
 
+  /** s08: ADMISSION-CONTROLLED BACKLOG DRAIN through the real engine
+    * AND the real DSv2 source — the restart-after-outage shape the
+    * round-9 source caps exist for: the whole corpus is pre-loaded
+    * into a kinesis-emu stream as a standing backlog (one record per
+    * document via the sink's per-row routing key = doc_id), then
+    * drained with `maxRecordsPerTrigger` bounding every micro-batch
+    * (SupportsAdmissionControl's latestOffset(start, limit) caps the
+    * per-shard advance — StreamingSpec S11/S11b prove the bound and
+    * the oversized-record progress guarantee). The per-record
+    * transform is STATELESS, so the drained result is invariant to
+    * the batching the caps impose, and the oracle is plain batch SQL
+    * over documents: any loss, duplication, or text corruption the
+    * bounded multi-batch drain introduced would break the row-for-row
+    * hash. The emu stream is per-run and deleted after the drain. */
+  def s08(s: SparkSession, d: String): DataFrame = {
+    val name = s"s08-${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
+    graft.emu.KinesisEmu.createStream(name, shards = 4)
+    try {
+      graft.core.Tables.documents(s, d)
+        .select(col("doc_id").cast(StringType).as("partitionKey"),
+          col("text").as("value"))
+        .write.format("kinesis-emu").option("stream", name)
+        .mode("append").save()
+      val drained = s.readStream.format("kinesis-emu")
+        .option("stream", name)
+        .option("maxRecordsPerTrigger", "256")
+        .load()
+        .select(col("partitionKey").cast(LongType).as("doc_id"),
+          decode(col("data"), "UTF-8").as("text"))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          length(col("text")).cast(LongType).as("n_chars"))
+      sinkRun(s, drained, runBase("s08")).orderBy("doc_id")
+    } finally graft.emu.KinesisEmu.deleteStream(name)
+  }
+
+  val s08Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_stream_backlog_drain" -> s08 _,
     "s07_stream_cluster_assign" -> s07 _,
     "s01_stream_sessionize" -> s01 _,
     "s02_stream_tumbling" -> s02 _,
@@ -445,6 +488,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s08_stream_backlog_drain" -> s08Sql,
     "s07_stream_cluster_assign" -> graft.ops.Ann.a07Sql,
     "s01_stream_sessionize" -> graft.queries.Sessions.q38Sql,
     "s02_stream_tumbling" -> graft.queries.Analytics.q22Sql,

@@ -81,6 +81,19 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 0L, 0L, 0L, md5hex("plain text with short 123 number"))))
   }
 
+  test("s08: admission-controlled backlog drain == batch token counts (no loss/dup through bounded micro-batches)") {
+    // 500 docs at sf0.001 vs the 256-record cap: the drain NEEDS
+    // multiple micro-batches by construction (bound enforcement itself
+    // is proven in StreamingSpec S11/S11b)
+    val out = graft.streaming.Replay.s08(spark, sf)
+    val batch = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+    assert(out.count() == batch.count())
+    assert(out.except(batch).count() == 0 && batch.except(out).count() == 0)
+  }
+
   test("t14 @ sf: email counts consistent with t07's email-carrier flags") {
     // t07 flags a doc if ANY token matches the same anchored email
     // regex t14 redacts on — so per-source email-doc counts must agree
