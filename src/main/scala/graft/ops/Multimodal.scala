@@ -387,13 +387,115 @@ object Multimodal {
       |WHERE bit_count(xor(a.dhash0, b.dhash0)) + bit_count(xor(a.dhash1, b.dhash1)) <= $M03HammingMax
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- m04: audio-leg plumbing — PCM framing, energy, silence trim ----
+
+  /** Frame size in samples for [[m04]] (a real pipeline uses 10–25 ms
+    * windows; 32 bytes keeps the unrolled oracle tractable). */
+  val AudioFrame = 32
+  /** Per-[[AudioFrame]]-samples energy threshold below which a frame is
+    * "silence". Chosen against the corpus byte distribution (frame
+    * energies p10≈56 k, median≈66 k) so BOTH classes are populated —
+    * the silent/voiced split is a real signal, not a constant column. */
+  val SilenceThreshold = 60000L
+
+  /** typed record produced by the audio worker. */
+  final case class AudioSummary(doc_id: Long, n_samples: Long, n_frames: Long,
+                                n_silent: Long, first_voiced: Long,
+                                last_voiced: Long, energy: Long)
+
+  /** STUB audio "decode": the binary column read as centered 8-bit PCM
+    * samples (a real deployment swaps in a codec for compressed audio —
+    * this container has none, the m01 stub precedent). Deterministic
+    * pure-integer function of the bytes: non-overlapping
+    * [[AudioFrame]]-sample frames (trailing partial frame kept), exact
+    * integer energy Σ(b−128)² per frame, silence iff
+    * energy·[[AudioFrame]] < [[SilenceThreshold]]·frameLen
+    * (cross-multiplied — no division), and the silence-TRIM artifact:
+    * 1-based first/last voiced frame indexes (0 when the whole clip is
+    * silence). */
+  def audioSummary(docId: Long, blob: Array[Byte]): AudioSummary = {
+    val n = blob.length
+    val nf = (n + AudioFrame - 1) / AudioFrame
+    var silent = 0L; var first = 0L; var last = 0L; var tot = 0L
+    var fi = 0
+    while (fi < nf) {
+      val s0 = fi * AudioFrame
+      val s1 = math.min(s0 + AudioFrame, n)
+      var e = 0L
+      var k = s0
+      while (k < s1) {
+        val c = (blob(k) & 0xff) - 128
+        e += (c * c).toLong
+        k += 1
+      }
+      tot += e
+      val len = s1 - s0
+      if (e * AudioFrame < SilenceThreshold * len) silent += 1
+      else { if (first == 0L) first = fi + 1L; last = fi + 1L }
+      fi += 1
+    }
+    AudioSummary(docId, n.toLong, nf.toLong, silent, first, last, tot)
+  }
+
+  /** m04: the audio leg of the multimodal suite — frame segmentation,
+    * per-frame energy feature extraction, and silence trimming over the
+    * opaque binary column, through the same batched partition-wise
+    * worker shape as [[m01]]'s decode (the vectorized-codec batch
+    * contract). Row-local per document — zero shuffles before the
+    * output sort; exact integer output, so the byte-arithmetic DuckDB
+    * oracle matches bit-for-bit. */
+  def m04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs: Dataset[(Long, Array[Byte])] = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+    blobs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.map { case (id, blob) => audioSummary(id, blob) }
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  val m04Sql: String =
+    s"""WITH b AS (SELECT doc_id, encode(text) AS eb FROM documents),
+      |s AS (
+      |  SELECT doc_id, octet_length(eb) AS n,
+      |    list_transform(generate_series(1, octet_length(eb)), i ->
+      |      CAST(('0x' || substr(hex(eb), (i-1)*2+1, 2)) AS BIGINT)) AS bs
+      |  FROM b),
+      |f AS (
+      |  SELECT doc_id, n, bs,
+      |    unnest(generate_series(1, (len(bs) + ${AudioFrame - 1}) // $AudioFrame)) AS fi
+      |  FROM s),
+      |fe AS (
+      |  SELECT doc_id, n, fi,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_slice(bs, (fi-1)*$AudioFrame+1, LEAST(fi*$AudioFrame, len(bs))),
+      |        x -> (x-128)*(x-128))),
+      |      (acc, v) -> acc + v) AS e,
+      |    CAST(len(list_slice(bs, (fi-1)*$AudioFrame+1, LEAST(fi*$AudioFrame, len(bs)))) AS BIGINT) AS fl
+      |  FROM f)
+      |SELECT doc_id,
+      |  CAST(MAX(n) AS BIGINT) AS n_samples,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(CASE WHEN e*$AudioFrame < $SilenceThreshold*fl THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+      |  CAST(COALESCE(MIN(CASE WHEN e*$AudioFrame >= $SilenceThreshold*fl THEN fi END), 0) AS BIGINT) AS first_voiced,
+      |  CAST(COALESCE(MAX(CASE WHEN e*$AudioFrame >= $SilenceThreshold*fl THEN fi END), 0) AS BIGINT) AS last_voiced,
+      |  CAST(SUM(e) AS BIGINT) AS energy
+      |FROM fe GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_decode" -> m01 _,
     "m02_frame_sample" -> m02 _,
-    "m03_dhash_neardup" -> m03 _)
+    "m03_dhash_neardup" -> m03 _,
+    "m04_audio_frames" -> m04 _)
 
   val oracle: Map[String, String] = Map(
     "m01_multimodal_decode" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
-    "m03_dhash_neardup" -> m03Sql)
+    "m03_dhash_neardup" -> m03Sql,
+    "m04_audio_frames" -> m04Sql)
 }

@@ -94,6 +94,34 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.except(batch).count() == 0 && batch.except(out).count() == 0)
   }
 
+  test("m04: frame energies, silence classification and trim indexes pinned by hand") {
+    // doc 1: 32×'a' then 8×' ' — frame 1 energy 32·(97−128)² = 30752
+    // (silent: 30752·32 < 60000·32), frame 2 energy 8·(32−128)² = 73728
+    // (voiced: 73728·32 ≥ 60000·8) → trim window [2, 2]
+    // doc 2: "aa" — one 2-sample frame, energy 1922, 1922·32 < 60000·2:
+    // all silence → first_voiced = last_voiced = 0
+    val dir = fixtureDir(Seq(1L -> ("a" * 32 + " " * 8), 2L -> "aa"))
+    val rows = graft.ops.Multimodal.m04(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.toSeq == Seq(
+      (1L, 40L, 2L, 1L, 2L, 2L, 30752L + 73728L),
+      (2L, 2L, 1L, 1L, 0L, 0L, 1922L)))
+  }
+
+  test("m04 @ sf: both silence classes populated; frames tile the byte stream") {
+    val df = graft.ops.Multimodal.m04(spark, sf).cache()
+    try {
+      assert(df.where(col("n_silent") > 0).count() > 0)
+      assert(df.where(col("n_silent") < col("n_frames")).count() > 0)
+      // ceil tiling: n_frames == (n_samples + 31) div 32
+      assert(df.where(col("n_frames") =!=
+        ((col("n_samples") + 31L) / 32L).cast("long")).count() == 0)
+      // trim window is well-formed
+      assert(df.where(col("first_voiced") > col("last_voiced")).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("t14 @ sf: email counts consistent with t07's email-carrier flags") {
     // t07 flags a doc if ANY token matches the same anchored email
     // regex t14 redacts on — so per-source email-doc counts must agree
