@@ -299,16 +299,17 @@ object FileEmuStore {
     val oldEntries = dedupBatches(oldSegs.flatMap(readSegmentFull))
     val covered = oldEntries.map(b => (b.key, b.partition)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMillis
-    val eligible = listDir(commitsDir(dir, stream)).flatMap { p =>
+    val tokensOnDisk = listDir(commitsDir(dir, stream)).flatMap { p =>
       val n = p.getFileName.toString
       if (!n.endsWith(".token")) None
       else n.stripSuffix(".token").split('_') match {
-        case Array(k, part) => part.toIntOption.collect {
-          case pl if !covered((k, pl)) &&
-            Files.getLastModifiedTime(p).toMillis <= cutoff => (k, pl)
-        }
+        case Array(k, part) => part.toIntOption.map(pl => ((k, pl), p))
         case _ => None
       }
+    }
+    val eligible = tokensOnDisk.collect {
+      case ((k, pl), p) if !covered((k, pl)) &&
+        Files.getLastModifiedTime(p).toMillis <= cutoff => (k, pl)
     }
     val attempts = listDir(dataDir(dir, stream))
       .filter(_.getFileName.toString.endsWith(".bin"))
@@ -333,10 +334,12 @@ object FileEmuStore {
     }
     // cleanup (restartable): every folded entry's token first, bins after
     // — so a reader that misses a token is guaranteed the segment is
-    // already visible, and a bin without a token is never load-bearing
+    // already visible, and a bin without a token is never load-bearing.
+    // Only artifacts the listings actually saw are touched, so an idle
+    // compact (nothing new, nothing to clean) does no per-entry I/O.
     val allCovered = covered ++ fresh.map(b => (b.key, b.partition))
-    allCovered.foreach { case (k, pl) =>
-      Files.deleteIfExists(tokenPath(dir, stream, k, pl))
+    tokensOnDisk.foreach { case (kp, p) =>
+      if (allCovered(kp)) Files.deleteIfExists(p)
     }
     attempts.foreach { case (prefix, paths) =>
       prefix.split('_') match {

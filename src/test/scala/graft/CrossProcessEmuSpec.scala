@@ -291,6 +291,44 @@ class CrossProcessEmuSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: random commit/retry/compact/sweep interleavings preserve the replay exactly") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val dir = Files.createTempDirectory(s"graft_xproc_prop$trial").toString
+      FileEmuStore.createStream(dir, "pr", numShards = 2)
+      // model: committed (key, partition) -> records; the store must
+      // replay exactly this, in canonical order, after ANY op sequence
+      val model = scala.collection.mutable.Map[(String, Int), Seq[(String, Seq[Byte], Long)]]()
+      var nextEpoch = 0L
+      for (step <- 1 to 50) {
+        rnd.nextInt(10) match {
+          case n if n <= 5 => // new commit: random partition, sometimes empty
+            val part = rnd.nextInt(2)
+            val recs =
+              if (rnd.nextBoolean()) CrossProcessCommitter.recordsFor(nextEpoch) else Seq.empty
+            assert(FileEmuStore.commitEpoch(dir, "pr", nextEpoch, part, recs, step.toLong))
+            model((nextEpoch.toString, part)) = recs.map(r => (r.partitionKey, r.data.toSeq, step.toLong))
+            nextEpoch += 1
+          case 6 | 7 if model.nonEmpty => // retry of a committed epoch — must no-op
+            val (k, p) = model.keySet.toSeq(rnd.nextInt(model.size))
+            assert(!FileEmuStore.commit(dir, "pr", k, p,
+              CrossProcessCommitter.recordsFor(999L), 0L),
+              s"re-commit of compacted/committed ($k, $p) won at step $step")
+          case 8 => // compact, sometimes behind a horizon that skips everything
+            FileEmuStore.compact(dir, "pr",
+              if (rnd.nextBoolean()) 0L else 3600L * 1000)
+          case _ =>
+            FileEmuStore.sweepOrphans(dir, "pr", maxAgeMillis = 0L)
+        }
+        val got = FileEmuStore.loadCommitted(dir, "pr")
+          .map(b => ((b.key, b.partition), b.records.map { case (k, d, ts) => (k, d.toSeq, ts) }))
+        val want = model.toSeq
+          .sortBy { case ((k, p), _) => (k.toLongOption.getOrElse(Long.MaxValue), k, p) }
+        assert(got == want, s"replay diverged from model at trial $trial step $step")
+      }
+    }
+  }
+
   test("DSv2 source reads a durable stream committed by ANOTHER process") {
     val dir = Files.createTempDirectory("graft_xproc_read").toString
     FileEmuStore.createStream(dir, "xr", numShards = 2)

@@ -31,11 +31,10 @@ object D02Prof {
       bandRows.join(b, col("band") === col("band_b") &&
         col("sig") === col("sig_b") && col("i") < col("j") &&
         greatest(col("n"), col("nb")) <= lit(2) * least(col("n"), col("nb"))).count()))
-    t("distinct-pair variant")(println("  dcands=" +
-      bandRows.join(b, col("band") === col("band_b") &&
-        col("sig") === col("sig_b") && col("i") < col("j") &&
-        greatest(col("n"), col("nb")) <= lit(2) * least(col("n"), col("nb")))
-        .select("i", "j").distinct().count()))
+    // `cand` IS the distinct-over-slim-pairs shape since round 9 — the
+    // first-match array-carriage variant it replaced measured 14.6 s
+    // on this corpus against 2.6 s for the distinct (see the d02
+    // scaladoc); this timing guards against regressing that choice
     t("candidates on warm bandRows")(println("  cands=" + cand.count()))
     spark.catalog.clearCache()
     t("full d02 cold")(graft.ops.Dedup.d02(spark, dir).count())
