@@ -758,7 +758,68 @@ object TextAnalysis {
       |  md5(array_to_string(red, ' ')) AS redacted_md5
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** t15: VOCABULARY GROWTH curve (Heaps' law, by corpus decile) — the
+    * tokenizer-sizing diagnostic: how many NEW distinct words each
+    * tenth of the corpus contributes, with running vocabulary and
+    * token totals. A flattening curve says the vocab is saturating
+    * (a bigger tokenizer won't pay); a linear one says the corpus
+    * keeps minting terms. Deciles are id-proportional
+    * (doc_id·10 div (max_id+1) — deterministic on any id distribution,
+    * position-exact on the dense synthetic ids); "new" = the decile of
+    * a word's corpus-wide FIRST occurrence (min doc_id — t10's partial
+    * agg). All integer arithmetic; the 10-row cumulative window is
+    * exact.
+    *
+    * Scale shape at 100 TB: one token explode feeding two map-side-
+    * combined aggregations (per-word min doc — vocab-sized — and
+    * per-decile token counts — 10 rows), the 1-row max-id broadcast
+    * cross, and a 10-row join + window. No all-pairs term, no global
+    * data sort; volume rides the token count. */
+  def t15(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val nDf = documents(s, d).agg((max(col("doc_id")) + 1).as("n"))
+    val tokPerDec = toks.crossJoin(broadcast(nDf))
+      .withColumn("decile", expr("doc_id * 10 DIV n"))
+      .groupBy("decile").agg(count(lit(1)).as("n_tokens"))
+    val newPerDec = toks.groupBy("w").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("decile", expr("fd * 10 DIV n"))
+      .groupBy("decile").agg(count(lit(1)).as("new_words"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tokPerDec.join(newPerDec, Seq("decile"), "left")
+      .na.fill(0L, Seq("new_words"))
+      .select(big(col("decile")).as("decile"),
+        big(col("n_tokens")).as("n_tokens"),
+        big(col("new_words")).as("new_words"))
+      .withColumn("cum_tokens", big(sum(col("n_tokens")).over(w)))
+      .withColumn("cum_vocab", big(sum(col("new_words")).over(w)))
+      .orderBy("decile")
+  }
+
+  val t15Sql: String =
+    """WITH n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |td AS (
+      |  SELECT doc_id * 10 // n.n AS decile, COUNT(*) AS n_tokens
+      |  FROM toks CROSS JOIN n GROUP BY 1),
+      |fw AS (SELECT w, MIN(doc_id) AS fd FROM toks GROUP BY w),
+      |nd AS (
+      |  SELECT fd * 10 // n.n AS decile, COUNT(*) AS new_words
+      |  FROM fw CROSS JOIN n GROUP BY 1)
+      |SELECT CAST(td.decile AS BIGINT) AS decile,
+      |  CAST(td.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(nd.new_words, 0) AS BIGINT) AS new_words,
+      |  CAST(SUM(td.n_tokens) OVER (ORDER BY td.decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(COALESCE(nd.new_words, 0)) OVER (ORDER BY td.decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+      |FROM td LEFT JOIN nd ON nd.decile = td.decile
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_vocab_growth" -> t15 _,
     "t14_pii_redaction" -> t14 _,
     "t13_lm_score" -> t13 _,
     "t12_bpe_merges" -> t12 _,
@@ -775,6 +836,7 @@ object TextAnalysis {
     "t07_web_noise" -> t07 _)
 
   val oracle: Map[String, String] = Map(
+    "t15_vocab_growth" -> t15Sql,
     "t14_pii_redaction" -> t14Sql,
     "t13_lm_score" -> t13Sql,
     "t12_bpe_merges" -> t12Sql,

@@ -122,6 +122,38 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally df.unpersist()
   }
 
+  test("t15: decile attribution and cumulative curve pinned by hand") {
+    // ids 0-9 → one doc per decile. "a" first in doc 0; "b" first in
+    // doc 5; "c" only in doc 9. Tokens: docs 0-4 "a", 5-8 "a b", 9 "c".
+    val dir = fixtureDir(
+      (0L to 4L).map(i => i -> "a") ++ (5L to 8L).map(i => i -> "a b") :+ (9L -> "c"))
+    val rows = TextAnalysis.t15(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 1L, 1L, 1L, 1L),   // "a" minted
+      (1L, 1L, 0L, 2L, 1L),
+      (2L, 1L, 0L, 3L, 1L),
+      (3L, 1L, 0L, 4L, 1L),
+      (4L, 1L, 0L, 5L, 1L),
+      (5L, 2L, 1L, 7L, 2L),   // "b" minted
+      (6L, 2L, 0L, 9L, 2L),
+      (7L, 2L, 0L, 11L, 2L),
+      (8L, 2L, 0L, 13L, 2L),
+      (9L, 1L, 1L, 14L, 3L))) // "c" minted
+  }
+
+  test("t15 @ sf: curve totals reconcile with the corpus") {
+    val df = TextAnalysis.t15(spark, sf).cache()
+    try {
+      val last = df.orderBy(col("decile").desc).head()
+      val toks = graft.core.Tables.documents(spark, sf)
+        .select(explode(split(col("text"), " ")).as("w"))
+      assert(last.getLong(3) == toks.count())                   // cum_tokens == all tokens
+      assert(last.getLong(4) == toks.select("w").distinct().count()) // cum_vocab == |vocab|
+      assert(df.count() <= 10)
+    } finally df.unpersist()
+  }
+
   test("t14 @ sf: email counts consistent with t07's email-carrier flags") {
     // t07 flags a doc if ANY token matches the same anchored email
     // regex t14 redacts on — so per-source email-doc counts must agree
