@@ -83,6 +83,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
+    // fixture-drift tripwire (round-10 postmortem) — printed now and
+    // again just before the final JSON line so the driver's 2000-char
+    // tail capture includes it on every run
+    val probeLine = graft.core.SchemaProbe.report(spark, sfDir)
     // warm-up: JIT/codegen/IO paths, not counted
     spark.read.parquet(s"$sfDir/region.parquet").count()
     SparkEntry.entry(spark).count()
@@ -124,18 +128,24 @@ object Bench {
       if (suite != prevSuite) { prevSuite = suite; runSuiteControl(suite) }
       val load0 = loadAvg
       val gc0 = gcMillis
+      val pub0 = graft.core.Materialize.publishCount
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val gcMs = gcMillis - gc0
+      // mat_pub > 0: this timing includes a one-time materialization
+      // publish (cold fingerprint or always-compute kernel) — compare
+      // such samples against WARM medians, not each other (round-10
+      // false-regression class after the corpus regen)
+      val pubN = graft.core.Materialize.publishCount - pub0
       val blocksLeft = sc.getPersistentRDDs.size
       cleanStorage()
       val shm = shmUsedBytes
       val d = s"""{"q":"$name","sec":${math.round(secs * 1000) / 1000.0},""" +
         s""""gc_ms":$gcMs,"blocks_after":$blocksLeft,"shm_mb":${shm >> 20},""" +
-        s""""load1m":${math.round(load0 * 100) / 100.0}}"""
+        s""""mat_pub":$pubN,"load1m":${math.round(load0 * 100) / 100.0}}"""
       System.err.println(s"[bench-diag] $d")
       diag.append(d).append('\n')
       name -> secs
@@ -179,6 +189,7 @@ object Bench {
     diag.append(s"""{"control_runs":[${ctlRuns.map(r3).mkString(",")}]}""").append('\n')
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_diag.json"),
       diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(probeLine)
     println(compact)
     // the line must be the LAST output: Spark's stop() logging (or a
     // hung shutdown) after it would push it out of the tail window —

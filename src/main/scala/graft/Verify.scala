@@ -15,6 +15,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-drift tripwire (round-10 postmortem): one loud stdout line
+    // naming any corpus column whose loaded type drifted from FIXTURES.md
+    val probeLine = graft.core.SchemaProbe.report(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // per-query storage hygiene (same contract as Bench.cleanStorage):
     // queries persist intermediates they consume twice and rely on the
@@ -61,6 +64,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(probeLine) // re-print at the tail so a capture window sees it
     spark.stop()
   }
 }

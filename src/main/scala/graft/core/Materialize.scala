@@ -113,6 +113,16 @@ object Materialize {
     }
   }
 
+  /** Count of publish() computations in this JVM. Bench samples it
+    * around each timed query and stamps the delta into its diag line:
+    * an entry whose timing includes a publish paid a one-time
+    * materialization (cold at this corpus fingerprint, or an
+    * always-compute kernel like d03/d07/a07) — the round-10
+    * false-regression class (s07/d07-consumers after a corpus regen)
+    * becomes visible instead of reading as a slowdown. */
+  private val publishCalls = new java.util.concurrent.atomic.AtomicLong(0)
+  def publishCount: Long = publishCalls.get
+
   /** Compute `compute` and PUBLISH it at the key (temp write + atomic
     * rename), returning a reader of the published table. Used directly
     * by the entries that ARE the measured kernel (d03, d07, a07): they
@@ -125,6 +135,7 @@ object Materialize {
     * tables are identical. */
   def publish(s: SparkSession, kind: String, fp: String)
              (compute: => DataFrame): DataFrame = {
+    publishCalls.incrementAndGet()
     val out = tablePath(s, kind, fp)
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -7,11 +7,23 @@ import org.apache.spark.sql.types._
 /** Loaders for the driver-generated parquet corpus (TESTDATA.md).
   *
   * All tables are plain parquet reads; `events` needs special handling
-  * because its `ts` column is parquet TIMESTAMP(NANOS), which Spark 4.x
-  * refuses to read natively ([PARQUET_TYPE_ILLEGAL]). We read it as a
-  * BIGINT of epoch-nanos (`spark.sql.legacy.parquet.nanosAsLong`) and
-  * floor-divide to micros, which matches DuckDB's ns->us truncation, so
-  * oracle comparisons stay exact.
+  * because the driver has shipped its `ts` column under two different
+  * physical encodings across corpus regenerations:
+  *
+  *  - parquet TIMESTAMP(NANOS) (pre-2026-08-13): Spark 4.x refuses the
+  *    native read ([PARQUET_TYPE_ILLEGAL]); with
+  *    `spark.sql.legacy.parquet.nanosAsLong` it loads as BIGINT
+  *    epoch-nanos, which we floor-divide to micros (matches DuckDB's
+  *    ns->us truncation, so oracle comparisons stay exact);
+  *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (the 2026-08-13
+  *    regeneration): Spark loads TIMESTAMP_NTZ natively; the naive
+  *    wall-clock is epoch-anchored, so it is interpreted as UTC.
+  *
+  * The corpus is driver-owned and can change under the engine between
+  * rounds — round 10 lost 14 gate entries to exactly this drift — so
+  * the loader PROBES the loaded schema and branches instead of assuming
+  * one encoding ([[normalizeTs]]); [[SchemaProbe]] additionally reports
+  * any drift loudly at Verify/Bench startup.
   *
   * Scale notes (verified against the corpus): every money/ratio column is
   * an exact 2-decimal double, so casting to DECIMAL(_,2) is lossless and
@@ -35,13 +47,49 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events with `ts` converted to a proper TimestampType (micros). */
+  /** events with `ts` converted to a proper TimestampType (micros),
+    * whichever physical encoding the corpus currently ships. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(spark, spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** Raw Spark-side type of events.parquet's `ts` under the nanosAsLong
+    * contract — LongType for a TIMESTAMP(NANOS) file, TimestampNTZType
+    * for the regenerated micros file. Footer-only read (no data scan);
+    * the streaming replay needs this to build its explicit source
+    * schema, which a file stream cannot infer. */
+  def rawEventsTsType(spark: SparkSession, dir: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+  }
+
+  /** Normalize a raw events `ts` column to session-TZ TimestampType at
+    * micros precision, branching on the loaded type:
+    *  - BIGINT epoch-nanos (nanosAsLong read of a NANOS file) ->
+    *    floor-divide to micros (DuckDB's own ns->us truncation);
+    *  - TIMESTAMP_NTZ (native read of the micros file) -> the naive
+    *    wall-clock is UTC-anchored; `convert_timezone('UTC', sessionTZ)`
+    *    pre-shifts the wall-clock so the session-TZ cast lands on the
+    *    UTC instant even if a host ever runs non-UTC (every repo entry
+    *    point pins UTC, where the shift is a no-op — this just removes
+    *    the silent-divergence hazard ADVICE round 10 flagged);
+    *  - TimestampType -> already what we want.
+    * Any other type is corpus drift we have not seen: fail LOUD at
+    * analysis time rather than miscompute. */
+  def normalizeTs(spark: SparkSession, df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        df.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(tz), col("ts")).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as $other — unrecognized corpus encoding; " +
+          "extend graft.core.Tables.normalizeTs")
+    }
 
   // ---- exact-decimal helpers (shared by all queries) ----
 

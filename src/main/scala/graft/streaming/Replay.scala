@@ -51,13 +51,16 @@ import org.apache.spark.sql.types._
   */
 object Replay {
 
-  /** raw schema of events.parquet: ts is parquet TIMESTAMP(NANOS),
-    * which Spark 4 reads only as BIGINT epoch-nanos (see Tables.events
-    * — same nanosAsLong contract, needed explicitly here because a
-    * stream source cannot infer schema). */
-  private val rawEventsSchema = StructType(Seq(
+  /** raw schema of events.parquet, with `ts` carrying whatever physical
+    * type the current corpus ships (probed per-dir via
+    * Tables.rawEventsTsType — LongType for a TIMESTAMP(NANOS) file read
+    * under nanosAsLong, TimestampNTZType for the regenerated micros
+    * file). A file stream source cannot infer schema, so this must be
+    * explicit — and pinning it to one encoding is exactly the drift
+    * that broke round 10. */
+  private def rawEventsSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -170,14 +173,14 @@ object Replay {
     publishSentinel(100L * 24 * 3600 * 1000000)
 
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawTs = graft.core.Tables.rawEventsTsType(s, d)
     // events.parquet is a single FILE; a bare file path fails the file
     // stream source's "basePath must be a directory" check, so match it
     // with a one-file glob — basePath then resolves to the parent dir
-    val evStream = s.readStream.schema(rawEventsSchema)
-      .parquet(s"$d/[e]vents.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val sentSchema = StructType(rawEventsSchema.map(f =>
-      if (f.name == "ts") StructField("ts", TimestampType) else f))
+    val evStream = graft.core.Tables.normalizeTs(s,
+      s.readStream.schema(rawEventsSchema(rawTs))
+        .parquet(s"$d/[e]vents.parquet"))
+    val sentSchema = rawEventsSchema(TimestampType)
     val sentStream = s.readStream.schema(sentSchema).parquet(sentinelDir)
     val cols = Seq(col("event_id"), col("user_id"), col("ts"), col("value"),
       col("event_type"))
@@ -284,9 +287,11 @@ object Replay {
     * both sides). Both join sides derive from the one replayed stream;
     * inner-join matches emit as soon as both rows are in state, the
     * sentinel bounds the flush. The oracle compares at MICROsecond
-    * precision (epoch_us) on both engines — DuckDB holds the raw
-    * TIMESTAMP(NANOS), Spark the truncated micros, so raw-timestamp
-    * comparisons would diverge on sub-microsecond boundaries. */
+    * precision (epoch_us) on both engines — on a TIMESTAMP(NANOS)
+    * corpus DuckDB holds raw nanos while Spark holds truncated micros,
+    * so raw-timestamp comparisons would diverge on sub-microsecond
+    * boundaries (moot on the current micros corpus, kept for
+    * encoding-independence). */
   def s03(s: SparkSession, d: String): DataFrame = {
     // inner-join matches emit as soon as both rows are in state — no
     // watermark-gated output, so no flush pass needed
