@@ -637,6 +637,137 @@ object Ann {
       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, edist
       |FROM rr WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
+  /** a12: MMR-DIVERSIFIED retrieval — the serving-side answer to "the
+    * top-k are all near-duplicates of each other": a11's exact-rescored
+    * [[A11Shortlist]]-deep shortlist is reduced to 3 results by greedy
+    * Maximal Marginal Relevance (Carbonell & Goldstein '98) instead of
+    * pure distance rank. Selection score (λ = 1/2 in pure integers:
+    * maximize min-distance-to-already-selected MINUS query distance, tie
+    * → min vec_id): rank 1 is the true nearest (= a11's rank 1, spec-
+    * pinned); ranks 2–3 trade closeness for spread, so a pocket of
+    * mutual near-dups can contribute at most one result. Every quantity
+    * is exact integer L2 over the quantized vectors, so the unrolled
+    * 3-step greedy is reproducible bit-for-bit in the DuckDB oracle.
+    *
+    * Scale shape: everything downstream of the ADC stage operates on
+    * ≤[[A11Shortlist]] rows per probe — the candidate-candidate distance
+    * table is probes × k(k−1) rows (k fixed at 10), never corpus-sized,
+    * and the greedy steps are per-probe window ranks over those rows.
+    * The interpreted HOF distance runs on shortlist members only (the
+    * adjudicated a11 pattern). At 100 TB the cost center remains a06's
+    * linear-in-N candidate volume; diversification adds O(probes·k²). */
+  def a12(s: SparkSession, d: String): DataFrame = {
+    val (cands, codes, adcTable, q) = a06Parts(s, d)
+    // exact-rescored shortlist: (probe_id, vec_id, edist, cq) — persisted:
+    // it feeds BOTH sides of the pair build plus all three greedy steps
+    val sl = shortlistFrom(cands, codes, adcTable)
+      .join(q.select(col("vec_id"), col("q").as("cq")), "vec_id")
+      .join(q.select(col("vec_id").as("probe_id"), col("q").as("pq")), "probe_id")
+      .withColumn("edist", aggregate(zip_with(col("pq"), col("cq"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .select(col("probe_id"), col("vec_id"), col("edist"), col("cq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate-candidate exact distances within each probe's shortlist
+    // (k(k-1) rows per probe, k = A11Shortlist) — the diversity term
+    val pair = sl.select(col("probe_id"), col("vec_id").as("ci"), col("cq").as("qi"))
+      .join(sl.select(col("probe_id"), col("vec_id").as("cj"), col("cq").as("qj")),
+        Seq("probe_id"))
+      .where(col("ci") =!= col("cj"))
+      .withColumn("cd", aggregate(zip_with(col("qi"), col("qj"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .select(col("probe_id"), col("ci"), col("cj"), col("cd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairTo(sel: String) = pair.select(col("probe_id"),
+      col("ci").as("vec_id"), col("cj").as(sel), col("cd").as(s"d_$sel"))
+    // greedy step 1: plain nearest (MMR with an empty selected set)
+    val s1 = sl.withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("edist"), col("vec_id"))))
+      .where(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id").as("s1"), col("edist").as("e1"))
+    // step 2: maximize d(c, s1) - d(q, c)
+    val s2 = sl.join(s1, "probe_id").where(col("vec_id") =!= col("s1"))
+      .join(pairTo("s1"), Seq("probe_id", "vec_id", "s1"))
+      .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+        .orderBy((col("d_s1") - col("edist")).desc, col("vec_id"))))
+      .where(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id").as("s2"), col("edist").as("e2"))
+    // step 3: maximize least(d(c, s1), d(c, s2)) - d(q, c)
+    val s3 = sl.join(s1, "probe_id").join(s2, "probe_id")
+      .where(col("vec_id") =!= col("s1") && col("vec_id") =!= col("s2"))
+      .join(pairTo("s1"), Seq("probe_id", "vec_id", "s1"))
+      .join(pairTo("s2"), Seq("probe_id", "vec_id", "s2"))
+      .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+        .orderBy((least(col("d_s1"), col("d_s2")) - col("edist")).desc, col("vec_id"))))
+      .where(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id").as("s3"), col("edist").as("e3"))
+    s1.select(col("probe_id"), lit(1L).as("rank"),
+        col("s1").as("neighbor_id"), col("e1").as("edist"))
+      .unionByName(s2.select(col("probe_id"), lit(2L).as("rank"),
+        col("s2").as("neighbor_id"), col("e2").as("edist")))
+      .unionByName(s3.select(col("probe_id"), lit(3L).as("rank"),
+        col("s3").as("neighbor_id"), col("e3").as("edist")))
+      .orderBy("probe_id", "rank")
+  }
+
+  val a12Sql: String =
+    s"""WITH $ivfPqCtes,
+      |shortlist AS (
+      |  SELECT probe_id, neighbor_id FROM ranked WHERE rank <= $A11Shortlist),
+      |exact AS (
+      |  SELECT sl.probe_id, sl.neighbor_id,
+      |    CAST(SUM((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS edist
+      |  FROM shortlist sl
+      |    JOIN ex p ON p.vec_id = sl.probe_id
+      |    JOIN ex c ON c.vec_id = sl.neighbor_id AND c.i = p.i
+      |  GROUP BY 1, 2),
+      |paird AS (
+      |  SELECT s1.probe_id, s1.neighbor_id AS ci, s2.neighbor_id AS cj,
+      |    CAST(SUM((x.v - y.v) * (x.v - y.v)) AS BIGINT) AS cd
+      |  FROM shortlist s1
+      |    JOIN shortlist s2 ON s2.probe_id = s1.probe_id
+      |      AND s2.neighbor_id <> s1.neighbor_id
+      |    JOIN ex x ON x.vec_id = s1.neighbor_id
+      |    JOIN ex y ON y.vec_id = s2.neighbor_id AND y.i = x.i
+      |  GROUP BY 1, 2, 3),
+      |sel1 AS (
+      |  SELECT probe_id, neighbor_id, edist FROM (
+      |    SELECT probe_id, neighbor_id, edist,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id
+      |        ORDER BY edist, neighbor_id) AS rn
+      |    FROM exact) WHERE rn = 1),
+      |sel2 AS (
+      |  SELECT probe_id, neighbor_id, edist FROM (
+      |    SELECT e.probe_id, e.neighbor_id, e.edist,
+      |      ROW_NUMBER() OVER (PARTITION BY e.probe_id
+      |        ORDER BY (p1.cd - e.edist) DESC, e.neighbor_id) AS rn
+      |    FROM exact e
+      |      JOIN sel1 ON sel1.probe_id = e.probe_id
+      |        AND e.neighbor_id <> sel1.neighbor_id
+      |      JOIN paird p1 ON p1.probe_id = e.probe_id
+      |        AND p1.ci = e.neighbor_id AND p1.cj = sel1.neighbor_id)
+      |  WHERE rn = 1),
+      |sel3 AS (
+      |  SELECT probe_id, neighbor_id, edist FROM (
+      |    SELECT e.probe_id, e.neighbor_id, e.edist,
+      |      ROW_NUMBER() OVER (PARTITION BY e.probe_id
+      |        ORDER BY (LEAST(p1.cd, p2.cd) - e.edist) DESC, e.neighbor_id) AS rn
+      |    FROM exact e
+      |      JOIN sel1 ON sel1.probe_id = e.probe_id
+      |      JOIN sel2 ON sel2.probe_id = e.probe_id
+      |      JOIN paird p1 ON p1.probe_id = e.probe_id
+      |        AND p1.ci = e.neighbor_id AND p1.cj = sel1.neighbor_id
+      |      JOIN paird p2 ON p2.probe_id = e.probe_id
+      |        AND p2.ci = e.neighbor_id AND p2.cj = sel2.neighbor_id
+      |    WHERE e.neighbor_id <> sel1.neighbor_id
+      |      AND e.neighbor_id <> sel2.neighbor_id)
+      |  WHERE rn = 1)
+      |SELECT probe_id, CAST(1 AS BIGINT) AS rank, neighbor_id, edist FROM sel1
+      |UNION ALL
+      |SELECT probe_id, CAST(2 AS BIGINT) AS rank, neighbor_id, edist FROM sel2
+      |UNION ALL
+      |SELECT probe_id, CAST(3 AS BIGINT) AS rank, neighbor_id, edist FROM sel3
+      |ORDER BY probe_id, rank""".stripMargin
+
   // ---- a07/a08: k-means clustering + semantic dedup (SemDeDup) ----
 
   /** PINNED cluster count at gate scale — the value the unrolled DuckDB
@@ -1072,6 +1203,7 @@ object Ann {
     "a09_random_projection" -> a09 _,
     "a10_ann_recall" -> a10 _,
     "a11_ann_rerank" -> a11 _,
+    "a12_mmr_diversified" -> a12 _,
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
@@ -1085,6 +1217,7 @@ object Ann {
     "a09_random_projection" -> a09Sql,
     "a10_ann_recall" -> a10Sql,
     "a11_ann_rerank" -> a11Sql,
+    "a12_mmr_diversified" -> a12Sql,
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql,

@@ -478,7 +478,56 @@ object Replay {
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** s09: SLIDING-window aggregation through the real streaming engine
+    * — the last §2b streaming operator (S2, [[Windows.slidingWindow]]'s
+    * shape) promoted from spec-only coverage into the DuckDB-checked
+    * driver gate. Same watermark-gated append + sentinel-flush protocol
+    * as s02, but each event lands in FOUR overlapping windows (1 h
+    * window, 15 min slide): the state volume is 4× tumbling's for the
+    * same stream — the knob a deployment trades freshness against. The
+    * sentinel aggregates into its own impossible-typed windows, emitted
+    * in the flush and excluded from the OUTPUT (never pre-filtered —
+    * the predicate would push below the watermark and the tail windows
+    * would never finalize, s02's documented hazard). Spark anchors
+    * sliding windows at the epoch, so window_start =
+    * floor15(ts) − k·15 min for k = 0..3 — exactly the oracle's
+    * unnest-offset formula (epoch arithmetic, engine-independent). */
+  def s09(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Tables.{dec2, money, big}
+    val out = replay(s, d, "s09") { stream =>
+      stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec2(col("value"))).as("sv"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("cnt"), col("sv"))
+    }
+    out
+      .where(col("event_type") =!= "\u0000sentinel")
+      .select(
+        date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        big(col("cnt")).as("cnt"),
+        money(col("sv")).as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** every event belongs to exactly 4 epoch-anchored 15-min-slide hour
+    * windows: starts floor15(ts) − k·15 min, k = 0..3 (k·15 < 60 and
+    * (ts − floor15) < 15 bound both ends). 900000000 = 15 min in us. */
+  val s09Sql: String =
+    """SELECT
+      |  strftime(to_timestamp((epoch_us(ts) // 900000000 - k.k) * 900),
+      |           '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_stream_sliding" -> s09 _,
     "s08_stream_backlog_drain" -> s08 _,
     "s07_stream_cluster_assign" -> s07 _,
     "s01_stream_sessionize" -> s01 _,
@@ -493,6 +542,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s09_stream_sliding" -> s09Sql,
     "s08_stream_backlog_drain" -> s08Sql,
     "s07_stream_cluster_assign" -> graft.ops.Ann.a07Sql,
     "s01_stream_sessionize" -> graft.queries.Sessions.q38Sql,
