@@ -871,10 +871,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Oracle: the d07 closure + a per-cluster (n_tok DESC, doc ASC)
-    * ranking for the canonical pick. */
-  val d13Sql: String =
-    s"""WITH RECURSIVE tok AS (
+  /** the d07 closure + per-cluster canonical ranking, as a reusable CTE
+    * prefix (ends at `canon`): d13's whole derivation, shared verbatim
+    * by p09's oracle so the keep-list both entries reason about is ONE
+    * SQL text, not two copies that can drift. */
+  private[graft] val ccCanonCtes: String =
+    s"""tok AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
       |th AS (
       |  SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
@@ -908,7 +910,12 @@ object Dedup {
       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
       |                       ORDER BY n_tok DESC, doc_id ASC) AS rn
       |  FROM sized),
-      |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+      |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM ranked WHERE rn = 1)""".stripMargin
+
+  /** Oracle: the d07 closure + a per-cluster (n_tok DESC, doc ASC)
+    * ranking for the canonical pick. */
+  val d13Sql: String =
+    s"""WITH RECURSIVE $ccCanonCtes
       |SELECT s.doc_id, s.cluster_id, c.canonical_id,
       |  CAST(CASE WHEN s.doc_id = c.canonical_id THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM sized s JOIN canon c ON s.cluster_id = c.cluster_id

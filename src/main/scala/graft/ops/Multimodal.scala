@@ -487,15 +487,88 @@ object Multimodal {
       |  CAST(SUM(e) AS BIGINT) AS energy
       |FROM fe GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- m05: ViT-style patch extraction ----
+
+  /** patch geometry: the payload's first [[TileW]]×[[TileW]] characters
+    * form a square "image" tile (row-major, zero-padded past the text),
+    * partitioned into a [[PatchGrid]]×[[PatchGrid]] grid of
+    * [[PatchSide]]×[[PatchSide]] non-overlapping patches. */
+  val TileW = 16
+  val PatchSide = 4
+  val PatchGrid: Int = TileW / PatchSide // 4 -> 16 patches of 16 cells
+
+  /** m05: PATCH EXTRACTION — the ViT/image-encoder preprocessing shape:
+    * crop a fixed tile, split it into a non-overlapping patch grid, and
+    * emit per-patch integer mean "luminance" (the quantity a patch
+    * embedding consumes). Pixel (r, c) = the character at index
+    * r·[[TileW]] + c (codepoint as luminance, 0 past the payload — the
+    * m02 char-based convention, identical in DuckDB's ascii/substring);
+    * patch p covers rows (p div 4)·4.. and cols (p mod 4)·4.., and its
+    * mean is an exact integer floor (sum DIV 16). Output: patch means
+    * stringified CSV (fixed 16 values — list columns are not driver-
+    * hashable), the tile's total luminance, and the payload's row count.
+    *
+    * Scale shape: entirely ROW-LOCAL (a constant 256-cell HOF per doc —
+    * interpreted, but per-doc, the adjudicated m02 class), zero shuffles
+    * until the output sort; only `doc_id, text` are read. A real
+    * deployment swaps the char tile for decoded luminance (m01's
+    * ImageIO path yields it); the patch algebra — the part Spark owns —
+    * is unchanged. */
+  def m05(s: SparkSession, d: String): DataFrame = {
+    val cells = PatchSide * PatchSide // 16 cells per patch
+    val idx0 = // 0-based char index of cell i of patch p
+      s"((p div $PatchGrid) * $PatchSide + (i div $PatchSide)) * $TileW" +
+        s" + (p % $PatchGrid) * $PatchSide + (i % $PatchSide)"
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .withColumn("chars", expr("length(CAST(blob AS STRING))"))
+      .withColumn("psums", expr(
+        s"""transform(sequence(0, ${PatchGrid * PatchGrid - 1}), p ->
+           |  aggregate(sequence(0, ${cells - 1}), CAST(0 AS BIGINT), (acc, i) ->
+           |    acc + IF($idx0 < chars,
+           |      CAST(ascii(substring(CAST(blob AS STRING), $idx0 + 1, 1)) AS BIGINT),
+           |      CAST(0 AS BIGINT))))""".stripMargin))
+      .select(col("doc_id"),
+        ((col("chars") + TileW - 1) / TileW).cast("long").as("n_rows"),
+        expr(s"array_join(transform(psums, x -> CAST(x div $cells AS STRING)), ',')")
+          .as("patch_means"),
+        expr("CAST(aggregate(psums, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)")
+          .as("tile_sum"))
+      .orderBy("doc_id")
+  }
+
+  val m05Sql: String = {
+    val cells = PatchSide * PatchSide
+    val idx0 = // 0-based char index of cell i of patch p (DuckDB spelling)
+      s"((p // $PatchGrid) * $PatchSide + (i // $PatchSide)) * $TileW" +
+        s" + (p % $PatchGrid) * $PatchSide + (i % $PatchSide)"
+    s"""WITH pt AS (
+      |  SELECT doc_id, length(text) AS chars,
+      |    list_transform(generate_series(0, ${PatchGrid * PatchGrid - 1}), p ->
+      |      list_aggregate(list_transform(generate_series(0, ${cells - 1}), i ->
+      |        CASE WHEN $idx0 < length(text)
+      |             THEN CAST(ascii(substring(text, CAST($idx0 + 1 AS INT), 1)) AS BIGINT)
+      |             ELSE CAST(0 AS BIGINT) END), 'sum')) AS psums
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST((chars + ${TileW - 1}) // $TileW AS BIGINT) AS n_rows,
+      |  array_to_string(list_transform(psums, x -> CAST(x // $cells AS VARCHAR)), ',')
+      |    AS patch_means,
+      |  CAST(list_aggregate(psums, 'sum') AS BIGINT) AS tile_sum
+      |FROM pt ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_decode" -> m01 _,
     "m02_frame_sample" -> m02 _,
     "m03_dhash_neardup" -> m03 _,
-    "m04_audio_frames" -> m04 _)
+    "m04_audio_frames" -> m04 _,
+    "m05_patch_extract" -> m05 _)
 
   val oracle: Map[String, String] = Map(
     "m01_multimodal_decode" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_dhash_neardup" -> m03Sql,
-    "m04_audio_frames" -> m04Sql)
+    "m04_audio_frames" -> m04Sql,
+    "m05_patch_extract" -> m05Sql)
 }

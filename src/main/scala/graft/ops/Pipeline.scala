@@ -404,7 +404,102 @@ object Pipeline {
       |FROM r JOIN si USING (source) CROSS JOIN s
       |ORDER BY position""".stripMargin
 
+  /** p09: DEDUP-ADJUSTED source mixing — p06's mixture-flattening
+    * recomputed on the POST-dedup corpus: only d13's canonical keepers
+    * (one survivor per near-dup cluster, consumed from the MATERIALIZED
+    * cluster-label tables — the report-over-published-artifact contract
+    * d09/d10/d13 follow, now composed into the p-suite) contribute to
+    * the per-source token stats, the half-corpus budget, and the keep
+    * predicate. The pipeline-ordering point this entry encodes: mixture
+    * rates derived BEFORE dedup over-sample duplicate-heavy sources
+    * (their pre-dedup token mass is inflated by copies), so production
+    * pipelines re-derive rates from the deduped corpus — this is that
+    * artifact, with before/after columns making the shift visible.
+    *
+    * Same exact wide-integer keep predicate as p06 (Decimal38/HUGEINT;
+    * same per-doc hash bucket, so a doc's sampling fate changes ONLY
+    * through the rate shift dedup causes). Scale shape: d13's label
+    * consumption (keyed joins over slim rows) + p06's shape — per-source
+    * map-side-combined aggs, a 1-row totals broadcast cross
+    * (PlanAuditSpec-allow-listed), a broadcast rate table, row-local
+    * keep. */
+  def p09(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val keepers = graft.ops.Dedup.d13(s, d)
+      .where(col("keep") === 1L).select("doc_id")
+    val docs = documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+    val before = docs.groupBy("source").agg(
+      big(count(lit(1))).as("docs_before"),
+      big(sum(col("n_tok"))).as("tokens_before"))
+    val kept = docs.join(keepers, "doc_id")
+      .withColumn("hm",
+        pmod(conv(substring(md5(concat(lit("mix:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+          .cast(LongType), lit(1000000L)))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("hm"))
+    val stats = kept.groupBy("source").agg(sum(col("n_tok")).as("src_tokens"))
+    val totals = stats.agg(sum(col("src_tokens")).as("all_tokens"),
+      count(lit(1)).as("n_src"))
+    kept.join(broadcast(stats.crossJoin(broadcast(totals))), "source")
+      .withColumn("keep",
+        col("hm").cast(dec) * lit(2L) * col("n_src") * col("src_tokens") <
+          col("all_tokens").cast(dec) * lit(1000000L))
+      .groupBy("source")
+      .agg(
+        big(count(lit(1))).as("docs_dedup"),
+        big(sum(col("n_tok"))).as("tokens_dedup"),
+        big(sum(when(col("keep"), 1L).otherwise(0L))).as("docs_sampled"),
+        big(sum(when(col("keep"), col("n_tok")).otherwise(0L))).as("tokens_sampled"))
+      .join(before, "source")
+      .select(col("source"), col("docs_before"), col("tokens_before"),
+        col("docs_dedup"), col("tokens_dedup"),
+        col("docs_sampled"), col("tokens_sampled"))
+      .orderBy("source")
+  }
+
+  /** Oracle: d13's full canonical-keeper derivation (the shared
+    * [[graft.ops.Dedup.ccCanonCtes]] text) + p06's HUGEINT mixing math
+    * restricted to the keepers. */
+  val p09Sql: String =
+    s"""WITH RECURSIVE ${graft.ops.Dedup.ccCanonCtes},
+      |keepers AS (
+      |  SELECT s.doc_id FROM sized s JOIN canon c ON s.cluster_id = c.cluster_id
+      |  WHERE s.doc_id = c.canonical_id),
+      |docs AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % 1000000 AS hm
+      |  FROM documents),
+      |before AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_before,
+      |    CAST(SUM(n_tok) AS BIGINT) AS tokens_before
+      |  FROM docs GROUP BY source),
+      |kept AS (SELECT d.* FROM docs d JOIN keepers k ON k.doc_id = d.doc_id),
+      |stats AS (
+      |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens FROM kept GROUP BY source),
+      |totals AS (
+      |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_src FROM stats),
+      |after AS (
+      |  SELECT d.source,
+      |    CAST(COUNT(*) AS BIGINT) AS docs_dedup,
+      |    CAST(SUM(d.n_tok) AS BIGINT) AS tokens_dedup,
+      |    CAST(SUM(CASE WHEN CAST(d.hm AS HUGEINT) * 2 * t.n_src * s.src_tokens
+      |                       < CAST(1000000 AS HUGEINT) * t.all_tokens
+      |              THEN 1 ELSE 0 END) AS BIGINT) AS docs_sampled,
+      |    CAST(SUM(CASE WHEN CAST(d.hm AS HUGEINT) * 2 * t.n_src * s.src_tokens
+      |                       < CAST(1000000 AS HUGEINT) * t.all_tokens
+      |              THEN d.n_tok ELSE 0 END) AS BIGINT) AS tokens_sampled
+      |  FROM kept d JOIN stats s ON s.source = d.source, totals t
+      |  GROUP BY d.source)
+      |SELECT a.source, b.docs_before, b.tokens_before,
+      |  a.docs_dedup, a.tokens_dedup, a.docs_sampled, a.tokens_sampled
+      |FROM after a JOIN before b ON b.source = a.source
+      |ORDER BY a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_dedup_adjusted_mix" -> p09 _,
     "p08_source_interleave" -> p08 _,
     "p07_chunk_sliding" -> p07 _,
     "p01_clean_corpus" -> p01 _,
@@ -414,6 +509,7 @@ object Pipeline {
     "p05_sequence_pack" -> p05 _,
     "p06_source_mix" -> p06 _)
   val oracle: Map[String, String] = Map(
+    "p09_dedup_adjusted_mix" -> p09Sql,
     "p08_source_interleave" -> p08Sql,
     "p07_chunk_sliding" -> p07Sql,
     "p01_clean_corpus" -> p01Sql,

@@ -83,6 +83,63 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def fixtureDir(docs: Seq[(Long, String, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_fixture").toString
+    docs.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("m05: patch means hand-pinned; tile crops at 256 chars") {
+    // doc 1: sixteen 'a' (code 97) = exactly one 16-char row.
+    //   patches 0-3 each see 4 cells of 97 -> sum 388, mean 388 div 16 = 24;
+    //   patches 4-15 all padding -> 0. tile_sum = 16*97 = 1552.
+    // doc 2: 300 'b' (code 98) — crop: only the first 256 chars count.
+    //   every cell 98 -> each patch sum 16*98 = 1568, mean 98;
+    //   tile_sum = 256*98 = 25088; n_rows = ceil(300/16) = 19.
+    val dir = fixtureDir(Seq(
+      (1L, "a" * 16, "src0"),
+      (2L, "b" * 300, "src0")))
+    val rows = graft.ops.Multimodal.m05(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, Seq.fill(4)("24").mkString(",") + ",0" * 12, 1552L),
+      (2L, 19L, Seq.fill(16)("98").mkString(","), 25088L)))
+  }
+
+  test("m05: tile_sum == sum of the first 256 codepoints, corpus-wide") {
+    val got = graft.ops.Multimodal.m05(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val expect = r.getString(1).take(256).map(_.toLong).sum
+      assert(got(r.getLong(0)) == expect)
+    }
+  }
+
+  test("p09: before == p06 totals; dedup column == d13 keepers; sampling bounded") {
+    val p09 = graft.ops.Pipeline.p09(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val p06 = graft.ops.Pipeline.p06(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keepers = graft.ops.Dedup.d13(spark, sf)
+      .where(col("keep") === 1L).count()
+    assert(p09.nonEmpty)
+    // the before columns are the raw corpus stats (p06's totals)
+    p09.foreach { case (src, db, tb, dd, td, ds, ts) =>
+      assert((db, tb) == p06(src), s"source $src before-stats != p06 totals")
+      assert(dd <= db && td <= tb, s"source $src dedup exceeds before")
+      assert(ds <= dd && ts <= td, s"source $src sampled exceeds dedup")
+    }
+    assert(p09.map(_._4).sum == keepers, "docs_dedup must sum to the d13 keep count")
+  }
+
   test("a12: each greedy step optimal under the integer MMR score (brute force)") {
     // reconstruct the exact shortlist distances from raw embeddings
     val q = graft.core.Tables.embeddings(spark, sf)
