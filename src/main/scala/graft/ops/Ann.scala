@@ -493,18 +493,38 @@ object Ann {
     * copies are slim (id + quantized vector), the harness clears them,
     * and cross-call memoization would leak session state. */
   private def a06Parts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val par = s.sparkContext.defaultParallelism
-    val wExpr = s"CAST(size(q) / $PqSubspaces AS INT)"
-    val q = embeddings(s, d)
-      .repartition(par, col("vec_id"))
+    val q = ivfQ(s, d)
+    val assigned = coarseAssigned(q)
+    val codes = pqCodes(q)
+    val (probeClusters, adcTable) = probeSide(q)
+    // candidates from the probed clusters, scored by 4 table lookups
+    val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    (cands, codes, adcTable, q)
+  }
+
+  // The IVF-PQ building blocks, factored so the a06/a11/a12 query path
+  // and a13's OFFLINE INDEX BUILD share one definition each — any drift
+  // between "index as built" and "index as the query assumes" is a
+  // production ANN corruption class, structurally excluded here.
+
+  /** quantized + norm'd vector table shared by every IVF-PQ path. */
+  private def ivfQ(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"),
         transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
       .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // coarse codebook + assignment (a03's construction)
-    val cents = q.where(col("vec_id") < IvfCentroids)
+
+  private def coarseCents(q: DataFrame): DataFrame =
+    q.where(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("norm2").as("cnorm2"))
-    val assigned = q.join(broadcast(cents), lit(true))
+
+  /** coarse codebook assignment (a03's construction): (vec_id, q, cluster). */
+  private def coarseAssigned(q: DataFrame): DataFrame =
+    q.join(broadcast(coarseCents(q)), lit(true))
       .withColumn("dot", aggregate(zip_with(col("q"), col("cq"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
       .withColumn("csim", col("dot").cast(DoubleType) /
@@ -513,7 +533,11 @@ object Ann {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
       .where(col("crank") === 1)
       .select(col("vec_id"), col("q"), col("cid").as("cluster"))
-    // PQ codebook + per-vector codes (a05's construction, codes only)
+
+  /** per-subspace distances of `vecs` (vector column named `q`) against
+    * the PQ codebook: (id, pcid, sub, dist). */
+  private def subDists(q: DataFrame, vecs: DataFrame, idCol: String): DataFrame = {
+    val wExpr = s"CAST(size(q) / $PqSubspaces AS INT)"
     val pqCents = q.where(col("vec_id") < PqCentroids)
       .select(col("vec_id").as("pcid"), col("q").as("cq"))
     val distCols = (0 until PqSubspaces).map { sub =>
@@ -522,20 +546,26 @@ object Ann {
         slice(cq, 1 + $sub * $wExpr, $wExpr),
         (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as(s"d$sub")
     }
-    def subDists(vecs: DataFrame, idCol: String): DataFrame =
-      vecs.join(broadcast(pqCents), lit(true))
-        .select(col(idCol) +: col("pcid") +: distCols: _*)
-        .selectExpr(idCol, "pcid",
-          s"stack($PqSubspaces, ${(0 until PqSubspaces).map(i => s"$i, d$i").mkString(", ")}) AS (sub, dist)")
-    val codes = subDists(q.select(col("vec_id"), col("q")), "vec_id")
+    vecs.join(broadcast(pqCents), lit(true))
+      .select(col(idCol) +: col("pcid") +: distCols: _*)
+      .selectExpr(idCol, "pcid",
+        s"stack($PqSubspaces, ${(0 until PqSubspaces).map(i => s"$i, d$i").mkString(", ")}) AS (sub, dist)")
+  }
+
+  /** PQ codes (a05's construction, codes only): (vec_id, sub, code). */
+  private def pqCodes(q: DataFrame): DataFrame =
+    subDists(q, q.select(col("vec_id"), col("q")), "vec_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("pcid"))))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("pcid").as("code"))
-    // probes: nearest IvfProbeClusters clusters (a03's construction)
+
+  /** ONLINE probe-side structures: nearest-cluster probe list (a03's
+    * construction) + the per-probe ADC distance tables. */
+  private def probeSide(q: DataFrame): (DataFrame, DataFrame) = {
     val probeClusters = q.where(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("norm2").as("pnorm2"))
-      .join(broadcast(cents), lit(true))
+      .join(broadcast(coarseCents(q)), lit(true))
       .withColumn("dot", aggregate(zip_with(col("pq"), col("cq"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
       .withColumn("csim", col("dot").cast(DoubleType) /
@@ -545,14 +575,10 @@ object Ann {
       .where(col("crank") <= IvfProbeClusters)
       .select(col("probe_id"), col("pq"), col("cid").as("pcluster"))
     // probe-side ADC distance table: (probe, sub, codebook entry) -> dist
-    val adcTable = subDists(
+    val adcTable = subDists(q,
       probeClusters.select(col("probe_id"), col("pq").as("q")).distinct(), "probe_id")
       .select(col("probe_id"), col("sub"), col("pcid"), col("dist"))
-    // candidates from the probed clusters, scored by 4 table lookups
-    val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
-        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
-    (cands, codes, adcTable, q)
+    (probeClusters, adcTable)
   }
 
   /** the IVF-PQ CTE chain (through per-candidate ADC ranking), shared
@@ -767,6 +793,62 @@ object Ann {
       |UNION ALL
       |SELECT probe_id, CAST(3 AS BIGINT) AS rank, neighbor_id, edist FROM sel3
       |ORDER BY probe_id, rank""".stripMargin
+
+  // ---- a13: IVF-PQ index BUILD / SERVE separation ----
+
+  /** cache key of the published IVF-PQ index: corpus identity ×
+    * index parameters × the bytecode of this object and the loaders. */
+  private[graft] def ivfpqFingerprint(s: SparkSession, d: String): String =
+    graft.core.Materialize.fingerprint(d, "embeddings",
+      s"ivfpq-c$IvfCentroids-pq$PqCentroids-s$PqSubspaces", annCodeSalt)
+
+  /** the OFFLINE index build: one flattened table (vec_id, cluster,
+    * sub, code) — the coarse assignment joined to the PQ codes, both
+    * from the SAME shared constructions the query path uses. */
+  private def buildIvfPqIndex(s: SparkSession, d: String): DataFrame = {
+    val q = ivfQ(s, d)
+    coarseAssigned(q).select(col("vec_id"), col("cluster"))
+      .join(pqCodes(q), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("sub"), col("code"))
+  }
+
+  /** a13: a06's ANN search SERVED FROM THE PUBLISHED INDEX — the
+    * production separation every real ANN deployment has and a06 (which
+    * re-encodes the corpus per query, fine for a benchmark kernel)
+    * deliberately does not: the compressed index (coarse assignment +
+    * PQ codes, [[buildIvfPqIndex]]) is built ONCE per corpus
+    * fingerprint and published through [[graft.core.Materialize]]; the
+    * online query path reads it back, computes only the PROBE-side
+    * structures (probe cluster lists + ADC tables — tiny, per-query),
+    * and scores candidates by table lookups against the stored codes.
+    * Result contract: bit-identical to a06 (same oracle SQL; the spec
+    * asserts row-for-row equality), so index staleness or build/serve
+    * drift — the ANN corruption class — breaks the driver gate.
+    *
+    * Scale shape at 100 TB: the index build is the one pass that
+    * touches every vector (linear, partial-aggregable constructions);
+    * serving never rescans the corpus — it reads the slim
+    * (vec_id, cluster, sub, code) table (4 ints/vector vs the raw
+    * 64-float embedding: the ~30× compression IS the point of PQ) plus
+    * the probe vectors. */
+  def a13(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.core.Materialize.readOrCompute(s, "ivfpq", ivfpqFingerprint(s, d))(
+        buildIvfPqIndex(s, d))
+      // consumed twice below (assignment + codes) — one parquet scan each
+      // is fine, but the persist keeps the serve path one-read
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = ivfQ(s, d)
+    val (probeClusters, adcTable) = probeSide(q)
+    val assigned = idx.select(col("vec_id"), col("cluster")).distinct()
+    val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    adcScores(cands, idx.select(col("vec_id"), col("sub"), col("code")), adcTable)
+      .where(col("arank") <= 3)
+      .select(col("probe_id"), col("arank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+      .orderBy("probe_id", "rank")
+  }
 
   // ---- a07/a08: k-means clustering + semantic dedup (SemDeDup) ----
 
@@ -1204,6 +1286,7 @@ object Ann {
     "a10_ann_recall" -> a10 _,
     "a11_ann_rerank" -> a11 _,
     "a12_mmr_diversified" -> a12 _,
+    "a13_ivfpq_index_serve" -> a13 _,
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
@@ -1218,6 +1301,7 @@ object Ann {
     "a10_ann_recall" -> a10Sql,
     "a11_ann_rerank" -> a11Sql,
     "a12_mmr_diversified" -> a12Sql,
+    "a13_ivfpq_index_serve" -> a06Sql, // served result == a06 by contract
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql,

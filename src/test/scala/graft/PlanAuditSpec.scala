@@ -43,6 +43,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t11_bigram_lift" -> "crossJoin vs broadcast 1-row total-token aggregate (the T of c_ab*T/(c_a*c_b))",
     "a11_ann_rerank" -> "a06's constant-size broadcast codebook/ADC crosses (the shortlist re-rank itself is hash)",
     "a12_mmr_diversified" -> "a06's constant-size broadcast codebook/ADC crosses (the shortlist pair build and greedy MMR steps are hash joins + per-probe windows)",
+    "a13_ivfpq_index_serve" -> "probe-side constant-size broadcast codebook/ADC crosses (the index consumption itself is hash joins over the published table)",
     "d14_lsh_recall" -> "crossJoins of three 1-row count aggregates (the report row assembly)",
     "t13_lm_score" -> "crossJoin vs broadcast 1-row vocab-size aggregate (the V of (c_ab+1)/(c_a+V))",
     "t15_vocab_growth" -> "crossJoin vs broadcast 1-row max-id aggregate (the decile denominator)")

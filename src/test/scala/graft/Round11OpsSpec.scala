@@ -140,6 +140,13 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p09.map(_._4).sum == keepers, "docs_dedup must sum to the d13 keep count")
   }
 
+  test("a13: index-served search == a06's per-query-encoded search, row for row") {
+    val served = graft.ops.Ann.a13(spark, sf)
+    val direct = graft.ops.Ann.a06(spark, sf)
+    assert(served.count() > 0)
+    assert(served.except(direct).count() == 0 && direct.except(served).count() == 0)
+  }
+
   test("a12: each greedy step optimal under the integer MMR score (brute force)") {
     // reconstruct the exact shortlist distances from raw embeddings
     val q = graft.core.Tables.embeddings(spark, sf)
