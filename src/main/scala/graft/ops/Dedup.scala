@@ -1313,31 +1313,54 @@ object Dedup {
 
   /** d08: d06's documented 100 TB shape made real — a Bloom filter built
     * over the benchmark shingles (distributed sketch aggregation; the
-    * driver holds only the bitset, which then broadcasts) pre-filters
-    * the corpus shingle stream BEFORE the equi-join, so the shuffle
-    * carries only shingles that might hit the benchmark instead of the
-    * whole exploded corpus. Bloom false positives are dropped by the
-    * exact join that follows, so the result — and the oracle — are
+    * driver holds only the bitset, which rides the plan as a constant)
+    * pre-filters the corpus shingle stream BEFORE the equi-join, so the
+    * shuffle carries only shingles that might hit the benchmark instead
+    * of the whole exploded corpus. Bloom false positives are dropped by
+    * the exact join that follows, so the result — and the oracle — are
     * IDENTICAL to d06; at a 1% fpp the join input shrinks by ~99% of
-    * the non-contaminated volume at scale. */
+    * the non-contaminated volume at scale.
+    *
+    * Both the sketch build and the probe are NATIVE Catalyst
+    * expressions — Spark's own runtime-filter pair
+    * (BloomFilterAggregate / BloomFilterMightContain) over
+    * xxhash64-encoded shingles — so the corpus-side probe stays inside
+    * whole-stage codegen. The previous typed `Dataset.filter(lambda)`
+    * forced a DeserializeToObject/SerializeFromObject round-trip on
+    * every corpus shingle row exactly where the volume peaks (the
+    * round-11 verdict's one plan defect; 6.6× control-normalized in
+    * the driver run). PlanAuditSpec now asserts d08's plan carries no
+    * object round-trip. The xxhash64 long-encoding collides at ~2^-64
+    * per pair — it can only ADD a false candidate that the exact join
+    * rejects, the same accepted class as the sketch's own fpp. */
   def d08(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+    import org.apache.spark.sql.GraftInterop
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val sh = shingles(s, d)
+    // consumed three times (census count, sketch build, exact join):
+    // ~20 docs of shingles, cheap to keep and free to not recompute
     val bench = sh.where(col("doc_id") < ContamBenchIds)
       .select(col("doc_id").as("bench_id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = sh.where(col("doc_id") >= ContamBenchIds)
     val nBench = bench.select("sh").distinct().count()
-    // empty benchmark: Spark's bloomFilter agg NPEs on zero rows, and
-    // there is nothing to pre-filter against anyway — the exact join
-    // below yields the (empty) answer
+    // empty benchmark: nothing to pre-filter against (and a zero-item
+    // sketch is degenerate) — the exact join below yields the (empty)
+    // answer
     val pre =
       if (nBench == 0L) corpus
       else {
-        val bloom = bench.stat.bloomFilter("sh", nBench, 0.01)
-        val bcBloom = s.sparkContext.broadcast(bloom)
-        corpus.as[(Long, String)]
-          .filter(t => bcBloom.value.mightContainString(t._2))
-          .toDF("doc_id", "sh")
+        val nBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(nBench, 0.01)
+        val sketch = new BloomFilterAggregate(
+          GraftInterop.expression(xxhash64(col("sh"))),
+          CLit(nBench), CLit(nBits)).toAggregateExpression()
+        val bytes = bench.select(GraftInterop.column(sketch).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        corpus.where(GraftInterop.column(BloomFilterMightContain(
+          CLit(bytes, BinaryType),
+          GraftInterop.expression(xxhash64(col("sh"))))))
       }
     pre.join(bench, "sh")
       .groupBy("doc_id")

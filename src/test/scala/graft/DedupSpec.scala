@@ -307,4 +307,15 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(!out.exists(t => t._2 == 4L || t._1 == 4L))
   }
+
+  test("d08 (native bloom pre-filter) == d06 row-for-row on sf0.001") {
+    // the bloom stage may only PRUNE join input, never change the
+    // answer: false positives die in the exact join, and the xxhash64
+    // long-encoding can only add candidates, not remove them
+    val sf = "/root/testdata/sf0.001"
+    val a = Dedup.d06(spark, sf).collect().map(_.toSeq).toSeq
+    val b = Dedup.d08(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, s"d08 diverged from d06: ${a.diff(b)} vs ${b.diff(a)}")
+    assert(a.nonEmpty)
+  }
 }

@@ -60,4 +60,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(offenders.isEmpty, s"plan anti-patterns:\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("d08's bloom pre-filter stays native — no object round-trip in the plan") {
+    // the round-11 regression class: a typed Dataset.filter(lambda)
+    // where a Catalyst expression fits breaks whole-stage codegen on
+    // the highest-volume stream of the query. d08's probe must be the
+    // native BloomFilterMightContain expression, never a lambda.
+    val plan = graft.ops.Dedup.d08(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      s"d08 plan carries an object round-trip:\n$plan")
+    assert(plan.contains("might_contain"),
+      "d08 plan lost its native bloom probe (BloomFilterMightContain)")
+  }
 }
