@@ -130,6 +130,67 @@ object Dedup {
   private[graft] def d02CandidateCount(s: SparkSession, d: String): Long =
     d02Internals(s, d)._2.count()
 
+  /** cache key of the published MinHash band-signature table: corpus
+    * identity × banding parameters × code salt (the suite-wide
+    * [[dedupCodeSalt]] defined with the d03/d07 fingerprints below). */
+  private[graft] def minhashFingerprint(s: SparkSession, d: String): String =
+    graft.core.Materialize.fingerprint(d, "documents",
+      s"minhash-s$MinhashSeeds-r$BandRows", dedupCodeSalt)
+
+  /** The OFFLINE signature build — at 100 TB the MD5-per-(seed×token)
+    * pass over raw text is the dominant cost of the whole dedup suite,
+    * and before round 12 every consumer (d02, d14, s06's batch
+    * reference) re-ran it from scratch. One row per (doc, band):
+    * 60-bit BIGINT bucket key, distinct-token count, and (band-0 rows
+    * only, to keep the table slim) the doc's sorted 64-bit token-id
+    * array for the exact-Jaccard verify. Explicit partition count: the
+    * pass is CPU-bound and the source is a single row group — without
+    * the pinned repartition it runs on one core. */
+  private def buildBandTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val numBands = MinhashSeeds / BandRows
+    val par = s.sparkContext.defaultParallelism
+    documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(par, col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1).distinct
+          // sorted 64-bit token-id array for the verify kernel, from the
+          // tokenization this pass already did (first 8 MD5 bytes,
+          // big-endian signed long — internal ids, Spark-side only)
+          val ids = toks.map { w =>
+            val h = md.digest(w.getBytes("UTF-8"))
+            var v = 0L
+            var k = 0
+            while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+            v
+          }
+          java.util.Arrays.sort(ids)
+          val bandKeys = docBandKeys(md, toks)
+          Iterator.tabulate(numBands) { b =>
+            (id, b, bandKeys(b), ids.length,
+              // carry the id array once per doc (band 0 only) so the
+              // published table stays slim on the other rows
+              if (b == 0) ids else Array.emptyLongArray)
+          }
+        }
+      }
+      .toDF("i", "band", "sig", "n", "toks")
+  }
+
+  /** The published band-signature table — a13's index build/serve
+    * separation applied to the dedup suite: built ONCE per corpus
+    * fingerprint through [[graft.core.Materialize]], consumed by d02
+    * (candidate join + verify arrays), d14 (recall eval band keys) and
+    * s06's batch reference. A warm consumer never touches raw text;
+    * band-key truncation collisions and staleness are covered by the
+    * fingerprint key exactly as for a13's PQ codes. */
+  private[graft] def bandTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "minhash", minhashFingerprint(s, d))(
+      buildBandTable(s, d))
+
   def d02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (bandRows, cand) = d02Internals(s, d)
@@ -157,48 +218,18 @@ object Dedup {
   }
 
   private[graft] def d02Internals(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    import s.implicits._
-    val numBands = MinhashSeeds / BandRows
-    val par = s.sparkContext.defaultParallelism
-    // One row per (doc, band): the bucket key for THIS band. Band keys
-    // are the band-MD5 truncated to 60 bits in a BIGINT. A truncation
-    // collision usually only adds a candidate pair that exact verify
-    // rejects; the residual risk is a falsely-bucketed pair whose true
-    // Jaccard >= 0.5 — emitted here but absent from the full-128-bit
-    // oracle — at ~2^-60 per pair, accepted as negligible. Explicit
-    // partition count: the signature pass is CPU-bound (MD5 per seed x
-    // token) and the source is a single row group — without the pinned
-    // repartition it runs on one core.
-    val bandRows = documents(s, d).select(col("doc_id"), col("text"))
-      .repartition(par, col("doc_id"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, text) =>
-          val toks = text.split(" ", -1).distinct
-          // sorted 64-bit token-id array for the verify kernel, from the
-          // tokenization this pass already did (first 8 MD5 bytes,
-          // big-endian signed long — internal ids, Spark-side only)
-          val ids = toks.map { w =>
-            val h = md.digest(w.getBytes("UTF-8"))
-            var v = 0L
-            var k = 0
-            while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
-            v
-          }
-          java.util.Arrays.sort(ids)
-          val bandKeys = docBandKeys(md, toks)
-          Iterator.tabulate(numBands) { b =>
-            (id, b, bandKeys(b), ids.length,
-              // carry the id array once per doc (band 0 only) so the
-              // persisted table stays slim on the other rows
-              if (b == 0) ids else Array.emptyLongArray)
-          }
-        }
-      }
-      .toDF("i", "band", "sig", "n", "toks")
+    // One row per (doc, band): the bucket key for THIS band, SERVED
+    // FROM THE PUBLISHED TABLE (cold first run per corpus fingerprint
+    // pays the build+publish; Bench's mat_pub/"cold" marker flags it).
+    // Band keys are the band-MD5 truncated to 60 bits in a BIGINT. A
+    // truncation collision usually only adds a candidate pair that
+    // exact verify rejects; the residual risk is a falsely-bucketed
+    // pair whose true Jaccard >= 0.5 — emitted here but absent from
+    // the full-128-bit oracle — at ~2^-60 per pair, accepted as
+    // negligible.
+    val bandRows = bandTable(s, d)
       // both sides of the self-join (broadcast build + probe) would
-      // otherwise re-run the MD5 pass; the table is numBands rows/doc
+      // otherwise re-scan the parquet; the table is numBands rows/doc
       // of slim numeric columns, cheap to keep
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bandRows
@@ -1616,8 +1647,6 @@ object Dedup {
     * 4×3 shape at 0.80 on this corpus and drove the retune) — a
     * diagnostic with real signal, not a tautology. */
   def d14(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val par = s.sparkContext.defaultParallelism
     val n = documents(s, d).count() // census (metadata-only row count)
     val step = math.max(1L, (n + D14SampleTarget - 1) / D14SampleTarget)
     // persisted: the ≤512-row sample feeds the token explode, the MD5
@@ -1645,18 +1674,14 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("b"), col("nn").as("nb")), "b")
       .where(col("c") * 3 >= col("na") + col("nb"))
       .select("a", "b")
-    val bands = sample.repartition(par, col("doc_id"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, text) =>
-          docBandKeys(md, text.split(" ", -1).distinct)
-            .iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
-        }
-      }
-      .toDF("doc_id", "band", "key")
-      // both sides of the (band, key) self-join would re-run the MD5
-      // pass otherwise — same persist d02 applies to its band table
+    // band keys for the sampled docs, SERVED from the same published
+    // signature table d02 consumes (round-12: the a13 build/serve
+    // pattern — the eval must grade the batch operator's EXACT keys,
+    // and reading the published table makes that structural instead of
+    // kernel-call-identical). Persisted: both sides of the (band, key)
+    // self-join would re-scan the parquet otherwise.
+    val bands = bandTable(s, d).where(col("i") % step === 0)
+      .select(col("i").as("doc_id"), col("band"), col("sig").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
       .join(bands.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))

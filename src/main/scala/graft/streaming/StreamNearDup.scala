@@ -69,13 +69,15 @@ object StreamNearDup {
   /** batch reference for the equivalence spec: with an id-ordered replay
     * the bucket's "first seen" is its min doc_id, so the flags are
     * exactly (doc, band, bucket_min) for every non-min doc of each
-    * occupied bucket. */
+    * occupied bucket. Band keys come from the PUBLISHED signature
+    * table ([[Dedup.bandTable]], the a13 build/serve pattern) — the
+    * same artifact d02/d14 consume, so the batch reference and the
+    * nightly dedup pass are structurally the same keys; the streaming
+    * side necessarily computes keys on arrival ([[bandRows]]), and the
+    * equivalence spec pins the two kernels to each other. */
   def batchFlags(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val rows = bandRows(
-      graft.core.Tables.documents(s, dir)
-        .select(col("doc_id"), col("text")).as[DocIn])
-      .toDF("doc_id", "band", "key")
+    val rows = Dedup.bandTable(s, dir)
+      .select(col("i").as("doc_id"), col("band"), col("sig").as("key"))
     val firsts = rows.groupBy("band", "key").agg(min("doc_id").as("dup_of"))
     rows.join(firsts, Seq("band", "key"))
       .where(col("doc_id") =!= col("dup_of"))
