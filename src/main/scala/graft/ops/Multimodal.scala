@@ -497,43 +497,137 @@ object Multimodal {
   val PatchSide = 4
   val PatchGrid: Int = TileW / PatchSide // 4 -> 16 patches of 16 cells
 
+  /** The SHARED patch algebra: a row-major [[TileW]]×[[TileW]] tile of
+    * integer luminance → the 16 per-patch cell sums (patch p covers
+    * rows (p div 4)·4.. and cols (p mod 4)·4..). One definition for
+    * both tile producers (decoded image / char stub), so the algebra
+    * cannot drift between the real and oracle paths. */
+  private[graft] def patchSums(tile: Array[Long]): Array[Long] = {
+    val out = new Array[Long](PatchGrid * PatchGrid)
+    var p = 0
+    while (p < out.length) {
+      var i = 0
+      var sum = 0L
+      while (i < PatchSide * PatchSide) {
+        val idx = ((p / PatchGrid) * PatchSide + (i / PatchSide)) * TileW +
+          (p % PatchGrid) * PatchSide + (i % PatchSide)
+        sum += tile(idx)
+        i += 1
+      }
+      out(p) = sum
+      p += 1
+    }
+    out
+  }
+
+  /** REAL-path tile: the decoded image's luminance resampled to the
+    * [[TileW]]×[[TileW]] grid by BLOCK AVERAGE (integer 299R+587G+114B
+    * per pixel, exact accumulation, one floor division per cell) — the
+    * same pooling [[dhashImage]] uses, on m05's square geometry. This
+    * is m01's decode COMPOSED into the patch algebra: decode →
+    * luminance tile → [[patchSums]]. */
+  def tileFromImage(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val tile = new Array[Long](TileW * TileW)
+    var r = 0
+    while (r < TileW) {
+      val y0 = r * h / TileW
+      val y1 = math.min(math.max((r + 1) * h / TileW, y0 + 1), h)
+      var c = 0
+      while (c < TileW) {
+        val x0 = c * w / TileW
+        val x1 = math.min(math.max((c + 1) * w / TileW, x0 + 1), w)
+        var num = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            num += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        tile(r * TileW + c) = num / (1000L * (y1 - y0) * (x1 - x0))
+        c += 1
+      }
+      r += 1
+    }
+    tile
+  }
+
+  /** STUB-path tile: codepoint-as-luminance over the first
+    * [[TileW]]² CHARACTERS, zero-padded — bit-identical to the SQL
+    * char algebra (ascii/substring are codepoint-based in both Spark
+    * and DuckDB, so the kernel iterates code points, not UTF-16
+    * units). Returns (char count, tile). */
+  private[graft] def tileFromChars(blob: Array[Byte]): (Int, Array[Long]) = {
+    val cps = new String(blob, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().toArray
+    val tile = new Array[Long](TileW * TileW)
+    var i = 0
+    while (i < tile.length) {
+      tile(i) = if (i < cps.length) cps(i).toLong else 0L
+      i += 1
+    }
+    (cps.length, tile)
+  }
+
+  /** per-row m05 record: (n_rows, patch_means CSV, tile_sum). */
+  final case class PatchRow(n_rows: Long, patch_means: String, tile_sum: Long)
+
+  /** m05's per-blob dispatcher, mirroring [[decode]]/[[dhashMedia]]:
+    * decodable image → [[tileFromImage]] (n_rows = the source image's
+    * pixel rows), anything else → the deterministic char tile
+    * (n_rows = ceil(chars/[[TileW]]), the oracle's definition). */
+  def patchMedia(blob: Array[Byte]): PatchRow = {
+    val cells = PatchSide * PatchSide
+    val img =
+      if (!looksLikeImage(blob)) None
+      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val (nRows, tile) = img match {
+      case Some(im) => (im.getHeight.toLong, tileFromImage(im))
+      case None =>
+        val (chars, t) = tileFromChars(blob)
+        ((chars + TileW - 1).toLong / TileW, t)
+    }
+    val ps = patchSums(tile)
+    PatchRow(nRows, ps.map(_ / cells).mkString(","), ps.sum)
+  }
+
   /** m05: PATCH EXTRACTION — the ViT/image-encoder preprocessing shape:
     * crop a fixed tile, split it into a non-overlapping patch grid, and
     * emit per-patch integer mean "luminance" (the quantity a patch
-    * embedding consumes). Pixel (r, c) = the character at index
-    * r·[[TileW]] + c (codepoint as luminance, 0 past the payload — the
-    * m02 char-based convention, identical in DuckDB's ascii/substring);
-    * patch p covers rows (p div 4)·4.. and cols (p mod 4)·4.., and its
-    * mean is an exact integer floor (sum DIV 16). Output: patch means
-    * stringified CSV (fixed 16 values — list columns are not driver-
-    * hashable), the tile's total luminance, and the payload's row count.
+    * embedding consumes). The tile comes from the [[patchMedia]]
+    * dispatcher: REAL ImageIO-decoded block-average luminance for
+    * decodable payloads (m01's decode composed end-to-end into the
+    * patch algebra — Round12 closes the round-11 "claimed, never
+    * exercised" gap; Round12OpsSpec proves the decoded path against an
+    * independent per-pixel reference), codepoint-as-luminance for
+    * anything else (the oracle corpus stores text bytes, so every gate
+    * row takes the stub branch and the DuckDB oracle stays exact).
+    * Output: patch means stringified CSV (fixed 16 values — list
+    * columns are not driver-hashable), the tile's total luminance, and
+    * the payload's row count.
     *
-    * Scale shape: entirely ROW-LOCAL (a constant 256-cell HOF per doc —
-    * interpreted, but per-doc, the adjudicated m02 class), zero shuffles
-    * until the output sort; only `doc_id, text` are read. A real
-    * deployment swaps the char tile for decoded luminance (m01's
-    * ImageIO path yields it); the patch algebra — the part Spark owns —
-    * is unchanged. */
+    * Scale shape: entirely ROW-LOCAL (one constant-256-cell kernel per
+    * doc, the m03 typed-kernel class), zero shuffles until the output
+    * sort; only `doc_id, text` are read, with the pinned repartition
+    * all CPU-dense single-row-group kernels use. */
   def m05(s: SparkSession, d: String): DataFrame = {
-    val cells = PatchSide * PatchSide // 16 cells per patch
-    val idx0 = // 0-based char index of cell i of patch p
-      s"((p div $PatchGrid) * $PatchSide + (i div $PatchSide)) * $TileW" +
-        s" + (p % $PatchGrid) * $PatchSide + (i % $PatchSide)"
+    import s.implicits._
     documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
-      .withColumn("chars", expr("length(CAST(blob AS STRING))"))
-      .withColumn("psums", expr(
-        s"""transform(sequence(0, ${PatchGrid * PatchGrid - 1}), p ->
-           |  aggregate(sequence(0, ${cells - 1}), CAST(0 AS BIGINT), (acc, i) ->
-           |    acc + IF($idx0 < chars,
-           |      CAST(ascii(substring(CAST(blob AS STRING), $idx0 + 1, 1)) AS BIGINT),
-           |      CAST(0 AS BIGINT))))""".stripMargin))
-      .select(col("doc_id"),
-        ((col("chars") + TileW - 1) / TileW).cast("long").as("n_rows"),
-        expr(s"array_join(transform(psums, x -> CAST(x div $cells AS STRING)), ',')")
-          .as("patch_means"),
-        expr("CAST(aggregate(psums, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)")
-          .as("tile_sum"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, blob) =>
+        val r = patchMedia(blob)
+        (id, r.n_rows, r.patch_means, r.tile_sum)
+      }
+      .toDF("doc_id", "n_rows", "patch_means", "tile_sum")
       .orderBy("doc_id")
   }
 
