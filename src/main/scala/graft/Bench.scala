@@ -148,23 +148,37 @@ object Bench {
         s""""mat_pub":$pubN,"load1m":${math.round(load0 * 100) / 100.0}}"""
       System.err.println(s"[bench-diag] $d")
       diag.append(d).append('\n')
-      name -> secs
+      (name, secs, pubN)
     }
     runControl("post")
     // 3-decimal seconds: ms precision (scheduling noise is +-100 ms);
     // full precision doubled the line length past the driver's capture.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val rounded = results.map { case (k, v) => k -> r3(v) }
+    val rounded = results.map { case (k, v, _) => k -> r3(v) }
+    // entries whose timed window included a materialization publish —
+    // a COLD sample (first run at this corpus fingerprint, or an
+    // always-compute kernel). Three rounds running, first-run publishes
+    // read as false regressions in the driver's single run; the marker
+    // makes them mechanically adjudicable from the tail line alone.
+    val coldNames = results.collect { case (k, _, p) if p > 0 => k }.toSet
     // session-ambient yardstick: median of the 3 control runs (full
     // list in the diag file). Extra top-level JSON keys are additive —
     // the driver's parser reads metric/value/queries and ignores these.
     val ctl = r3(ctlRuns.sorted.apply(ctlRuns.size / 2))
     val suites = suiteCtl.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // "cold" is an additive top-level key (the driver's parser reads
+    // metric/value/queries and ignores extras) carried by BOTH the
+    // short tail line and the full-name file line. The query-map keys
+    // themselves stay unstarred: they are the cross-round join key for
+    // BASELINE comparisons, and a key that mutates with cache state
+    // would silently drop the entry from that join.
+    val coldList = results.collect { case (k, _, p) if p > 0 =>
+      "\"" + k.takeWhile(_ != '_') + "\"" }.mkString("[", ",", "]")
     def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""control":$ctl,"suite_controls":$suites,"sf":"$sfDir"}"""
+        s""""control":$ctl,"suite_controls":$suites,"cold":$coldList,"sf":"$sfDir"}"""
     }
     // total = sum of the ALREADY-ROUNDED per-query values (re-rounded to
     // strip FP dust), so a consumer cross-summing the queries map gets

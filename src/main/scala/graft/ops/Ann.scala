@@ -518,6 +518,21 @@ object Ann {
       .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** [[ivfQ]] restricted to the rows the ONLINE serve path needs: the
+    * probe vectors (vec_id < 10) and the codebook rows (vec_id <
+    * [[IvfCentroids]] ⊇ [[PqCentroids]]). The vec_id predicate pushes
+    * into the parquet scan, so a13's warm serve touches ≤ IvfCentroids
+    * source rows instead of re-quantizing (and persisting) the whole
+    * corpus per query — at 100 TB the difference between "read the
+    * published 4-int index + 16 rows" and "rescan the embeddings".
+    * No repartition/persist: the result is constant-size. */
+  private def ivfQServe(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .where(col("vec_id") < math.max(IvfCentroids, 10).toLong)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+
   private def coarseCents(q: DataFrame): DataFrame =
     q.where(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("norm2").as("cnorm2"))
@@ -837,8 +852,11 @@ object Ann {
       // consumed twice below (assignment + codes) — one parquet scan each
       // is fine, but the persist keeps the serve path one-read
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = ivfQ(s, d)
-    val (probeClusters, adcTable) = probeSide(q)
+    // probe-side structures from the PRE-FILTERED read ([[ivfQServe]]):
+    // probeSide consumes q only through vec_id < 10 (probes) and
+    // vec_id < IvfCentroids/PqCentroids (codebooks), all inside the
+    // slim cut — identical results, no corpus rescan on serve
+    val (probeClusters, adcTable) = probeSide(ivfQServe(s, d))
     val assigned = idx.select(col("vec_id"), col("cluster")).distinct()
     val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
         col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))

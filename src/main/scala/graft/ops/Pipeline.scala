@@ -440,7 +440,7 @@ object Pipeline {
     val stats = kept.groupBy("source").agg(sum(col("n_tok")).as("src_tokens"))
     val totals = stats.agg(sum(col("src_tokens")).as("all_tokens"),
       count(lit(1)).as("n_src"))
-    kept.join(broadcast(stats.crossJoin(broadcast(totals))), "source")
+    val after = kept.join(broadcast(stats.crossJoin(broadcast(totals))), "source")
       .withColumn("keep",
         col("hm").cast(dec) * lit(2L) * col("n_src") * col("src_tokens") <
           col("all_tokens").cast(dec) * lit(1000000L))
@@ -450,10 +450,18 @@ object Pipeline {
         big(sum(col("n_tok"))).as("tokens_dedup"),
         big(sum(when(col("keep"), 1L).otherwise(0L))).as("docs_sampled"),
         big(sum(when(col("keep"), col("n_tok")).otherwise(0L))).as("tokens_sampled"))
-      .join(before, "source")
+    // LEFT join from `before`: a source whose docs are ALL removed by
+    // dedup must still appear in the before/after report (zeroed
+    // dedup/sampled columns) — the inner join silently dropped exactly
+    // the most duplicate-heavy case, the one this entry exists to show.
+    // (Its docs can't re-enter the rate math: n_src/all_tokens are
+    // derived from `stats`, which is keeper-only either way.)
+    before.join(after, Seq("source"), "left")
       .select(col("source"), col("docs_before"), col("tokens_before"),
-        col("docs_dedup"), col("tokens_dedup"),
-        col("docs_sampled"), col("tokens_sampled"))
+        coalesce(col("docs_dedup"), lit(0L)).as("docs_dedup"),
+        coalesce(col("tokens_dedup"), lit(0L)).as("tokens_dedup"),
+        coalesce(col("docs_sampled"), lit(0L)).as("docs_sampled"),
+        coalesce(col("tokens_sampled"), lit(0L)).as("tokens_sampled"))
       .orderBy("source")
   }
 
@@ -493,10 +501,13 @@ object Pipeline {
       |              THEN d.n_tok ELSE 0 END) AS BIGINT) AS tokens_sampled
       |  FROM kept d JOIN stats s ON s.source = d.source, totals t
       |  GROUP BY d.source)
-      |SELECT a.source, b.docs_before, b.tokens_before,
-      |  a.docs_dedup, a.tokens_dedup, a.docs_sampled, a.tokens_sampled
-      |FROM after a JOIN before b ON b.source = a.source
-      |ORDER BY a.source""".stripMargin
+      |SELECT b.source, b.docs_before, b.tokens_before,
+      |  CAST(COALESCE(a.docs_dedup, 0) AS BIGINT) AS docs_dedup,
+      |  CAST(COALESCE(a.tokens_dedup, 0) AS BIGINT) AS tokens_dedup,
+      |  CAST(COALESCE(a.docs_sampled, 0) AS BIGINT) AS docs_sampled,
+      |  CAST(COALESCE(a.tokens_sampled, 0) AS BIGINT) AS tokens_sampled
+      |FROM before b LEFT JOIN after a ON a.source = b.source
+      |ORDER BY b.source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p09_dedup_adjusted_mix" -> p09 _,

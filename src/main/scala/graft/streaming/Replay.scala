@@ -124,6 +124,20 @@ object Replay {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Peak state rows (max stateOperators.numRowsTotal over the last
+    * replay's progress events) — the measured state-volume diagnostic
+    * behind the replay entries' scale claims (s09's "4× tumbling for
+    * the same stream" is a statement about exactly this number; the
+    * SweepDup harness prints it per entry). -1 until a replay with a
+    * stateful operator has run in this JVM. */
+  @volatile private[graft] var lastStateRows: Long = -1L
+
+  private def recordStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    lastStateRows = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsTotal)
+      .foldLeft(-1L)(math.max)
+
   /** one AvailableNow pass of a streaming `df` into `$base/out`,
     * returned as a batch reader — the single-bootstrap entries'
     * (s06/s07) whole sink protocol. */
@@ -135,6 +149,7 @@ object Replay {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      recordStateRows(q)
     }
     s.read.parquet(s"$base/out")
   }
@@ -197,6 +212,7 @@ object Replay {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        recordStateRows(q)
       } else {
         // watermark-gated operators need the second sentinel AFTER the
         // first batch's watermark commit. Until round 8 that was two
@@ -219,6 +235,7 @@ object Replay {
         q.processAllAvailable()                    // data + sentinel 1
         publishSentinel(200L * 24 * 3600 * 1000000)
         q.processAllAvailable()                    // flush: finalize open state
+        recordStateRows(q)
         q.stop()
       }
     }
@@ -514,10 +531,14 @@ object Replay {
 
   /** every event belongs to exactly 4 epoch-anchored 15-min-slide hour
     * windows: starts floor15(ts) − k·15 min, k = 0..3 (k·15 < 60 and
-    * (ts − floor15) < 15 bound both ends). 900000000 = 15 min in us. */
+    * (ts − floor15) < 15 bound both ends). 900000000 = 15 min in us.
+    * make_timestamp(us) yields a NAIVE timestamp, so strftime renders
+    * identically under any DuckDB session time zone — to_timestamp
+    * returns TIMESTAMPTZ and would silently shift with the driver's TZ
+    * (the divergence class Tables.normalizeTs was hardened against). */
   val s09Sql: String =
     """SELECT
-      |  strftime(to_timestamp((epoch_us(ts) // 900000000 - k.k) * 900),
+      |  strftime(make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000),
       |           '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type,
       |  CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Round-12 consolidation invariants:
+  *  - p09 reports a source even when dedup removes ALL its docs (the
+  *    left-join fix — the inner join silently dropped exactly the most
+  *    duplicate-heavy case);
+  *  - a13's warm serve path reads only the published index + the
+  *    pre-filtered probe/codebook rows, never a corpus-wide
+  *    embeddings scan;
+  *  - the published MinHash band table serves d02/d14/s06's batch
+  *    reference with keys identical to the in-stream kernel.
+  */
+class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-round12-ops-spec")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("p09 keeps a fully-deduplicated source in the report with zeroed columns") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 share identical text -> same SimHash fingerprint ->
+    // one cluster; canonical = longest, tie -> MIN doc_id = 1. Source
+    // srcB's only doc (2) is removed entirely by dedup; srcC pads the
+    // corpus with singletons so the mixing math has >1 surviving source.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "srcA"),
+      (2L, "alpha beta gamma delta epsilon zeta", "srcB"),
+      (3L, "one two three four five six seven", "srcC"),
+      (4L, "eight nine ten eleven twelve thirteen", "srcC"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-p09-zero").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Pipeline.p09(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet == Set("srcA", "srcB", "srcC"))
+    val (db, tb, dd, td, ds, ts) = out("srcB")
+    assert(db == 1L && tb == 6L, "before-columns must still count the removed docs")
+    assert(dd == 0L && td == 0L && ds == 0L && ts == 0L,
+      "a fully-deduplicated source reports zeros, not a dropped row")
+    assert(out("srcA") == ((1L, 6L, 1L, 6L, out("srcA")._5, out("srcA")._6)))
+  }
+
+  test("a13 warm serve plan scans embeddings only under a vec_id pushdown") {
+    // build/publish the index (cold path), then check the SERVE plan:
+    // every FileScan of embeddings.parquet must carry the probe-side
+    // vec_id pushdown — the corpus-wide quantize/persist that round
+    // 11's advice flagged would show as an unfiltered embeddings scan.
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.ops.Ann.a13(spark, sf)
+    df.count() // force build+publish so the serve plan is the warm one
+    val plan = graft.ops.Ann.a13(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("embeddings.parquet")).toSeq
+    assert(scans.nonEmpty, "serve plan reads no embeddings at all? plan changed shape")
+    scans.foreach { l =>
+      assert(l.contains("LessThan(vec_id"),
+        s"embeddings scan without the probe-side vec_id pushdown:\n$l")
+    }
+  }
+
+  test("m05 decoded path: patch means match an independent per-pixel reference; lossless re-encode invariant") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (37, 29) // not multiples of 16: exercises ragged block bounds
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 7 + y * 13) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    // independent reference: per-patch means from raw pixels, computed
+    // here without calling the production tile/patch functions. Gray
+    // pixels make luma exact (299g+587g+114g = 1000g -> g).
+    val T = graft.ops.Multimodal.TileW
+    val P = graft.ops.Multimodal.PatchSide
+    val G = graft.ops.Multimodal.PatchGrid
+    def cellMean(r: Int, c: Int): Long = {
+      val y0 = r * h / T; val y1 = math.min(math.max((r + 1) * h / T, y0 + 1), h)
+      val x0 = c * w / T; val x1 = math.min(math.max((c + 1) * w / T, x0 + 1), w)
+      var num = 0L
+      for (y <- y0 until y1; x <- x0 until x1)
+        num += 1000L * ((x * 7 + y * 13) % 256)
+      num / (1000L * (y1 - y0) * (x1 - x0))
+    }
+    val refMeans = (0 until G * G).map { p =>
+      val sums = for (i <- 0 until P * P) yield
+        cellMean((p / G) * P + i / P, (p % G) * P + i % P)
+      sums.sum / (P * P)
+    }
+    val viaPng = graft.ops.Multimodal.patchMedia(enc("png"))
+    assert(viaPng.patch_means == refMeans.mkString(","),
+      "decoded-path patch means diverge from the per-pixel reference")
+    assert(viaPng.n_rows == h.toLong, "real path reports source pixel rows")
+    // PNG and BMP are both lossless: the decode->tile->patch composition
+    // must be invariant to container re-encoding
+    assert(viaPng == graft.ops.Multimodal.patchMedia(enc("bmp")),
+      "patch extraction not invariant under lossless re-encode")
+  }
+
+  test("published band table == the in-stream kernel's keys (s06 equivalence root)") {
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val fromTable = graft.ops.Dedup.bandTable(spark, sf)
+      .select($"i", $"band", $"sig").as[(Long, Int, Long)].collect().toSet
+    val fromKernel = graft.streaming.StreamNearDup.bandRows(
+        graft.core.Tables.documents(spark, sf)
+          .select($"doc_id", $"text").as[graft.streaming.StreamNearDup.DocIn])
+      .collect().map(r => (r.doc_id, r.band, r.key)).toSet
+    assert(fromTable == fromKernel,
+      "published signatures diverged from the streaming kernel's keys")
+  }
+}

@@ -46,14 +46,25 @@ object SweepDup {
   private def build(spark: SparkSession): Unit = {
     val docs = spark.read.parquet(s"$Src/documents.parquet")
     val embs = spark.read.parquet(s"$Src/embeddings.parquet")
+    // events duplicated with offset event/user ids but UNCHANGED
+    // timestamps: the window set stays fixed while rows-per-window
+    // scale — so window-keyed state (s02/s09) must stay flat and
+    // user-keyed state (s01) must scale with k; the s-suite sweep
+    // measures exactly that split via Replay.lastStateRows.
+    val evs = spark.read.parquet(s"$Src/events.parquet")
     Multiples.foreach { k =>
       val d = (0 until k).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * Offset)))
         .reduce(_ union _)
       val e = (0 until k).map(i => embs.withColumn("vec_id", col("vec_id") + lit(i * Offset)))
         .reduce(_ union _)
+      val ev = (0 until k).map(i => evs
+          .withColumn("event_id", col("event_id") + lit(i * Offset))
+          .withColumn("user_id", col("user_id") + lit(i * Offset)))
+        .reduce(_ union _)
       d.write.mode("overwrite").parquet(s"${dirFor(k)}/documents.parquet")
       e.write.mode("overwrite").parquet(s"${dirFor(k)}/embeddings.parquet")
-      println(s"[sweep] built x$k: ${d.count()} docs, ${e.count()} vectors")
+      ev.write.mode("overwrite").parquet(s"${dirFor(k)}/events.parquet")
+      println(s"[sweep] built x$k: ${d.count()} docs, ${e.count()} vectors, ${ev.count()} events")
     }
   }
 
@@ -97,6 +108,13 @@ object SweepDup {
   /** Scale diagnostics for the ANN kernels — the candidate/pair volumes
     * the BASELINE.md exponents are explained against. */
   private def diag(spark: SparkSession, n: String, dir: String): Unit = {
+    if (n.startsWith("s0") && graft.streaming.Replay.lastStateRows >= 0)
+      // peak stateOperators.numRowsTotal of the replay just timed —
+      // the measured number behind the window/session state claims
+      // (s09 ≈ 4× s02 on the same stream; flat in k on the id-offset
+      // sweep since the window set is fixed, while s01's user-keyed
+      // state scales with k)
+      println(s"[sweep]   $n state rows @ $dir: ${graft.streaming.Replay.lastStateRows}")
     if (n.startsWith("a06"))
       println(s"[sweep]   a06 candidate volume @ $dir: " +
         s"${graft.ops.Ann.a06CandidateVolume(spark, dir)} ADC scorings")
