@@ -227,11 +227,14 @@ object Dedup {
     // pair whose true Jaccard >= 0.5 — emitted here but absent from
     // the full-128-bit oracle — at ~2^-60 per pair, accepted as
     // negligible.
+    // NOT persisted: the published table is a slim column-pruned
+    // parquet read (~0.3 s/scan at sf0.1) and each of the four
+    // consumers (two join sides, two docSets projections) prunes a
+    // DIFFERENT column set — going through the columnar cache
+    // serializer for the array column measured slower than four direct
+    // pruned scans, and the unfilled cache additionally made racing
+    // consumers recompute the scan per stage
     val bandRows = bandTable(s, d)
-      // both sides of the self-join (broadcast build + probe) would
-      // otherwise re-scan the parquet; the table is numBands rows/doc
-      // of slim numeric columns, cheap to keep
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bandRows
     val b = bandRows.select(col("i").as("j"), col("band").as("band_b"),
       col("sig").as("sig_b"), col("n").as("nb"))
