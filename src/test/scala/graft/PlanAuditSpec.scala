@@ -48,15 +48,42 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t13_lm_score" -> "crossJoin vs broadcast 1-row vocab-size aggregate (the V of (c_ab+1)/(c_a+V))",
     "t15_vocab_growth" -> "crossJoin vs broadcast 1-row max-id aggregate (the decile denominator)")
 
-  test("no CartesianProduct anywhere; BNLJ only in named constant-size crosses") {
+  /** queries whose plan legitimately leaves whole-stage codegen for a
+    * typed kernel (DeserializeToObject -> lambda -> Serialize), with
+    * the reason the kernel genuinely needs object space. The round-11
+    * d08 regression was exactly a lambda where a Catalyst expression
+    * fits — any entry NOT named here that grows an object round-trip
+    * fails this audit. */
+  private val objectKernelAllowed: Map[String, String] = Map(
+    "d02_minhash_lsh_neardup" -> "sorted-array merge-intersect verify over broadcast token-id arrays (adjudicated kernel class)",
+    "d04_ngram_jaccard" -> "salted blocked-Jaccard cell kernel (per-block sorted-set intersections)",
+    "d05_cosine_neardup" -> "block-matrix cosine kernel (per-cell quantized dot products)",
+    "m01_multimodal_decode" -> "batched codec dispatcher (ImageIO decode / stub) — imperative per-blob work",
+    "m04_audio_frames" -> "batched PCM framing/energy kernel — imperative per-blob byte work (m01's codec class)",
+    "q26_jaccard_neardup" -> "delegates to the shared salted blockedJaccardTyped kernel (d04's class)",
+    "m03_dhash_neardup" -> "per-blob dHash dispatcher (ImageIO decode / byte-block stub)",
+    "m05_patch_extract" -> "per-blob patch dispatcher (ImageIO decode -> luminance tile / char stub)")
+
+  test("no CartesianProduct anywhere; BNLJ and object kernels only where named") {
     val sf = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val objectKernelSeen = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
       if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
         offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      if (plan.contains("DeserializeToObject")) {
+        objectKernelSeen += name
+        if (!objectKernelAllowed.contains(name))
+          offenders += s"$name: unexpected object round-trip (DeserializeToObject)"
+      }
+    }
+    // stale allowances must fail too — a dead entry here would let a
+    // future typed-lambda regression hide behind an old excuse
+    (objectKernelAllowed.keySet -- objectKernelSeen).toSeq.sorted.foreach { n =>
+      offenders += s"$n: allow-listed object kernel no longer present (remove the allowance)"
     }
     assert(offenders.isEmpty, s"plan anti-patterns:\n  ${offenders.mkString("\n  ")}")
   }
