@@ -146,11 +146,19 @@ object Dedup {
     * array for the exact-Jaccard verify. Explicit partition count: the
     * pass is CPU-bound and the source is a single row group — without
     * the pinned repartition it runs on one core. */
-  private def buildBandTable(s: SparkSession, d: String): DataFrame = {
+  private def buildBandTable(s: SparkSession, d: String): DataFrame =
+    bandRowsFor(s, documents(s, d))
+
+  /** The signature pass itself, over an arbitrary (doc_id, text)
+    * relation — factored from the corpus build so d16 can run the SAME
+    * kernel over an incoming batch that is NOT yet in the published
+    * table (the incremental-ingest shape: corpus side served, batch
+    * side computed fresh at arrival size). */
+  private def bandRowsFor(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val numBands = MinhashSeeds / BandRows
     val par = s.sparkContext.defaultParallelism
-    documents(s, d).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .repartition(par, col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -1738,7 +1746,148 @@ object Dedup {
       |       ELSE CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
       |            / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END AS recall""".stripMargin
 
+  // ---- d16: incremental batch-vs-corpus near-dup admission ----
+
+  /** The arrival-batch census split: docs with doc_id % Mod == Rem play
+    * the "incoming shard"; the rest are the standing corpus. Both
+    * engines derive the split in pure SQL, so the oracle samples
+    * identically (the d14 census pattern). */
+  val IncrementalMod = 10L
+  val IncrementalRem = 7L
+
+  /** d16: INCREMENTAL near-dup admission — the shape a production
+    * ingest actually runs every day: a NEW batch of documents arrives
+    * and must be deduplicated AGAINST THE STANDING CORPUS without
+    * rescanning it. The corpus side is served from the published
+    * MinHash band-signature table ([[bandTable]] — built once per
+    * corpus fingerprint; a column-pruned parquet read with the
+    * batch-exclusion predicate pushed to the scan), while the batch
+    * side runs the SAME signature kernel ([[bandRowsFor]]) fresh at
+    * arrival size — at 100 TB the corpus pass is unpayable per batch
+    * and the batch pass is tiny, which is exactly why the published
+    * table exists. Candidates come from the directed (batch band ×
+    * corpus band) bucket equi-join with d02's size-ratio prune;
+    * survivors get d02's exact merge-intersect Jaccard verify; the
+    * report is one row PER BATCH DOC: how many standing near-dups it
+    * has (τ = 0.5), its best match (highest Jaccard, tie → smallest
+    * corpus id), and the admission flag a filtering pipeline keys on.
+    * Batch-internal duplicates are deliberately out of scope — d02
+    * covers intra-corpus pairs; this operator grades ARRIVALS.
+    *
+    * Scale shape: no all-pairs anywhere — the join is banded exactly
+    * like d02's; the batch side (bands + verify arrays) is persisted
+    * once and is arrival-sized; the corpus side is the slim published
+    * table, never raw text. Dup-free batch docs survive via the left
+    * join (the p09 lesson: the rows an admission report exists for are
+    * exactly the ones an inner join would drop). */
+  def d16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val batchPred = col("doc_id") % IncrementalMod === IncrementalRem
+    // arrival-sized: bands for the ~N/10 incoming docs, persisted for
+    // the three consumers (candidate join, verify arrays, report base)
+    val newBands = bandRowsFor(s, documents(s, d).where(batchPred))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = bandTable(s, d)
+      .where(col("i") % IncrementalMod =!= IncrementalRem)
+    val cand = newBands
+      .select(col("i").as("ni"), col("band"), col("sig"), col("n").as("na"))
+      .join(corpusBands.select(col("i").as("ci"), col("band").as("band_b"),
+          col("sig").as("sig_b"), col("n").as("nb")),
+        col("band") === col("band_b") && col("sig") === col("sig_b") &&
+          greatest(col("na"), col("nb")) <= lit(2) * least(col("na"), col("nb")))
+      .select("ni", "ci").distinct()
+    val newSets = newBands.where(col("band") === 0)
+      .select(col("i").as("ni"), col("toks").as("ta"))
+    val corpusSets = corpusBands.where(col("band") === 0)
+      .select(col("i").as("ci"), col("toks").as("tb"))
+    val pairs = cand
+      .join(newSets, "ni")
+      .join(corpusSets, "ci")
+      .select(col("ni"), col("ci"), col("ta"), col("tb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (ni, ci, ta, tb) =>
+          val x = sortedIntersectLong(ta, tb)
+          val jac = x.toDouble / (ta.length + tb.length - x).toDouble
+          if (jac >= 0.5) Iterator.single((ni, ci, jac)) else Iterator.empty
+        }
+      }
+      .toDF("ni", "ci", "jac")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = pairs.groupBy("ni").agg(big(count(lit(1))).as("n_dups"))
+    val best = pairs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ni")
+          .orderBy(col("jac").desc, col("ci"))))
+      .where(col("rn") === 1)
+      .select(col("ni").as("bi"), col("ci").as("best_match"), col("jac"))
+    newBands.where(col("band") === 0).select(col("i").as("new_doc_id"))
+      .join(agg, col("new_doc_id") === col("ni"), "left")
+      .join(best, col("new_doc_id") === col("bi"), "left")
+      .select(
+        col("new_doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("best_match"), lit(-1L)).as("best_match"),
+        coalesce(col("jac"), lit(0.0)).as("best_jaccard"),
+        big(when(col("n_dups").isNull, 1L).otherwise(0L)).as("admit"))
+      .orderBy("new_doc_id")
+  }
+
+  val d16Sql: String =
+    s"""WITH newdocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % $IncrementalMod = $IncrementalRem),
+      |ntok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM newdocs),
+      |ctok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents WHERE doc_id % $IncrementalMod <> $IncrementalRem),
+      |nsig AS (
+      |  SELECT doc_id, seed, MIN(md5(seed || ':' || w)) AS sig
+      |  FROM ntok, (SELECT unnest(generate_series(0, ${MinhashSeeds - 1})) AS seed)
+      |  GROUP BY 1, 2),
+      |nband AS (
+      |  SELECT doc_id, seed // $BandRows AS band,
+      |    CAST(('0x' || substring(md5(string_agg(sig, '|' ORDER BY seed)), 1, 15)) AS BIGINT) AS key
+      |  FROM nsig GROUP BY 1, 2),
+      |csig AS (
+      |  SELECT doc_id, seed, MIN(md5(seed || ':' || w)) AS sig
+      |  FROM ctok, (SELECT unnest(generate_series(0, ${MinhashSeeds - 1})) AS seed)
+      |  GROUP BY 1, 2),
+      |cband AS (
+      |  SELECT doc_id, seed // $BandRows AS band,
+      |    CAST(('0x' || substring(md5(string_agg(sig, '|' ORDER BY seed)), 1, 15)) AS BIGINT) AS key
+      |  FROM csig GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT n.doc_id AS ni, c.doc_id AS ci
+      |  FROM nband n JOIN cband c ON n.band = c.band AND n.key = c.key),
+      |ncnt AS (SELECT doc_id, COUNT(*) AS c FROM ntok GROUP BY doc_id),
+      |ccnt AS (SELECT doc_id, COUNT(*) AS c FROM ctok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT cand.ni, cand.ci, COUNT(*) AS x
+      |  FROM cand JOIN ntok a ON a.doc_id = cand.ni
+      |            JOIN ctok b ON b.doc_id = cand.ci AND b.w = a.w
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ni, ci, CAST(x AS DOUBLE) / CAST(na.c + cb.c - x AS DOUBLE) AS jac
+      |  FROM inter JOIN ncnt na ON na.doc_id = ni JOIN ccnt cb ON cb.doc_id = ci
+      |  WHERE CAST(x AS DOUBLE) / CAST(na.c + cb.c - x AS DOUBLE) >= 0.5),
+      |best AS (
+      |  SELECT ni, ci, jac,
+      |    ROW_NUMBER() OVER (PARTITION BY ni ORDER BY jac DESC, ci) AS rn
+      |  FROM pairs),
+      |agg AS (SELECT ni, COUNT(*) AS nd FROM pairs GROUP BY ni)
+      |SELECT d.doc_id AS new_doc_id,
+      |  CAST(COALESCE(agg.nd, 0) AS BIGINT) AS n_dups,
+      |  CAST(COALESCE(b.ci, -1) AS BIGINT) AS best_match,
+      |  COALESCE(b.jac, 0.0) AS best_jaccard,
+      |  CAST(CASE WHEN agg.nd IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admit
+      |FROM newdocs d LEFT JOIN agg ON agg.ni = d.doc_id
+      |  LEFT JOIN best b ON b.ni = d.doc_id AND b.rn = 1
+      |ORDER BY new_doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_incremental_neardup" -> d16 _,
     "d15_span_excision" -> d15 _,
     "d14_lsh_recall" -> d14 _,
     "d12_span_containment" -> d12 _,
@@ -1756,6 +1905,7 @@ object Dedup {
     "d13_canonical_keep" -> d13 _)
 
   val oracle: Map[String, String] = Map(
+    "d16_incremental_neardup" -> d16Sql,
     "d15_span_excision" -> d15Sql,
     "d14_lsh_recall" -> d14Sql,
     "d12_span_containment" -> d12Sql,

@@ -127,4 +127,44 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromTable == fromKernel,
       "published signatures diverged from the streaming kernel's keys")
   }
+
+  test("d16 == d02 restricted to cross-split pairs (incremental serve is lossless)") {
+    // d16 computes the batch side FRESH (bandRowsFor) and the corpus
+    // side from the published table; d02 computes every intra-corpus
+    // pair from the published table alone. The two must agree exactly
+    // on the cross-split slice: any divergence means the fresh batch
+    // pass drifted from the published signatures (the build/serve
+    // corruption class the fingerprint key exists to prevent).
+    val sf = "/root/testdata/sf0.001"
+    val mod = graft.ops.Dedup.IncrementalMod
+    val rem = graft.ops.Dedup.IncrementalRem
+    val d02Cross = graft.ops.Dedup.d02(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) =>
+        (a % mod == rem) != (b % mod == rem) // exactly one side in-batch
+      }
+      .map { case (a, b, j) =>
+        if (a % mod == rem) (a, b, j) else (b, a, j) // orient batch-first
+      }.toSet
+    val d16Pairs = graft.ops.Dedup.d16(spark, sf).collect()
+    // reconstruct the full pair set from the report: n_dups and best
+    // alone can't carry every pair, so check both directions that ARE
+    // recoverable: (1) every d16 best pair appears in d02's cross slice
+    // with the same jaccard; (2) per-batch-doc counts match.
+    val d02Counts = d02Cross.groupBy(_._1).view.mapValues(_.size).toMap
+    d16Pairs.foreach { r =>
+      val (ni, nDups, best, jac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d02Counts.getOrElse(ni, 0) == nDups.toInt,
+        s"doc $ni: d16 n_dups=$nDups vs d02 cross-pair count ${d02Counts.getOrElse(ni, 0)}")
+      if (nDups > 0) {
+        assert(d02Cross.contains((ni, best, jac)),
+          s"doc $ni: best pair ($best, $jac) not in d02's cross slice")
+        // best really is the max-jaccard, min-id pair in d02's slice
+        val bestInD02 = d02Cross.filter(_._1 == ni)
+          .maxBy { case (_, ci, j) => (j, -ci.toDouble) }
+        assert((bestInD02._2, bestInD02._3) == ((best, jac)))
+      } else assert(best == -1L && jac == 0.0 && r.getLong(4) == 1L)
+    }
+  }
 }
