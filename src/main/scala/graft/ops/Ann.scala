@@ -852,26 +852,104 @@ object Ann {
     * 64-float embedding: the ~30× compression IS the point of PQ) plus
     * the probe vectors. */
   def a13(s: SparkSession, d: String): DataFrame = {
-    val idx = graft.core.Materialize.readOrCompute(s, "ivfpq", ivfpqFingerprint(s, d))(
-        buildIvfPqIndex(s, d))
-      // consumed twice below (assignment + codes) — one parquet scan each
-      // is fine, but the persist keeps the serve path one-read
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // probe-side structures from the PRE-FILTERED read ([[ivfQServe]]):
-    // probeSide consumes q only through vec_id < 10 (probes) and
-    // vec_id < IvfCentroids/PqCentroids (codebooks), all inside the
-    // slim cut — identical results, no corpus rescan on serve
-    val (probeClusters, adcTable) = probeSide(ivfQServe(s, d))
-    val assigned = idx.select(col("vec_id"), col("cluster")).distinct()
-    val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
-        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
+    val (idx, cands, adcTable) = servedIndexParts(s, d)
     adcScores(cands, idx.select(col("vec_id"), col("sub"), col("code")), adcTable)
       .where(col("arank") <= 3)
       .select(col("probe_id"), col("arank").cast(LongType).as("rank"),
         col("vec_id").as("neighbor_id"), col("adist"))
       .orderBy("probe_id", "rank")
   }
+
+  /** The shared ONLINE-SERVE front half of a13/a14: published index
+    * (persisted — consumed for assignment + codes), probe-side
+    * structures from the pre-filtered read ([[ivfQServe]]: probes +
+    * codebook rows only, no corpus rescan), and the unfiltered
+    * candidate stream from the cluster equi-join. Factored so the
+    * filtered variant can never drift from the plain serve path. */
+  private def servedIndexParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val idx = graft.core.Materialize.readOrCompute(s, "ivfpq", ivfpqFingerprint(s, d))(
+        buildIvfPqIndex(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (probeClusters, adcTable) = probeSide(ivfQServe(s, d))
+    val assigned = idx.select(col("vec_id"), col("cluster")).distinct()
+    val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    (idx, cands, adcTable)
+  }
+
+  // ---- a14: metadata-FILTERED ANN over the published index ----
+
+  /** a14: FILTERED vector search — the serving shape real retrieval
+    * systems run far more often than unfiltered k-NN: "nearest
+    * neighbors of this probe AMONG vectors satisfying a metadata
+    * predicate" (here: same `label` as the probe — the category-
+    * restricted search). The filter is applied AT CANDIDATE GENERATION
+    * (pre-ADC): the published index's candidate stream is equi-joined
+    * with the slim (vec_id, label) metadata projection and cut to
+    * label-matching rows BEFORE any distance work — the "pre-filtering"
+    * strategy. The naive alternative (post-filtering: rank top-k first,
+    * discard non-matching) silently returns FEWER than k results
+    * whenever the true neighbors are label-diverse; pre-filtering
+    * spends ADC lookups only on admissible candidates and its top-3 is
+    * the correct filtered answer by construction. Output adds the
+    * shared label so the constraint is visible in the report.
+    *
+    * Scale shape: everything a13 established (published 4-int index,
+    * no corpus rescan, broadcast probe side) plus one hash equi-join
+    * against a two-column metadata projection — the filter prunes the
+    * candidate stream, so the ADC stage can only get CHEAPER than
+    * a13's. Fewer than 3 admissible candidates in the probed clusters
+    * ⇒ fewer than 3 output rows for that probe (the IVF recall
+    * contract, unchanged by filtering). */
+  def a14(s: SparkSession, d: String): DataFrame = {
+    val (idx, cands, adcTable) = servedIndexParts(s, d)
+    // slim metadata projection: vec_id + label only — column-pruned
+    // scan, never the embedding payload
+    val labels = embeddings(s, d)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+    val probeLabels = labels.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"))
+    val fcands = cands
+      .join(labels, "vec_id")
+      .join(broadcast(probeLabels), "probe_id")
+      .where(col("label") === col("plabel"))
+      .select(col("probe_id"), col("vec_id"))
+    adcScores(fcands, idx.select(col("vec_id"), col("sub"), col("code")), adcTable)
+      .where(col("arank") <= 3)
+      .join(broadcast(probeLabels), "probe_id")
+      .select(col("probe_id"), col("arank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"),
+        col("plabel").as("label"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** a06's CTE chain + the label filter spliced between candidate
+    * generation and ADC scoring — the oracle states pre-filtering
+    * declaratively, exactly where the engine applies it. */
+  val a14Sql: String =
+    s"""WITH $ivfPqCtes,
+      |labels AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      |fcand AS (
+      |  SELECT c.probe_id, c.vec_id
+      |  FROM cand c
+      |    JOIN labels cl ON cl.vec_id = c.vec_id
+      |    JOIN labels pl ON pl.vec_id = c.probe_id
+      |  WHERE cl.label = pl.label),
+      |fscored AS (
+      |  SELECT fcand.probe_id, fcand.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adist
+      |  FROM fcand
+      |    JOIN codes k ON k.vec_id = fcand.vec_id
+      |    JOIN subdists t ON t.vec_id = fcand.probe_id AND t.sub = k.sub AND t.pcid = k.code
+      |  GROUP BY 1, 2),
+      |franked AS (
+      |  SELECT probe_id, vec_id AS neighbor_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank
+      |  FROM fscored)
+      |SELECT f.probe_id, CAST(f.rank AS BIGINT) AS rank, f.neighbor_id, f.adist,
+      |  pl.label
+      |FROM franked f JOIN labels pl ON pl.vec_id = f.probe_id
+      |WHERE f.rank <= 3 ORDER BY f.probe_id, f.rank""".stripMargin
 
   // ---- a07/a08: k-means clustering + semantic dedup (SemDeDup) ----
 
@@ -1310,6 +1388,7 @@ object Ann {
     "a11_ann_rerank" -> a11 _,
     "a12_mmr_diversified" -> a12 _,
     "a13_ivfpq_index_serve" -> a13 _,
+    "a14_ann_filtered" -> a14 _,
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
@@ -1325,6 +1404,7 @@ object Ann {
     "a11_ann_rerank" -> a11Sql,
     "a12_mmr_diversified" -> a12Sql,
     "a13_ivfpq_index_serve" -> a06Sql, // served result == a06 by contract
+    "a14_ann_filtered" -> a14Sql,
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql,

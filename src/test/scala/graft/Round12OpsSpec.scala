@@ -128,6 +128,31 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "published signatures diverged from the streaming kernel's keys")
   }
 
+  test("a14: every neighbor carries the probe's label, and pre-filtering beats post-filtering") {
+    val sf = "/root/testdata/sf0.001"
+    val s = spark
+    import s.implicits._
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val a14 = graft.ops.Ann.a14(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // the metadata contract: every returned neighbor satisfies the
+    // predicate, and the reported label is the probe's own
+    a14.foreach { case (p, _, n, lab) =>
+      assert(labels(p) == lab, s"probe $p: reported label $lab != ${labels(p)}")
+      assert(labels(n) == lab, s"probe $p: neighbor $n has label ${labels(n)}, want $lab")
+    }
+    // the reason pre-filtering exists: post-filtering a13's unfiltered
+    // top-3 must lose rows somewhere (label-diverse true neighbors),
+    // while a14 back-fills them from deeper admissible candidates
+    val a13Post = graft.ops.Ann.a13(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .count { case (p, n) => labels(p) == labels(n) }
+    assert(a13Post < a14.length,
+      s"post-filter kept $a13Post rows vs a14's ${a14.length} — corpus no longer label-diverse?")
+  }
+
   test("d16 == d02 restricted to cross-split pairs (incremental serve is lossless)") {
     // d16 computes the batch side FRESH (bandRowsFor) and the corpus
     // side from the published table; d02 computes every intra-corpus
