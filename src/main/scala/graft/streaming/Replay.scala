@@ -547,7 +547,47 @@ object Replay {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** s10: stream-stream LEFT OUTER interval join through the real
+    * engine — the attribution report with the rows the inner join
+    * (s03) structurally cannot produce: purchases NO click preceded.
+    * Matched pairs emit immediately; unmatched purchases are
+    * watermark-gated (the engine may only emit the null once no
+    * in-interval click can still arrive), so this replay needs the
+    * two-sentinel flush protocol where s03's single pass sufficed —
+    * the sentinel rows pass both sides' filters (user_id = −1) to
+    * drive the watermark, match each other into one excluded pair,
+    * and the +200-day flush sentinel forces every remaining left row
+    * out of state. Output: one row per (purchase, matching click) plus
+    * one row per unattributed purchase with click_id = −1 and the
+    * attribution flag a funnel report keys on. State is bounded by the
+    * interval condition on BOTH sides (the required shape for an
+    * unbounded stream-stream outer join at production scale). */
+  def s10(s: SparkSession, d: String): DataFrame = {
+    val out = replay(s, d, "s10") { stream =>
+      Windows.clickToPurchaseOuter(stream, stream)
+    }
+    out.where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("purchase_ts"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        graft.core.Tables.big(when(col("click_id").isNull, 0L).otherwise(1L))
+          .as("attributed"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  val s10Sql: String =
+    """SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  p.event_id AS purchase_id,
+      |  COALESCE(c.event_id, -1) AS click_id,
+      |  CAST(CASE WHEN c.event_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS attributed
+      |FROM events p LEFT JOIN events c ON p.user_id = c.user_id
+      |  AND c.event_type = 'click'
+      |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+      |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.user_id, purchase_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_stream_outer_join" -> s10 _,
     "s09_stream_sliding" -> s09 _,
     "s08_stream_backlog_drain" -> s08 _,
     "s07_stream_cluster_assign" -> s07 _,
@@ -563,6 +603,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s10_stream_outer_join" -> s10Sql,
     "s09_stream_sliding" -> s09Sql,
     "s08_stream_backlog_drain" -> s08Sql,
     "s07_stream_cluster_assign" -> graft.ops.Ann.a07Sql,

@@ -76,6 +76,42 @@ object Windows {
         col("purchase_id"), col("click_id"))
   }
 
+  /** S10: stream-stream LEFT OUTER interval join — clickToPurchase's
+    * shape but keeping UNATTRIBUTED purchases: a purchase with no
+    * same-user click in the preceding hour emits with a NULL click_id
+    * once the watermark proves no match can still arrive. This is the
+    * operator class the inner join can't express — null emission is
+    * WATERMARK-GATED (matched rows emit immediately; unmatched ones
+    * only when state is provably complete), which is why s10 runs the
+    * flush protocol while s03 does not.
+    *
+    * Sentinel discipline (the s02 lesson, join edition): sentinel rows
+    * (user_id = −1) must PASS the per-side filters so they reach both
+    * withWatermark nodes — a side that filters them out never advances
+    * its watermark and the unmatched rows never emit. The two sentinel
+    * rows match each other (same user, equal ts ⇒ inside the interval),
+    * so they exit as one matched pair excluded downstream by user_id. */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .where(col("event_type") === "click" || col("user_id") === -1L)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases
+      .where(col("event_type") === "purchase" || col("user_id") === -1L)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("p_user").as("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("purchase_id"), col("click_id"))
+  }
+
   /** Batch reference answers for the streaming jobs, over the events
     * table (used by tests and the S1/S3 oracle equivalence check). */
   def batchTumbling(s: SparkSession, dir: String): DataFrame =

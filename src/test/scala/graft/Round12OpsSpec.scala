@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -151,6 +152,28 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count { case (p, n) => labels(p) == labels(n) }
     assert(a13Post < a14.length,
       s"post-filter kept $a13Post rows vs a14's ${a14.length} — corpus no longer label-diverse?")
+  }
+
+  test("s10: attributed slice == s03's inner join; unattributed slice covers the rest") {
+    val sf = "/root/testdata/sf0.001"
+    val inner = graft.streaming.Replay.s03(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet // (user, pid, cid)
+    val outer = graft.streaming.Replay.s10(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val matched = outer.filter(_._4 == 1L).map(t => (t._1, t._2, t._3)).toSet
+    assert(matched == inner,
+      "outer join's attributed rows must be exactly the inner join's matches")
+    val unmatchedPids = outer.filter(_._4 == 0L).map(_._2).toSet
+    assert(outer.filter(_._4 == 0L).forall(_._3 == -1L))
+    assert(unmatchedPids.intersect(inner.map(_._2)).isEmpty,
+      "a purchase cannot be both attributed and unattributed")
+    // every purchase in the corpus appears exactly once per match (or
+    // once with -1): the null emission lost nothing and invented nothing
+    val allPids = graft.core.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(unmatchedPids.union(inner.map(_._2)) == allPids,
+      "attributed + unattributed purchases must cover every purchase exactly")
   }
 
   test("d16 == d02 restricted to cross-split pairs (incremental serve is lossless)") {
