@@ -108,7 +108,7 @@ object SweepDup {
   /** Scale diagnostics for the ANN kernels — the candidate/pair volumes
     * the BASELINE.md exponents are explained against. */
   private def diag(spark: SparkSession, n: String, dir: String): Unit = {
-    if (n.startsWith("s0") && graft.streaming.Replay.lastStateRows >= 0)
+    if (n.matches("^s\\d.*") && graft.streaming.Replay.lastStateRows >= 0)
       // peak stateOperators.numRowsTotal of the replay just timed —
       // the measured number behind the window/session state claims
       // (s09 ≈ 4× s02 on the same stream; flat in k on the id-offset
