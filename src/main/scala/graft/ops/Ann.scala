@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -532,8 +532,16 @@ object Ann {
     * published 4-int index + 16 rows" and "rescan the embeddings".
     * No repartition/persist: the result is constant-size. */
   private def ivfQServe(s: SparkSession, d: String): DataFrame =
+    ivfQWhere(s, d, col("vec_id") < math.max(IvfCentroids, 10).toLong)
+
+  /** [[ivfQ]] restricted by an arbitrary pushdown predicate — the
+    * pruned-read construction shared by the serve path (probes +
+    * codebooks) and a15's shard encode (codebooks + arriving shard).
+    * No repartition/persist: callers pass predicates that keep the
+    * result far below corpus size. */
+  private def ivfQWhere(s: SparkSession, d: String, pred: Column): DataFrame =
     embeddings(s, d)
-      .where(col("vec_id") < math.max(IvfCentroids, 10).toLong)
+      .where(pred)
       .select(col("vec_id"),
         transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
       .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
@@ -922,6 +930,70 @@ object Ann {
         col("vec_id").as("neighbor_id"), col("adist"),
         col("plabel").as("label"))
       .orderBy("probe_id", "rank")
+  }
+
+  // ---- a15: incremental index APPEND (frozen-codebook shard encode) ----
+
+  /** a15's census-derived "arriving shard": the d16 split transplanted
+    * to vectors, EXCLUDING the codebook rows (vec_id < [[IvfCentroids]]
+    * ⊇ [[PqCentroids]]) — the premise of an append is that the
+    * codebooks derive from the standing corpus and are FROZEN when the
+    * shard arrives. Both engines derive the split in SQL. */
+  private[graft] def a15ShardPred: Column =
+    col("vec_id") % 10 === 7 && col("vec_id") >= IvfCentroids.toLong
+
+  /** a15: INCREMENTAL INDEX APPEND — the ANN counterpart of d16 and
+    * the other half of a13's production story: when a new embedding
+    * shard arrives, a real deployment does not rebuild the index; it
+    * encodes the shard against the FROZEN codebooks (coarse centroids
+    * + PQ codebooks) and appends the rows. Because a vector's coarse
+    * assignment and PQ codes depend only on its own quantized values
+    * and the codebook rows, shard-encode-at-arrival is EXACTLY equal
+    * to that vector's rows in a full rebuild — append introduces zero
+    * drift (Round12OpsSpec proves row-for-row equality), and the
+    * served answer is a06's bit-for-bit, so the gate would catch any
+    * encode/rebuild divergence. The standing index here is the
+    * published table minus the shard rows (a pruned scan — in
+    * production it IS the standing artifact); the shard encode reads
+    * only codebook + shard rows ([[ivfQWhere]] pushdown, arrival-sized,
+    * never the corpus).
+    *
+    * Scale shape at 100 TB: the rebuild this entry avoids is the one
+    * pass that touches every vector; the append touches
+    * O(|shard| × codebook) — the same asymmetry d16 exploits for
+    * dedup. Frozen codebooks are also the real-world failure axis
+    * (codebook staleness as the corpus distribution drifts) — a10's
+    * recall instrument is the matching monitor. */
+  def a15(s: SparkSession, d: String): DataFrame = {
+    val full = graft.core.Materialize.readOrCompute(s, "ivfpq", ivfpqFingerprint(s, d))(
+        buildIvfPqIndex(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val standing = full.where(!a15ShardPred)
+    val appended = standing.unionByName(a15ShardRows(s, d))
+    // serve a06's query from the APPENDED index (a13's consumption)
+    val (probeClusters, adcTable) = probeSide(ivfQServe(s, d))
+    val assigned = appended.select(col("vec_id"), col("cluster")).distinct()
+    val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    adcScores(cands, appended.select(col("vec_id"), col("sub"), col("code")), adcTable)
+      .where(col("arank") <= 3)
+      .select(col("probe_id"), col("arank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** a15's arrival-time encode: codebook rows + shard rows only
+    * ([[ivfQWhere]] pushdown — the factored constructions compute
+    * assignments for the codebook rows too, cut to the shard after);
+    * also exposed for the append-equals-rebuild spec. */
+  private[graft] def a15ShardRows(s: SparkSession, d: String): DataFrame = {
+    val enc = ivfQWhere(s, d,
+      a15ShardPred || col("vec_id") < math.max(IvfCentroids, PqCentroids).toLong)
+    coarseAssigned(enc).select(col("vec_id"), col("cluster"))
+      .join(pqCodes(enc), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("sub"), col("code"))
+      .where(a15ShardPred)
   }
 
   /** a06's CTE chain + the label filter spliced between candidate
@@ -1389,6 +1461,7 @@ object Ann {
     "a12_mmr_diversified" -> a12 _,
     "a13_ivfpq_index_serve" -> a13 _,
     "a14_ann_filtered" -> a14 _,
+    "a15_ivfpq_index_append" -> a15 _,
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
@@ -1405,6 +1478,8 @@ object Ann {
     "a12_mmr_diversified" -> a12Sql,
     "a13_ivfpq_index_serve" -> a06Sql, // served result == a06 by contract
     "a14_ann_filtered" -> a14Sql,
+    "a15_ivfpq_index_append" -> a06Sql, // append == rebuild == a06 by contract
+
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,
     "a03_ann_ivf" -> a03Sql,

@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a12_mmr_diversified" -> "a06's constant-size broadcast codebook/ADC crosses (the shortlist pair build and greedy MMR steps are hash joins + per-probe windows)",
     "a13_ivfpq_index_serve" -> "probe-side constant-size broadcast codebook/ADC crosses (the index consumption itself is hash joins over the published table)",
     "a14_ann_filtered" -> "a13's probe-side constant-size broadcast crosses (the label filter itself is a hash equi-join on the slim metadata projection)",
+    "a15_ivfpq_index_append" -> "a13's probe-side constant-size broadcast crosses (the shard encode reads only codebook + shard rows; the append is a union, not a join)",
     "d14_lsh_recall" -> "crossJoins of three 1-row count aggregates (the report row assembly)",
     "t13_lm_score" -> "crossJoin vs broadcast 1-row vocab-size aggregate (the V of (c_ab+1)/(c_a+V))",
     "t15_vocab_growth" -> "crossJoin vs broadcast 1-row max-id aggregate (the decile denominator)")

@@ -154,6 +154,29 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"post-filter kept $a13Post rows vs a14's ${a14.length} — corpus no longer label-diverse?")
   }
 
+  test("a15: shard encode against frozen codebooks == the rebuild's rows; serve == a06") {
+    val sf = "/root/testdata/sf0.001"
+    // append-equals-rebuild: the arrival-time encode must reproduce the
+    // full build's rows for the shard EXACTLY — any divergence is the
+    // incremental-index corruption class (same contract d16 pins for
+    // dedup signatures)
+    val fromAppend = graft.ops.Ann.a15ShardRows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    graft.ops.Ann.a13(spark, sf).count() // ensure the rebuild is published
+    val full = graft.core.Materialize.readOrCompute(spark, "ivfpq",
+      graft.ops.Ann.ivfpqFingerprint(spark, sf))(
+      fail("published by the a13 call above — compute must not run"))
+    val shardOfFull = full.where(graft.ops.Ann.a15ShardPred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(fromAppend.nonEmpty, "census shard is empty — split constants drifted")
+    assert(fromAppend == shardOfFull,
+      "arrival-time encode diverged from the published rebuild rows")
+    // and the served answer is a06's bit-for-bit
+    val a15Rows = graft.ops.Ann.a15(spark, sf).collect().toSeq
+    val a06Rows = graft.ops.Ann.a06(spark, sf).collect().toSeq
+    assert(a15Rows.map(_.toSeq) == a06Rows.map(_.toSeq))
+  }
+
   test("s10: attributed slice == s03's inner join; unattributed slice covers the rest") {
     val sf = "/root/testdata/sf0.001"
     val inner = graft.streaming.Replay.s03(spark, sf).collect()
