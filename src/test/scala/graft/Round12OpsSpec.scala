@@ -206,6 +206,45 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a15Rows.map(_.toSeq) == a06Rows.map(_.toSeq))
   }
 
+  test("d16 degenerate splits: empty arrival batch and empty corpus both well-formed") {
+    val s = spark
+    import s.implicits._
+    // no doc_id % 10 == 7 -> empty arrival: the report has zero rows
+    // (one row PER ARRIVAL DOC is the contract), no exception
+    val noArrival = java.nio.file.Files.createTempDirectory("graft-d16-noarr").toString
+    Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$noArrival/documents.parquet")
+    assert(graft.ops.Dedup.d16(spark, noArrival).count() == 0L)
+    // ALL docs in the arrival -> empty standing corpus: every arrival
+    // doc admitted (n_dups 0, best -1, admit 1)
+    val allArrival = java.nio.file.Files.createTempDirectory("graft-d16-allarr").toString
+    Seq((7L, "a b c"), (17L, "a b c"), (27L, "x y z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$allArrival/documents.parquet")
+    val rows = graft.ops.Dedup.d16(spark, allArrival).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(rows.toSeq == Seq((7L, 0L, -1L, 1L), (17L, 0L, -1L, 1L), (27L, 0L, -1L, 1L)),
+      s"batch-internal dups must NOT count (docs 7/17 are copies): ${rows.toSeq}")
+  }
+
+  test("a15 degenerate shard: corpus of codebook rows only -> append is a no-op, serve == a06") {
+    val s = spark
+    import s.implicits._
+    // 16 vectors, all vec_id < IvfCentroids -> the census shard is
+    // empty by the frozen-codebook premise; a15 must serve exactly a06
+    val dir = java.nio.file.Files.createTempDirectory("graft-a15-deg").toString
+    val rnd = new scala.util.Random(7)
+    (0L until 16L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat()), (i % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(graft.ops.Ann.a15ShardRows(spark, dir).count() == 0L)
+    val a15 = graft.ops.Ann.a15(spark, dir).collect().map(_.toSeq)
+    val a06 = graft.ops.Ann.a06(spark, dir).collect().map(_.toSeq)
+    assert(a15.nonEmpty && a15.sameElements(a06))
+  }
+
   test("s10: attributed slice == s03's inner join; unattributed slice covers the rest") {
     val sf = "/root/testdata/sf0.001"
     val inner = graft.streaming.Replay.s03(spark, sf).collect()

@@ -239,6 +239,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("S12: outer interval join — unmatched row emits once; a late click cannot resurrect it") {
+    // the at-most-once contract of watermark-gated null emission
+    // (s10's operator class): once the watermark proves no in-interval
+    // click can arrive, the unmatched purchase emits with a null
+    // click_id and its state is EVICTED — a click arriving later
+    // (beyond the watermark) must neither produce a matched row nor a
+    // second copy of the purchase. The batch oracle can't see this
+    // (batch has no lateness); only an engine-level spec can pin it.
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = Windows.clickToPurchaseOuter(stream.toDF(), stream.toDF())
+    val qn = s"outer_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    def ev(tpe: String, id: Long, u: Long, t: String) =
+      Ev(id, Timestamp.valueOf(t), u, tpe, 0.0)
+    stream.addData(ev("purchase", 1L, 1L, "2024-01-01 02:00:00"))
+    q.processAllAvailable() // no watermark yet -> nothing emits
+    // advance BOTH sides' watermarks far past 02:00 + 1h interval + 10m
+    stream.addData(
+      ev("click", 90L, 99L, "2024-01-01 10:00:00"),
+      ev("purchase", 91L, 98L, "2024-01-01 10:00:00"))
+    q.processAllAvailable()
+    // state-cleanup batch: eviction (and the null emission) may land
+    // one batch after the watermark update commits
+    stream.addData(
+      ev("click", 92L, 97L, "2024-01-01 10:30:00"),
+      ev("purchase", 93L, 96L, "2024-01-01 10:30:00"))
+    q.processAllAvailable()
+    val afterFlush = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(2), Option(r.get(3)).map(_.toString)))
+    assert(afterFlush.count(t => t._1 == 1L && t._2 == 1L) == 1,
+      s"purchase 1 must have emitted exactly once as unmatched: ${afterFlush.toSeq}")
+    assert(afterFlush.find(_._2 == 1L).get._3.isEmpty,
+      "the emission must carry a null click_id")
+    // the late click: in-interval by event time, but beyond the watermark
+    stream.addData(ev("click", 2L, 1L, "2024-01-01 02:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(2), Option(r.get(3)).map(_.toString)))
+      .filter(_._1 == 1L)
+    assert(rows.length == 1 && rows.head._3.isEmpty,
+      s"late click resurrected or duplicated the evicted purchase: ${rows.toSeq}")
+  }
+
   test("S6: streaming dedup (watermark-bounded state) equals the batch first-per-key") {
     import graft.streaming.StreamDedup
     val keys = Seq("user_id", "event_type")
