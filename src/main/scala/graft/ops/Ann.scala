@@ -859,31 +859,40 @@ object Ann {
     * (vec_id, cluster, sub, code) table (4 ints/vector vs the raw
     * 64-float embedding: the ~30× compression IS the point of PQ) plus
     * the probe vectors. */
-  def a13(s: SparkSession, d: String): DataFrame = {
-    val (idx, cands, adcTable) = servedIndexParts(s, d)
-    adcScores(cands, idx.select(col("vec_id"), col("sub"), col("code")), adcTable)
+  def a13(s: SparkSession, d: String): DataFrame =
+    serveAdcTop3(s, d, publishedIndex(s, d))
+
+  /** The published index, persisted for the serve paths (consumed for
+    * assignment + codes). */
+  private def publishedIndex(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "ivfpq", ivfpqFingerprint(s, d))(
+        buildIvfPqIndex(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The unfiltered candidate stream of an index serve: coarse
+    * assignments from `idx` equi-joined with the broadcast probe
+    * cluster list. ONE definition for a13/a14/a15 — any change to the
+    * serve shape (the self-exclusion, the cluster join) applies to all
+    * three by construction. */
+  private def candsFor(idx: DataFrame, probeClusters: DataFrame): DataFrame =
+    idx.select(col("vec_id"), col("cluster")).distinct()
+      .join(broadcast(probeClusters.select("probe_id", "pcluster")),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+
+  /** a06's query served from an arbitrary index table: probe-side
+    * structures from the pre-filtered read ([[ivfQServe]] — no corpus
+    * rescan), candidates from [[candsFor]], ADC top-3. a13 passes the
+    * published index, a15 its appended one — the consumption block
+    * exists once so the two can never drift. */
+  private def serveAdcTop3(s: SparkSession, d: String, idx: DataFrame): DataFrame = {
+    val (probeClusters, adcTable) = probeSide(ivfQServe(s, d))
+    adcScores(candsFor(idx, probeClusters),
+        idx.select(col("vec_id"), col("sub"), col("code")), adcTable)
       .where(col("arank") <= 3)
       .select(col("probe_id"), col("arank").cast(LongType).as("rank"),
         col("vec_id").as("neighbor_id"), col("adist"))
       .orderBy("probe_id", "rank")
-  }
-
-  /** The shared ONLINE-SERVE front half of a13/a14: published index
-    * (persisted — consumed for assignment + codes), probe-side
-    * structures from the pre-filtered read ([[ivfQServe]]: probes +
-    * codebook rows only, no corpus rescan), and the unfiltered
-    * candidate stream from the cluster equi-join. Factored so the
-    * filtered variant can never drift from the plain serve path. */
-  private def servedIndexParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val idx = graft.core.Materialize.readOrCompute(s, "ivfpq", ivfpqFingerprint(s, d))(
-        buildIvfPqIndex(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (probeClusters, adcTable) = probeSide(ivfQServe(s, d))
-    val assigned = idx.select(col("vec_id"), col("cluster")).distinct()
-    val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
-        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
-    (idx, cands, adcTable)
   }
 
   // ---- a14: metadata-FILTERED ANN over the published index ----
@@ -911,14 +920,15 @@ object Ann {
     * ⇒ fewer than 3 output rows for that probe (the IVF recall
     * contract, unchanged by filtering). */
   def a14(s: SparkSession, d: String): DataFrame = {
-    val (idx, cands, adcTable) = servedIndexParts(s, d)
+    val idx = publishedIndex(s, d)
+    val (probeClusters, adcTable) = probeSide(ivfQServe(s, d))
     // slim metadata projection: vec_id + label only — column-pruned
     // scan, never the embedding payload
     val labels = embeddings(s, d)
       .select(col("vec_id"), col("label").cast(LongType).as("label"))
     val probeLabels = labels.where(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("label").as("plabel"))
-    val fcands = cands
+    val fcands = candsFor(idx, probeClusters)
       .join(labels, "vec_id")
       .join(broadcast(probeLabels), "probe_id")
       .where(col("label") === col("plabel"))
@@ -965,22 +975,10 @@ object Ann {
     * (codebook staleness as the corpus distribution drifts) — a10's
     * recall instrument is the matching monitor. */
   def a15(s: SparkSession, d: String): DataFrame = {
-    val full = graft.core.Materialize.readOrCompute(s, "ivfpq", ivfpqFingerprint(s, d))(
-        buildIvfPqIndex(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val standing = full.where(!a15ShardPred)
-    val appended = standing.unionByName(a15ShardRows(s, d))
-    // serve a06's query from the APPENDED index (a13's consumption)
-    val (probeClusters, adcTable) = probeSide(ivfQServe(s, d))
-    val assigned = appended.select(col("vec_id"), col("cluster")).distinct()
-    val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
-        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
-    adcScores(cands, appended.select(col("vec_id"), col("sub"), col("code")), adcTable)
-      .where(col("arank") <= 3)
-      .select(col("probe_id"), col("arank").cast(LongType).as("rank"),
-        col("vec_id").as("neighbor_id"), col("adist"))
-      .orderBy("probe_id", "rank")
+    val standing = publishedIndex(s, d).where(!a15ShardPred)
+    // serve a06's query from the APPENDED index — the identical
+    // consumption block a13 runs ([[serveAdcTop3]])
+    serveAdcTop3(s, d, standing.unionByName(a15ShardRows(s, d)))
   }
 
   /** a15's arrival-time encode: codebook rows + shard rows only

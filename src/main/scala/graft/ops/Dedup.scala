@@ -1784,7 +1784,12 @@ object Dedup {
     import s.implicits._
     val batchPred = col("doc_id") % IncrementalMod === IncrementalRem
     // arrival-sized: bands for the ~N/10 incoming docs, persisted for
-    // the three consumers (candidate join, verify arrays, report base)
+    // the three consumers (candidate join, verify arrays, report base).
+    // Deliberately NOT unpersisted here (same accepted contract as
+    // a06Parts): the Verify/Bench harness clears per-query persisted
+    // state between entries, the copies are arrival-sized, and
+    // cross-call memoization would leak session state. The `pairs`
+    // persist below carries the same contract.
     val newBands = bandRowsFor(s, documents(s, d).where(batchPred))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBands = bandTable(s, d)

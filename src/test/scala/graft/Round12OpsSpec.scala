@@ -145,13 +145,21 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(labels(n) == lab, s"probe $p: neighbor $n has label ${labels(n)}, want $lab")
     }
     // the reason pre-filtering exists: post-filtering a13's unfiltered
-    // top-3 must lose rows somewhere (label-diverse true neighbors),
-    // while a14 back-fills them from deeper admissible candidates
-    val a13Post = graft.ops.Ann.a13(spark, sf).collect()
+    // top-3 loses rows wherever the true neighbors are label-diverse,
+    // while a14 back-fills them from deeper admissible candidates.
+    // Post-filter can never BEAT a14; the strict inequality is asserted
+    // only when the fixture actually exhibits diversity (so a corpus
+    // regeneration with label-pure neighborhoods degrades this check
+    // instead of flaking it).
+    val a13Rows = graft.ops.Ann.a13(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
-      .count { case (p, n) => labels(p) == labels(n) }
-    assert(a13Post < a14.length,
-      s"post-filter kept $a13Post rows vs a14's ${a14.length} — corpus no longer label-diverse?")
+    val a13Post = a13Rows.count { case (p, n) => labels(p) == labels(n) }
+    assert(a13Post <= a14.length)
+    val diverse = a13Rows.exists { case (p, n) => labels(p) != labels(n) }
+    val fullLists = a14.groupBy(_._1).forall(_._2.length == 3)
+    if (diverse && fullLists)
+      assert(a13Post < a14.length,
+        s"post-filter kept $a13Post rows vs a14's ${a14.length} despite label-diverse top-3s")
   }
 
   test("d16 warm plan reads raw documents once (arrival batch) — corpus side is the published table") {
