@@ -944,13 +944,17 @@ object Ann {
 
   // ---- a15: incremental index APPEND (frozen-codebook shard encode) ----
 
-  /** a15's census-derived "arriving shard": the d16 split transplanted
-    * to vectors, EXCLUDING the codebook rows (vec_id < [[IvfCentroids]]
-    * ⊇ [[PqCentroids]]) — the premise of an append is that the
-    * codebooks derive from the standing corpus and are FROZEN when the
-    * shard arrives. Both engines derive the split in SQL. */
+  /** a15's census-derived "arriving shard": d16's split constants
+    * ([[graft.ops.Dedup.IncrementalMod]]/[[graft.ops.Dedup.IncrementalRem]]
+    * — referenced, not restated, so the two "same census pattern"
+    * splits cannot drift independently) transplanted to vectors,
+    * EXCLUDING the codebook rows (vec_id < [[IvfCentroids]] ⊇
+    * [[PqCentroids]]) — the premise of an append is that the codebooks
+    * derive from the standing corpus and are FROZEN when the shard
+    * arrives. */
   private[graft] def a15ShardPred: Column =
-    col("vec_id") % 10 === 7 && col("vec_id") >= IvfCentroids.toLong
+    col("vec_id") % graft.ops.Dedup.IncrementalMod === graft.ops.Dedup.IncrementalRem &&
+      col("vec_id") >= IvfCentroids.toLong
 
   /** a15: INCREMENTAL INDEX APPEND — the ANN counterpart of d16 and
     * the other half of a13's production story: when a new embedding
@@ -1020,6 +1024,96 @@ object Ann {
       |  pl.label
       |FROM franked f JOIN labels pl ON pl.vec_id = f.probe_id
       |WHERE f.rank <= 3 ORDER BY f.probe_id, f.rank""".stripMargin
+
+  // ---- a16: tombstone DELETION against the published IVF-PQ index ----
+
+  /** a16's arriving delete set: vec ids only (d17's census residue,
+    * [[graft.ops.Dedup.TombstoneRem]] — referenced, not restated),
+    * excluding codebook rows (vec_id < [[IvfCentroids]]): deleting a
+    * codebook vector would change every OTHER vector's encoding — that
+    * is a retrain (new fingerprint, full rebuild), not a deletion, and
+    * the operator refuses to model it as one. */
+  private[graft] def a16TombstonePred: Column =
+    col("vec_id") % graft.ops.Dedup.IncrementalMod === graft.ops.Dedup.TombstoneRem &&
+      col("vec_id") >= IvfCentroids.toLong
+
+  private[graft] def a16Tombstones(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id")).where(a16TombstonePred)
+
+  /** the published index minus tombstoned vectors — the anti-join
+    * serve view (id-only delete side; the published artifact is never
+    * touched). */
+  private def liveIndex(s: SparkSession, d: String): DataFrame =
+    publishedIndex(s, d).join(a16Tombstones(s, d), Seq("vec_id"), "left_anti")
+
+  private[graft] def compactedIndexFingerprint(s: SparkSession, d: String): String =
+    graft.core.Materialize.fingerprint(d, "embeddings",
+      s"ivfpq-c$IvfCentroids-pq$PqCentroids-s$PqSubspaces-minusdel" +
+        s"-m${graft.ops.Dedup.IncrementalMod}-t${graft.ops.Dedup.TombstoneRem}",
+      annCodeSalt)
+
+  /** COMPACTION: rewrite the published 4-int index without the deleted
+    * rows, under its own fingerprint — reads the PUBLISHED index, never
+    * the embeddings (d17's compaction contract applied to vectors). */
+  private[graft] def compactedIndex(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "ivfpq", compactedIndexFingerprint(s, d))(
+      liveIndex(s, d))
+
+  /** a16: SERVE AFTER DELETE — the deletion half of the index
+    * lifecycle (a15 covered append): vectors leave the corpus
+    * (takedowns, dedup losers) and the served answer must stop
+    * returning them WITHOUT an index rebuild. The delete set is an
+    * id-only relation ([[a16Tombstones]]); the serve path anti-joins it
+    * against the published index and runs the IDENTICAL consumption
+    * block a13/a15 run ([[serveAdcTop3]]). Because a vector's index
+    * rows depend only on itself and the frozen codebooks (the a15
+    * invariant), the anti-joined index EQUALS a rebuild on the reduced
+    * corpus row-for-row — so the contract "a16 == a06 on the corpus
+    * minus deletions" is exact, and the oracle states it as a06's CTE
+    * chain with the tombstone predicate cut into the candidate stream.
+    * Above [[graft.ops.Dedup.TombstoneCompactThreshold]] the path
+    * switches to the COMPACTED index ([[compactedIndex]] — one slim
+    * rewrite, tombstone-free serves thereafter).
+    *
+    * Scale shape: no rebuild (the one pass that touches every vector
+    * is exactly what deletion must avoid); the anti-join is id-only
+    * vs the 4-int index; the threshold decision reads two counters
+    * from a vec_id-pruned scan (the d17 AQE-class scalar). A deleted
+    * vector leaking back into a top-3 — the legal failure mode — is a
+    * row-hash break at the gate. */
+  def a16(s: SparkSession, d: String): DataFrame = {
+    val t = embeddings(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(a16TombstonePred, lit(1L)).otherwise(lit(0L))).as("nd")).head()
+    val n = t.getLong(0)
+    val nd = if (t.isNullAt(1)) 0L else t.getLong(1)
+    val served =
+      if (n > 0 && nd.toDouble / n > graft.ops.Dedup.TombstoneCompactThreshold)
+        compactedIndex(s, d)
+      else liveIndex(s, d)
+    serveAdcTop3(s, d, served)
+  }
+
+  /** a06's chain with the deletion cut exactly where the engine applies
+    * it: the candidate stream (a14's splice pattern). */
+  val a16Sql: String =
+    s"""WITH $ivfPqCtes,
+      |dcand AS (
+      |  SELECT probe_id, vec_id FROM cand
+      |  WHERE NOT (vec_id % ${graft.ops.Dedup.IncrementalMod} = ${graft.ops.Dedup.TombstoneRem}
+      |             AND vec_id >= $IvfCentroids)),
+      |dscored AS (
+      |  SELECT dcand.probe_id, dcand.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adist
+      |  FROM dcand
+      |    JOIN codes k ON k.vec_id = dcand.vec_id
+      |    JOIN subdists t ON t.vec_id = dcand.probe_id AND t.sub = k.sub AND t.pcid = k.code
+      |  GROUP BY 1, 2),
+      |dranked AS (
+      |  SELECT probe_id, vec_id AS neighbor_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank
+      |  FROM dscored)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
+      |FROM dranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
   // ---- a07/a08: k-means clustering + semantic dedup (SemDeDup) ----
 
@@ -1460,6 +1554,7 @@ object Ann {
     "a13_ivfpq_index_serve" -> a13 _,
     "a14_ann_filtered" -> a14 _,
     "a15_ivfpq_index_append" -> a15 _,
+    "a16_ivfpq_tombstone_serve" -> a16 _,
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
@@ -1477,6 +1572,7 @@ object Ann {
     "a13_ivfpq_index_serve" -> a06Sql, // served result == a06 by contract
     "a14_ann_filtered" -> a14Sql,
     "a15_ivfpq_index_append" -> a06Sql, // append == rebuild == a06 by contract
+    "a16_ivfpq_tombstone_serve" -> a16Sql,
 
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,

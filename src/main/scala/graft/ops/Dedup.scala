@@ -57,6 +57,19 @@ object Dedup {
   val MinhashSeeds = 16
   val BandRows = 2 // -> 8 bands
 
+  /** Near-dup admission threshold τ = [[TauNum]]/[[TauDen]], shared by
+    * d02/d16/d17's exact-Jaccard verify AND — derived, never restated —
+    * their size-ratio candidate prune: J(A,B) = |∩|/|∪| ≤ min/max, so
+    * J ≥ τ forces max·TauNum ≤ min·TauDen. Expressing the prune through
+    * the same rational keeps it a NECESSARY condition for every τ; the
+    * round-12 advice hazard (the 0.5 verify, the 2× ratio factor and
+    * the oracle SQL as three independently hard-coded places that had
+    * to move together) is structurally closed — lowering τ here widens
+    * the ratio gate and the oracle thresholds in the same edit. */
+  val TauNum = 1L
+  val TauDen = 2L
+  val JaccardTau: Double = TauNum.toDouble / TauDen
+
   /** d02 implementation, scale-shaped end to end (the typed
     * MinHashAggregator in graft.functions is the API-surface equivalent
     * for ad-hoc Dataset use):
@@ -199,9 +212,16 @@ object Dedup {
     graft.core.Materialize.readOrCompute(s, "minhash", minhashFingerprint(s, d))(
       buildBandTable(s, d))
 
-  def d02(s: SparkSession, d: String): DataFrame = {
+  def d02(s: SparkSession, d: String): DataFrame =
+    neardupPairsOver(s, bandTable(s, d))
+
+  /** d02's whole serving body over an arbitrary band-row relation —
+    * factored so d17 can run the IDENTICAL candidate join + verify over
+    * the published table minus tombstones: one definition, two corpus
+    * views (the serveAdcTop3 pattern applied to dedup). */
+  private def neardupPairsOver(s: SparkSession, bandRows: DataFrame): DataFrame = {
     import s.implicits._
-    val (bandRows, cand) = d02Internals(s, d)
+    val cand = candidatesOver(bandRows)
     val par = s.sparkContext.defaultParallelism
 
     // per-doc sorted 64-bit id arrays: the band-0 projection of the
@@ -218,7 +238,7 @@ object Dedup {
         it.flatMap { case (j, i, ta, tb) =>
           val n = sortedIntersectLong(ta, tb)
           val jac = n.toDouble / (ta.length + tb.length - n).toDouble
-          if (jac >= 0.5) Iterator.single((i, j, jac)) else Iterator.empty
+          if (jac >= JaccardTau) Iterator.single((i, j, jac)) else Iterator.empty
         }
       }
       .toDF("doc_a", "doc_b", "jaccard")
@@ -243,16 +263,25 @@ object Dedup {
     // pruned scans, and the unfilled cache additionally made racing
     // consumers recompute the scan per stage
     val bandRows = bandTable(s, d)
+    (bandRows, candidatesOver(bandRows))
+  }
+
+  /** the banded candidate join over an arbitrary band-row relation
+    * (shared by d02's full-corpus pass and d17's tombstone-reduced
+    * view). */
+  private def candidatesOver(bandRows: DataFrame): DataFrame = {
     val a = bandRows
     val b = bandRows.select(col("i").as("j"), col("band").as("band_b"),
       col("sig").as("sig_b"), col("n").as("nb"))
     // size-ratio prune INSIDE the join predicate: jac = |∩|/|∪| ≤
-    // min(|A|,|B|)/max(|A|,|B|), so a pair whose distinct-token counts
-    // differ by more than 2× can never reach the 0.5 threshold — an
-    // exact necessary condition evaluated as codegen'd integer
-    // comparisons before any array is touched (the 2-row bands of the
-    // recall-tuned 8×2 shape admit far more false candidates than the
-    // old 3-row bands; this claws a slice of them back for free).
+    // min(|A|,|B|)/max(|A|,|B|), so J ≥ τ forces max·TauNum ≤
+    // min·TauDen (the [[TauNum]]/[[TauDen]] rational — derived from the
+    // SAME constants the verify threshold uses, so the prune stays a
+    // necessary condition under any τ) — an exact condition evaluated
+    // as codegen'd integer comparisons before any array is touched
+    // (the 2-row bands of the recall-tuned 8×2 shape admit far more
+    // false candidates than the old 3-row bands; this claws a slice of
+    // them back for free).
     //
     // Dedup across bands is a DISTINCT over slim (i, j) pairs, NOT the
     // d03-style first-match predicate: first-match needs both docs'
@@ -266,10 +295,11 @@ object Dedup {
     // combined within each band partition.
     val cand = a.join(b, col("band") === col("band_b") &&
         col("sig") === col("sig_b") && col("i") < col("j") &&
-        greatest(col("n"), col("nb")) <= lit(2) * least(col("n"), col("nb")))
+        greatest(col("n"), col("nb")) * lit(TauNum) <=
+          lit(TauDen) * least(col("n"), col("nb")))
       .select("i", "j")
       .distinct()
-    (bandRows, cand)
+    cand
   }
 
   private def sortedIntersectLong(a: Array[Long], b: Array[Long]): Int = {
@@ -282,9 +312,16 @@ object Dedup {
     n
   }
 
-  val d02Sql: String =
+  val d02Sql: String = d02SqlOver("TRUE")
+
+  /** d02's oracle chain over a filtered corpus view — `docFilter`
+    * restricts the ONE place documents enter the chain, so d17's
+    * "pairs over the corpus minus deletions" oracle is d02's with the
+    * tombstone predicate and nothing else. */
+  private def d02SqlOver(docFilter: String): String =
     s"""WITH tok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents WHERE $docFilter),
       |sigs AS (
       |  SELECT doc_id, seed, MIN(md5(seed || ':' || w)) AS sig
       |  FROM tok, (SELECT unnest(generate_series(0, ${MinhashSeeds - 1})) AS seed)
@@ -306,7 +343,7 @@ object Dedup {
       |SELECT i AS doc_a, j AS doc_b,
       |  CAST(n AS DOUBLE) / CAST(ca.c + cb.c - n AS DOUBLE) AS jaccard
       |FROM inter JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
-      |WHERE CAST(n AS DOUBLE) / CAST(ca.c + cb.c - n AS DOUBLE) >= 0.5
+      |WHERE CAST(n AS DOUBLE) / CAST(ca.c + cb.c - n AS DOUBLE) >= $JaccardTau
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- d03: SimHash fingerprints + hamming-distance pairs ----
@@ -1755,6 +1792,21 @@ object Dedup {
   val IncrementalMod = 10L
   val IncrementalRem = 7L
 
+  /** the census residue of the DELETED slice (d17's documents, a16's
+    * vectors) — distinct from [[IncrementalRem]] so the append and the
+    * deletion model different rows of the same census. */
+  val TombstoneRem = 3L
+
+  /** tombstone fraction above which a serve path stops anti-joining
+    * per query and REWRITES the published artifact without the deleted
+    * rows (compaction). Shared by d17 (band table) and a16 (IVF-PQ
+    * index): below it, the per-query anti-join costs less than a
+    * rewrite; above it, every consumer pays the dead-row scan + join
+    * forever and the one-time slim-table rewrite (never a raw-input
+    * rescan — the published artifacts carry everything the reduced
+    * artifact needs) amortizes across all future serves. */
+  val TombstoneCompactThreshold = 0.25
+
   /** d16: INCREMENTAL near-dup admission — the shape a production
     * ingest actually runs every day: a NEW batch of documents arrives
     * and must be deduplicated AGAINST THE STANDING CORPUS without
@@ -1799,7 +1851,8 @@ object Dedup {
       .join(corpusBands.select(col("i").as("ci"), col("band").as("band_b"),
           col("sig").as("sig_b"), col("n").as("nb")),
         col("band") === col("band_b") && col("sig") === col("sig_b") &&
-          greatest(col("na"), col("nb")) <= lit(2) * least(col("na"), col("nb")))
+          greatest(col("na"), col("nb")) * lit(TauNum) <=
+            lit(TauDen) * least(col("na"), col("nb")))
       .select("ni", "ci").distinct()
     val newSets = newBands.where(col("band") === 0)
       .select(col("i").as("ni"), col("toks").as("ta"))
@@ -1814,7 +1867,7 @@ object Dedup {
         it.flatMap { case (ni, ci, ta, tb) =>
           val x = sortedIntersectLong(ta, tb)
           val jac = x.toDouble / (ta.length + tb.length - x).toDouble
-          if (jac >= 0.5) Iterator.single((ni, ci, jac)) else Iterator.empty
+          if (jac >= JaccardTau) Iterator.single((ni, ci, jac)) else Iterator.empty
         }
       }
       .toDF("ni", "ci", "jac")
@@ -1876,7 +1929,7 @@ object Dedup {
       |pairs AS (
       |  SELECT ni, ci, CAST(x AS DOUBLE) / CAST(na.c + cb.c - x AS DOUBLE) AS jac
       |  FROM inter JOIN ncnt na ON na.doc_id = ni JOIN ccnt cb ON cb.doc_id = ci
-      |  WHERE CAST(x AS DOUBLE) / CAST(na.c + cb.c - x AS DOUBLE) >= 0.5),
+      |  WHERE CAST(x AS DOUBLE) / CAST(na.c + cb.c - x AS DOUBLE) >= $JaccardTau),
       |best AS (
       |  SELECT ni, ci, jac,
       |    ROW_NUMBER() OVER (PARTITION BY ni ORDER BY jac DESC, ci) AS rn
@@ -1891,7 +1944,82 @@ object Dedup {
       |  LEFT JOIN best b ON b.ni = d.doc_id AND b.rn = 1
       |ORDER BY new_doc_id""".stripMargin
 
+  // ---- d17: DELETION against the published band table (tombstones) ----
+
+  /** the arriving delete set: doc ids only (a takedown/revocation list
+    * carries no text), census-derived like d16's arrival split but on
+    * the [[TombstoneRem]] residue. The scan is a doc_id-pruned read —
+    * deletion must never need the deleted documents' CONTENT. */
+  private[graft] def d17TombstonePred: Column =
+    col("doc_id") % IncrementalMod === TombstoneRem
+
+  private[graft] def d17Tombstones(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id")).where(d17TombstonePred)
+
+  /** the published band table minus the tombstoned docs — the
+    * anti-join serve view (Catalyst broadcasts the id-only delete side
+    * while it fits and falls back to a hash anti-join when a takedown
+    * wave outgrows it; either way the published artifact is untouched). */
+  private def liveBandRows(s: SparkSession, d: String,
+                           tombstones: DataFrame): DataFrame =
+    bandTable(s, d).join(tombstones.select(col("doc_id").as("i")), Seq("i"), "left_anti")
+
+  private[graft] def compactedBandFingerprint(s: SparkSession, d: String): String =
+    graft.core.Materialize.fingerprint(d, "documents",
+      s"minhash-s$MinhashSeeds-r$BandRows-minusdel-m$IncrementalMod-t$TombstoneRem",
+      dedupCodeSalt)
+
+  /** COMPACTION: rewrite the published band table without the deleted
+    * rows, under its own fingerprint. The compute reads the PUBLISHED
+    * table (slim, column-complete), never raw text — a compaction that
+    * rescans the corpus would defeat the reason the artifact exists. */
+  private[graft] def compactedBandTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "minhash", compactedBandFingerprint(s, d))(
+      liveBandRows(s, d, d17Tombstones(s, d)))
+
+  /** d17: DELETION-AWARE near-dup serve — the other half of the
+    * incremental lifecycle d16/a15 started: documents get REMOVED
+    * (takedowns, license revocations, dedup losers) at least as often
+    * as batches arrive, and a real pipeline must serve "the corpus
+    * minus the deleted docs" without rebuilding the signature artifact.
+    * The delete set is an id-only relation ([[d17Tombstones]]); the
+    * serve path anti-joins it against the published band table and runs
+    * d02's IDENTICAL candidate join + verify ([[neardupPairsOver]] —
+    * one definition, so the reduced-corpus answer can never drift from
+    * the full-corpus operator). When the tombstone fraction exceeds
+    * [[TombstoneCompactThreshold]], the path switches to the COMPACTED
+    * artifact ([[compactedBandTable]]): a one-time rewrite of the slim
+    * published table (never a raw-text rescan) that future serves read
+    * tombstone-free. Output contract: exactly d02 computed on the
+    * reduced corpus (the oracle states it that way), so a leaked
+    * deleted doc — the legal failure mode — breaks the row hash.
+    *
+    * Scale shape at 100 TB: the signature pass is NOT re-run (the
+    * plan-audit spec pins "no raw-text scan"); the anti-join is id-only
+    * against an arrival-sized delete set; compaction costs one pruned
+    * scan + write of the 5-column band table, amortized over every
+    * later serve. The threshold decision reads two counters from a
+    * doc_id-pruned scan (a driver-side scalar steering WHICH of two
+    * equal-result plans runs — the AQE decision class, not data
+    * movement). */
+  def d17(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(d17TombstonePred, lit(1L)).otherwise(lit(0L))).as("nd")).head()
+    val n = t.getLong(0)
+    val nd = if (t.isNullAt(1)) 0L else t.getLong(1)
+    val live =
+      if (n > 0 && nd.toDouble / n > TombstoneCompactThreshold) compactedBandTable(s, d)
+      else liveBandRows(s, d, d17Tombstones(s, d))
+    neardupPairsOver(s, live)
+  }
+
+  /** the oracle IS d02's over the reduced corpus — deletion must be
+    * indistinguishable from never having ingested the deleted docs. */
+  val d17Sql: String = d02SqlOver(s"doc_id % $IncrementalMod <> $TombstoneRem")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_tombstone_neardup" -> d17 _,
     "d16_incremental_neardup" -> d16 _,
     "d15_span_excision" -> d15 _,
     "d14_lsh_recall" -> d14 _,
@@ -1910,6 +2038,7 @@ object Dedup {
     "d13_canonical_keep" -> d13 _)
 
   val oracle: Map[String, String] = Map(
+    "d17_tombstone_neardup" -> d17Sql,
     "d16_incremental_neardup" -> d16Sql,
     "d15_span_excision" -> d15Sql,
     "d14_lsh_recall" -> d14Sql,

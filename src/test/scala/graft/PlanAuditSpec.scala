@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a13_ivfpq_index_serve" -> "probe-side constant-size broadcast codebook/ADC crosses (the index consumption itself is hash joins over the published table)",
     "a14_ann_filtered" -> "a13's probe-side constant-size broadcast crosses (the label filter itself is a hash equi-join on the slim metadata projection)",
     "a15_ivfpq_index_append" -> "a13's probe-side constant-size broadcast crosses (the shard encode reads only codebook + shard rows; the append is a union, not a join)",
+    "a16_ivfpq_tombstone_serve" -> "a13's probe-side constant-size broadcast crosses (the deletion itself is an id-only hash anti-join against the published index)",
     "d14_lsh_recall" -> "crossJoins of three 1-row count aggregates (the report row assembly)",
     "t13_lm_score" -> "crossJoin vs broadcast 1-row vocab-size aggregate (the V of (c_ab+1)/(c_a+V))",
     "t15_vocab_growth" -> "crossJoin vs broadcast 1-row max-id aggregate (the decile denominator)")
@@ -65,7 +66,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q26_jaccard_neardup" -> "delegates to the shared salted blockedJaccardTyped kernel (d04's class)",
     "m03_dhash_neardup" -> "per-blob dHash dispatcher (ImageIO decode / byte-block stub)",
     "m05_patch_extract" -> "per-blob patch dispatcher (ImageIO decode -> luminance tile / char stub)",
-    "d16_incremental_neardup" -> "d02's signature + merge-intersect verify kernels over the arrival batch (the corpus side is the published table, kernel-free)")
+    "d16_incremental_neardup" -> "d02's signature + merge-intersect verify kernels over the arrival batch (the corpus side is the published table, kernel-free)",
+    "d17_tombstone_neardup" -> "d02's merge-intersect verify kernel over the tombstone-reduced published table (the deletion itself is an id-only hash anti-join)")
 
   test("no CartesianProduct anywhere; BNLJ and object kernels only where named") {
     val sf = "/root/testdata/sf0.001"

@@ -182,7 +182,12 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(l => l.contains("FileScan") && l.contains("documents.parquet"))
     assert(docScans.nonEmpty, "d16 must read the arrival batch from raw documents")
     docScans.foreach { l =>
-      assert(l.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      // tolerant of plan-print format and column order (the round-12
+      // advice item): both arrival columns present, none of the other
+      // documents columns (lang/source/n_chars) read
+      assert(l.contains("doc_id:bigint") && l.contains("text:string"),
+        s"documents scan lost the 2-column arrival read:\n$l")
+      assert(!l.contains("lang:") && !l.contains("source:") && !l.contains("n_chars:"),
         s"documents scan beyond the 2-column arrival read:\n$l")
     }
     assert(plan.contains("InMemoryTableScan"),

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Round-13 deletion-family invariants (the other half of the d16/a15
+  * incremental lifecycle):
+  *  - d17/a16 on the full corpus == d02/a06 on a corpus that never
+  *    contained the deleted rows (deletion must be indistinguishable
+  *    from non-ingestion — the legal contract of a takedown);
+  *  - the serve paths read the PUBLISHED artifacts (no raw-text scan,
+  *    no rebuild) and anti-join an id-only delete set;
+  *  - past the tombstone threshold, compaction rewrites the artifact
+  *    once from the published table and the answer is unchanged.
+  */
+class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-round13-ops-spec")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** copy `table` from sf0.001 into a temp dir WITHOUT the rows
+    * matching `deleted` — the corpus that never ingested them. */
+  private def reducedDir(table: String,
+                         deleted: org.apache.spark.sql.Column): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-r13-$table").toString
+    spark.read.parquet(s"/root/testdata/sf0.001/$table.parquet")
+      .where(!deleted)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    dir
+  }
+
+  test("d17 == d02 on the reduced corpus (deletion == never ingested)") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = reducedDir("documents", graft.ops.Dedup.d17TombstonePred)
+    val got = graft.ops.Dedup.d17(spark, sf).collect().map(_.toSeq).toSeq
+    val want = graft.ops.Dedup.d02(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"d17 diverged from d02-on-reduced (${got.size} vs ${want.size} rows)")
+    // and the tombstone slice is non-trivial at this census
+    assert(graft.ops.Dedup.d17Tombstones(spark, sf).count() > 0)
+  }
+
+  test("d17 warm serve: published band table + id-only delete scan; no raw text, no rebuild") {
+    val sf = "/root/testdata/sf0.001"
+    graft.ops.Dedup.d02(spark, sf).count() // publish the band table
+    val pub0 = graft.core.Materialize.publishCount
+    val df = graft.ops.Dedup.d17(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mat/minhash"),
+      "corpus side must read the published band table")
+    plan.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("documents.parquet")).foreach { l =>
+      assert(!l.contains("text:"),
+        s"deletion must never read document content:\n$l")
+    }
+    df.count()
+    assert(graft.core.Materialize.publishCount == pub0,
+      "warm d17 must not rebuild/republish anything")
+  }
+
+  test("d17 compaction: >threshold tombstones rewrite once; answer unchanged") {
+    val s = spark
+    import s.implicits._
+    // census residue 3 (mod 10): docs 3/13/23/33 are tombstoned -> 4/6
+    // deleted, frac 0.67 > threshold 0.25 -> d17 must take the
+    // compaction path. Doc 3 duplicates doc 1's text: the full-corpus
+    // d02 pair (1,3) must vanish, the surviving pair (1,2) must stay.
+    val dir = java.nio.file.Files.createTempDirectory("graft-d17-compact").toString
+    Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (13L, "one two three four"),
+      (23L, "five six seven eight"),
+      (33L, "nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pub0 = graft.core.Materialize.publishCount
+    val rows = graft.ops.Dedup.d17(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 2L)),
+      s"compacted serve answer wrong: $rows")
+    // cold corpus: band-table publish + compacted publish = exactly 2
+    assert(graft.core.Materialize.publishCount == pub0 + 2,
+      "compaction path must publish the reduced artifact exactly once")
+    // warm repeat: both artifacts served from storage, no new publish
+    val pub1 = graft.core.Materialize.publishCount
+    assert(graft.ops.Dedup.d17(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(graft.core.Materialize.publishCount == pub1)
+    // the compacted table IS the anti-join view, row for row
+    val compacted = graft.ops.Dedup.compactedBandTable(spark, dir)
+      .select("i", "band", "sig", "n").collect().map(_.toSeq).toSet
+    val anti = graft.ops.Dedup.d02Internals(spark, dir)._1
+      .join(graft.ops.Dedup.d17Tombstones(spark, dir)
+        .select(col("doc_id").as("i")), Seq("i"), "left_anti")
+      .select("i", "band", "sig", "n").collect().map(_.toSeq).toSet
+    assert(compacted == anti)
+  }
+
+  test("a16 == a06 on the reduced corpus (vector deletion == never indexed)") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = reducedDir("embeddings", graft.ops.Ann.a16TombstonePred)
+    val got = graft.ops.Ann.a16(spark, sf).collect().map(_.toSeq).toSeq
+    val want = graft.ops.Ann.a06(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"a16 diverged from a06-on-reduced (${got.size} vs ${want.size} rows)")
+    assert(graft.ops.Ann.a16Tombstones(spark, sf).count() > 0)
+    // the deletion must actually change the answer on this corpus —
+    // otherwise the test proves nothing about exclusion
+    val full = graft.ops.Ann.a06(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got != full, "census deletion left every top-3 unchanged — pick a different residue")
+  }
+
+  test("a16 warm serve: published index + pruned probe reads; no rebuild") {
+    val sf = "/root/testdata/sf0.001"
+    graft.ops.Ann.a13(spark, sf).count() // publish the index
+    val pub0 = graft.core.Materialize.publishCount
+    val df = graft.ops.Ann.a16(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mat/ivfpq"),
+      "serve side must read the published index")
+    plan.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("embeddings.parquet")).foreach { l =>
+      // every embeddings read is either the probe/codebook pruned scan
+      // (vec_id pushdown) or the id-only tombstone list
+      assert(l.contains("LessThan(vec_id") || !l.contains("embedding:"),
+        s"embeddings scan beyond probes/codebooks/tombstone-ids:\n$l")
+    }
+    df.count()
+    assert(graft.core.Materialize.publishCount == pub0,
+      "warm a16 must not rebuild/republish the index")
+  }
+}
