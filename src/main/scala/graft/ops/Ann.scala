@@ -1025,6 +1025,38 @@ object Ann {
       |FROM franked f JOIN labels pl ON pl.vec_id = f.probe_id
       |WHERE f.rank <= 3 ORDER BY f.probe_id, f.rank""".stripMargin
 
+  /** ONE-ROW serving bundle for the STREAMING serve path (s11): the
+    * published index pivoted to one (cluster, vec_id, codes[sub])
+    * entry per vector, plus the coarse/PQ codebooks from the pruned
+    * serve read — collapsed into a single row the stream crossJoins as
+    * a broadcast (the s07 model-serving shape, applied to the index).
+    * This is the REPLICATED-index serving model every low-latency ANN
+    * deployment runs (the index rides each serving node; queries never
+    * shuffle); past one node's memory the same bundle shards
+    * per-cluster and probes route by their probed cluster ids — a
+    * stream-static equi-join on `cluster`, same arithmetic, so the
+    * collapse here is a deployment size choice, not a semantic one.
+    * Arrays are sorted so the PQ codebook index IS pcid and the bundle
+    * is byte-deterministic. */
+  private[graft] def ivfpqServeBundle(s: SparkSession, d: String): DataFrame = {
+    val idx = publishedIndex(s, d)
+    val perVec = idx
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("cluster"), col("vec_id"),
+        expr("transform(sc, x -> CAST(x.code AS BIGINT))").as("codes"))
+    val indexRow = perVec.agg(
+      array_sort(collect_list(struct(col("cluster"), col("vec_id"), col("codes"))))
+        .as("index"))
+    val q = ivfQServe(s, d)
+    val centsRow = coarseCents(q).agg(
+      array_sort(collect_list(struct(col("cid"), col("cq"), col("cnorm2")))).as("cents"))
+    val pqRow = q.where(col("vec_id") < PqCentroids)
+      .select(col("vec_id").as("pcid"), col("q").as("cq"))
+      .agg(array_sort(collect_list(struct(col("pcid"), col("cq")))).as("pq"))
+    indexRow.crossJoin(centsRow).crossJoin(pqRow)
+  }
+
   // ---- a16: tombstone DELETION against the published IVF-PQ index ----
 
   /** a16's arriving delete set: vec ids only (d17's census residue,

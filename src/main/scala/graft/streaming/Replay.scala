@@ -586,7 +586,91 @@ object Replay {
       |WHERE p.event_type = 'purchase'
       |ORDER BY p.user_id, purchase_id, click_id""".stripMargin
 
+  /** s11: STREAMING ANN SERVE from the published IVF-PQ index — the
+    * serving shape a14/a15 complete on the batch side, run through the
+    * real engine: query vectors ARRIVE (the embeddings file replayed as
+    * a stream, cut to the probe ids at the source so the scan pushdown
+    * models "queries arrive", not "the corpus arrives") and each is
+    * answered from [[graft.ops.Ann.ivfpqServeBundle]] — the published
+    * index + frozen codebooks as a ONE-ROW broadcast the stream
+    * crossJoins (s07's model-serving shape, scaled from a ≤K-row
+    * centroid model to the replicated index). The whole per-probe
+    * answer — coarse probe-cluster ranking, ADC distance tables,
+    * candidate scoring, top-3 — is a single stateless expression chain
+    * (HOFs over the broadcast arrays, exact integer ADC arithmetic):
+    * no watermark, no state store, no shuffle of the query stream, so
+    * per-query latency is one executor-local map. Oracle = a06Sql (the
+    * stream must answer bit-for-bit what a13's batch serve answers —
+    * any index/codebook drift between the two serving tiers is the
+    * production corruption class this entry pins).
+    *
+    * Scale shape: the replicated-bundle broadcast is the low-latency
+    * deployment model (index on every serving node); the sharded
+    * variant (probes routed to per-cluster bundle shards by a
+    * stream-static equi-join on cluster id) keeps the same arithmetic
+    * when the index outgrows one node — see the bundle's scaladoc. */
+  def s11(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Ann.{IvfProbeClusters, PqSubspaces}
+    val bundle = graft.ops.Ann.ivfpqServeBundle(s, d) // publishes index if cold
+    val embSchema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val probes = s.readStream.schema(embSchema)
+      .parquet(s"$d/[e]mbeddings.parquet") // one-file glob, as with events
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+    val answered = probes.crossJoin(broadcast(bundle))
+      .withColumn("pnorm2", expr(
+        "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .withColumn("w", expr(s"CAST(size(q) / $PqSubspaces AS INT)"))
+      // probed clusters: top-IvfProbeClusters coarse centroids by
+      // (cosine desc, cid) — the same double csim and tie-break as the
+      // batch probeSide's row_number
+      .withColumn("pcl", expr(
+        s"""transform(slice(array_sort(
+           |  transform(cents, c -> struct(
+           |    CAST(aggregate(zip_with(q, c.cq, (a, b) -> a * b),
+           |                   CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)
+           |      / SQRT(CAST(pnorm2 AS DOUBLE) * CAST(c.cnorm2 AS DOUBLE)) AS csim,
+           |    c.cid AS cid)),
+           |  (l, r) -> CASE WHEN l.csim > r.csim THEN -1 WHEN l.csim < r.csim THEN 1
+           |                 WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
+           |                 ELSE 0 END),
+           |1, $IvfProbeClusters), x -> x.cid)""".stripMargin))
+      // per-probe ADC table: adc[sub][pcid] = integer L2 of the probe's
+      // sub-slice against that PQ centroid's (subDists' arithmetic)
+      .withColumn("adc", expr(
+        s"""transform(sequence(0, ${PqSubspaces - 1}), sub ->
+           |  transform(pq, pc ->
+           |    aggregate(zip_with(slice(q, 1 + sub * w, w),
+           |                       slice(pc.cq, 1 + sub * w, w),
+           |                       (a, b) -> (a - b) * (a - b)),
+           |              CAST(0 AS BIGINT), (acc, x) -> acc + x)))""".stripMargin))
+      // candidates from the probed clusters (self excluded), scored by
+      // PqSubspaces table lookups, ranked by (adist, vec_id) via the
+      // default struct ordering; top 3
+      .withColumn("top3", expr(
+        s"""slice(array_sort(
+           |  transform(
+           |    filter(index, b -> array_contains(pcl, b.cluster)
+           |                       AND b.vec_id != probe_id),
+           |    b -> struct(
+           |      aggregate(zip_with(b.codes, adc,
+           |                         (cd, row) -> element_at(row, CAST(cd + 1 AS INT))),
+           |                CAST(0 AS BIGINT), (acc, x) -> acc + x) AS adist,
+           |      b.vec_id AS vec_id))),
+           |1, 3)""".stripMargin))
+      .select(col("probe_id"), posexplode(col("top3")))
+      .select(col("probe_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.vec_id").as("neighbor_id"), col("col.adist").as("adist"))
+    sinkRun(s, answered, runBase("s11"))
+      .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
+        col("neighbor_id"), col("adist").cast(LongType).as("adist"))
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_stream_index_serve" -> s11 _,
     "s10_stream_outer_join" -> s10 _,
     "s09_stream_sliding" -> s09 _,
     "s08_stream_backlog_drain" -> s08 _,
@@ -603,6 +687,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s11_stream_index_serve" -> graft.ops.Ann.a06Sql, // stream == a13's batch serve == a06
     "s10_stream_outer_join" -> s10Sql,
     "s09_stream_sliding" -> s09Sql,
     "s08_stream_backlog_drain" -> s08Sql,

@@ -121,6 +121,17 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got != full, "census deletion left every top-3 unchanged — pick a different residue")
   }
 
+  test("s11: streamed index serve == a13's batch serve, bit for bit") {
+    val sf = "/root/testdata/sf0.001"
+    // the two serving tiers must answer identically from the same
+    // published index — any drift (stale bundle, HOF-vs-join
+    // arithmetic divergence, ranking tie-break skew) shows here
+    val streamed = graft.streaming.Replay.s11(spark, sf).collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Ann.a13(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "s11 answered no probes")
+    assert(streamed == batch, s"stream/batch serve drift (${streamed.size} vs ${batch.size} rows)")
+  }
+
   test("a16 warm serve: published index + pruned probe reads; no rebuild") {
     val sf = "/root/testdata/sf0.001"
     graft.ops.Ann.a13(spark, sf).count() // publish the index
