@@ -44,6 +44,50 @@ object Bench {
       .getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
 
+  /** Per-stage recorder for the in-window phase instrumentation (the
+    * round-12 verdict's top item): the heavy entries (≥3 s) have read
+    * 3–4× their frozen medians in four consecutive driver runs while
+    * every targeted re-measure sat at the freeze — and the diag's
+    * JVM-level counters (gc, shm, loadavg) could not say WHERE the
+    * extra seconds went inside the one-shot run. Stage metrics can:
+    * each completed stage's wall (completion − submission), summed
+    * task/CPU/GC time, input/shuffle/spill bytes and task count are
+    * recorded DURING the timed window (the listener is passive; the
+    * drain that flushes the async bus runs after timing stops). A
+    * driver-run inflation then reads as one of: more stages than the
+    * freeze (cache/published-table miss → recompute), same stages with
+    * wall ≫ task/32 (scheduler/host starvation), inflated task time
+    * (genuinely slower compute), or gc/spill concentration — a lookup,
+    * not an adjudication. */
+  private final class StageRecorder extends org.apache.spark.scheduler.SparkListener {
+    final case class StageSample(id: Int, name: String, wallMs: Long,
+      taskMs: Long, cpuMs: Long, gcMs: Long, inMb: Long, shReadMb: Long,
+      shWriteMb: Long, spillMb: Long, tasks: Int, subMs: Long, endMs: Long)
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[StageSample]
+    def reset(): Unit = buf.clear()
+    def snapshot(): Seq[StageSample] = {
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = e.stageInfo
+      val m = si.taskMetrics
+      val wall = (for { c <- si.completionTime; s <- si.submissionTime }
+        yield c - s).getOrElse(-1L)
+      val name = si.name.replace('"', '\'').replace('\\', '/').take(48)
+      buf.add(StageSample(si.stageId, name, wall, m.executorRunTime,
+        m.executorCpuTime / 1000000L, m.jvmGCTime,
+        m.inputMetrics.bytesRead >> 20, m.shuffleReadMetrics.totalBytesRead >> 20,
+        m.shuffleWriteMetrics.bytesWritten >> 20, m.memoryBytesSpilled >> 20,
+        si.numTasks, si.submissionTime.getOrElse(-1L),
+        si.completionTime.getOrElse(-1L)))
+    }
+  }
+
+  /** Seconds above which a query's diag line carries its stage table. */
+  private val StageDiagMinSecs = 3.0
+
   /** FROZEN control probe — NEVER change this query (it is the
     * cross-session yardstick; round-8 freeze and all later rounds
     * compare against its history). It touches no graft operator code,
@@ -121,6 +165,8 @@ object Bench {
       System.err.println(f"[bench-ctl] suite:$suite ${s}%.3fs")
       cleanStorage()
     }
+    val stageRec = new StageRecorder
+    sc.addSparkListener(stageRec)
     var prevSuite = ""
     val results = allQueries.zipWithIndex.map { case ((name, fn), qIdx) =>
       if (qIdx == midAt) runControl("mid")
@@ -129,11 +175,49 @@ object Bench {
       val load0 = loadAvg
       val gc0 = gcMillis
       val pub0 = graft.core.Materialize.publishCount
+      // flush straggler events from the control probe, then reset so
+      // the recorder holds exactly this query's stages
+      org.apache.spark.graft.ListenerInterop.drain(sc, 2000)
+      stageRec.reset()
+      val wall0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      // stage table for the heavy entries — captured BEFORE cleanStorage
+      // so the query's own stages are not mixed with cleanup; the drain
+      // is outside the timed window
+      val stagesJson = if (secs >= StageDiagMinSecs) {
+        org.apache.spark.graft.ListenerInterop.drain(sc, 5000)
+        val all = stageRec.snapshot()
+        val top = all.sortBy(-_.wallMs).take(12)
+        val items = top.map { st =>
+          s"""{"id":${st.id},"wall_ms":${st.wallMs},"task_ms":${st.taskMs},""" +
+            s""""cpu_ms":${st.cpuMs},"gc_ms":${st.gcMs},"in_mb":${st.inMb},""" +
+            s""""sh_r_mb":${st.shReadMb},"sh_w_mb":${st.shWriteMb},""" +
+            s""""spill_mb":${st.spillMb},"tasks":${st.tasks},"name":"${st.name}"}"""
+        }.mkString(",")
+        // window totals across ALL stages (top-12 under-counts the
+        // many-small-stage entries) + the two driver-side lags:
+        // pre_stage_ms = t0 -> first stage submission (planning, file
+        // listing, fingerprinting — work no stage accounts for) and
+        // post_stage_ms = last stage end -> timing end (result fetch,
+        // driver post-processing). An inflated entry whose stage wall
+        // matches the freeze but whose pre_stage_ms carries the excess
+        // is a DRIVER-side problem — the hypothesis class the
+        // four-round d02 mystery could never separate before.
+        val subs = all.map(_.subMs).filter(_ > 0)
+        val ends = all.map(_.endMs).filter(_ > 0)
+        val preMs = if (subs.isEmpty) -1L else subs.min - wall0
+        val postMs = if (ends.isEmpty) -1L
+          else wall0 + math.round(secs * 1000) - ends.max
+        s""","n_stages":${all.size},"st_wall_ms":${all.map(_.wallMs).sum},""" +
+          s""""st_task_ms":${all.map(_.taskMs).sum},"st_cpu_ms":${all.map(_.cpuMs).sum},""" +
+          s""""st_gc_ms":${all.map(_.gcMs).sum},"st_in_mb":${all.map(_.inMb).sum},""" +
+          s""""st_sh_r_mb":${all.map(_.shReadMb).sum},"st_spill_mb":${all.map(_.spillMb).sum},""" +
+          s""""pre_stage_ms":$preMs,"post_stage_ms":$postMs,"stages":[$items]"""
+      } else ""
       val gcMs = gcMillis - gc0
       // mat_pub > 0: this timing includes a one-time materialization
       // publish (cold fingerprint or always-compute kernel) — compare
@@ -145,7 +229,7 @@ object Bench {
       val shm = shmUsedBytes
       val d = s"""{"q":"$name","sec":${math.round(secs * 1000) / 1000.0},""" +
         s""""gc_ms":$gcMs,"blocks_after":$blocksLeft,"shm_mb":${shm >> 20},""" +
-        s""""mat_pub":$pubN,"load1m":${math.round(load0 * 100) / 100.0}}"""
+        s""""mat_pub":$pubN,"load1m":${math.round(load0 * 100) / 100.0}$stagesJson}"""
       System.err.println(s"[bench-diag] $d")
       diag.append(d).append('\n')
       (name, secs, pubN)

@@ -546,13 +546,20 @@ object Ann {
         transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
       .withColumn("norm2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
 
-  private def coarseCents(q: DataFrame): DataFrame =
-    q.where(col("vec_id") < IvfCentroids)
+  /** default codebook-row selections — the corpus's first rows; the
+    * staleness instrument ([[a06WithCodebooks]]) passes alternatives. */
+  private def defaultCoarseSel: Column = col("vec_id") < IvfCentroids
+  private def defaultPqSel: Column = col("vec_id") < PqCentroids
+
+  private def coarseCents(q: DataFrame,
+                          sel: Column = defaultCoarseSel): DataFrame =
+    q.where(sel)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("norm2").as("cnorm2"))
 
   /** coarse codebook assignment (a03's construction): (vec_id, q, cluster). */
-  private def coarseAssigned(q: DataFrame): DataFrame =
-    q.join(broadcast(coarseCents(q)), lit(true))
+  private def coarseAssigned(q: DataFrame,
+                             sel: Column = defaultCoarseSel): DataFrame =
+    q.join(broadcast(coarseCents(q, sel)), lit(true))
       .withColumn("dot", aggregate(zip_with(col("q"), col("cq"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
       .withColumn("csim", col("dot").cast(DoubleType) /
@@ -564,9 +571,10 @@ object Ann {
 
   /** per-subspace distances of `vecs` (vector column named `q`) against
     * the PQ codebook: (id, pcid, sub, dist). */
-  private def subDists(q: DataFrame, vecs: DataFrame, idCol: String): DataFrame = {
+  private def subDists(q: DataFrame, vecs: DataFrame, idCol: String,
+                       pqSel: Column = defaultPqSel): DataFrame = {
     val wExpr = s"CAST(size(q) / $PqSubspaces AS INT)"
-    val pqCents = q.where(col("vec_id") < PqCentroids)
+    val pqCents = q.where(pqSel)
       .select(col("vec_id").as("pcid"), col("q").as("cq"))
     val distCols = (0 until PqSubspaces).map { sub =>
       expr(s"""aggregate(zip_with(
@@ -581,8 +589,8 @@ object Ann {
   }
 
   /** PQ codes (a05's construction, codes only): (vec_id, sub, code). */
-  private def pqCodes(q: DataFrame): DataFrame =
-    subDists(q, q.select(col("vec_id"), col("q")), "vec_id")
+  private def pqCodes(q: DataFrame, pqSel: Column = defaultPqSel): DataFrame =
+    subDists(q, q.select(col("vec_id"), col("q")), "vec_id", pqSel)
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("pcid"))))
       .where(col("rn") === 1)
@@ -590,10 +598,12 @@ object Ann {
 
   /** ONLINE probe-side structures: nearest-cluster probe list (a03's
     * construction) + the per-probe ADC distance tables. */
-  private def probeSide(q: DataFrame): (DataFrame, DataFrame) = {
+  private def probeSide(q: DataFrame,
+                        coarseSel: Column = defaultCoarseSel,
+                        pqSel: Column = defaultPqSel): (DataFrame, DataFrame) = {
     val probeClusters = q.where(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("norm2").as("pnorm2"))
-      .join(broadcast(coarseCents(q)), lit(true))
+      .join(broadcast(coarseCents(q, coarseSel)), lit(true))
       .withColumn("dot", aggregate(zip_with(col("pq"), col("cq"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
       .withColumn("csim", col("dot").cast(DoubleType) /
@@ -604,9 +614,35 @@ object Ann {
       .select(col("probe_id"), col("pq"), col("cid").as("pcluster"))
     // probe-side ADC distance table: (probe, sub, codebook entry) -> dist
     val adcTable = subDists(q,
-      probeClusters.select(col("probe_id"), col("pq").as("q")).distinct(), "probe_id")
+      probeClusters.select(col("probe_id"), col("pq").as("q")).distinct(), "probe_id",
+      pqSel)
       .select(col("probe_id"), col("sub"), col("pcid"), col("dist"))
     (probeClusters, adcTable)
+  }
+
+  /** a06's full answer under ARBITRARY codebook-row selections — the
+    * instrument behind the a15 CODEBOOK-STALENESS measurement (test
+    * tool A15Staleness): serve the FULL corpus (standing + appended
+    * shard) once with codebooks drawn only from the standing half (the
+    * frozen-at-append situation a15 models) and once with the default
+    * full-corpus codebooks (the rebuild), and grade each against the
+    * exact cosine truth with a10's recall join. Not a gate entry — a
+    * measurement harness; the measured delta is cited in a15's
+    * scaladoc and BASELINE.md. */
+  private[graft] def a06WithCodebooks(s: SparkSession, d: String,
+      coarseSel: Column, pqSel: Column): DataFrame = {
+    val q = ivfQ(s, d)
+    val assigned = coarseAssigned(q, coarseSel)
+    val codes = pqCodes(q, pqSel)
+    val (probeClusters, adcTable) = probeSide(q, coarseSel, pqSel)
+    val cands = assigned.join(broadcast(probeClusters.select("probe_id", "pcluster")),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    adcScores(cands, codes, adcTable)
+      .where(col("arank") <= 3)
+      .select(col("probe_id"), col("arank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+      .orderBy("probe_id", "rank")
   }
 
   /** the IVF-PQ CTE chain (through per-candidate ADC ranking), shared
@@ -976,8 +1012,15 @@ object Ann {
     * pass that touches every vector; the append touches
     * O(|shard| × codebook) — the same asymmetry d16 exploits for
     * dedup. Frozen codebooks are also the real-world failure axis
-    * (codebook staleness as the corpus distribution drifts) — a10's
-    * recall instrument is the matching monitor. */
+    * (codebook staleness as the corpus distribution drifts) — and
+    * round 13 MEASURED it on this census (tools/A15Staleness, exact-L2
+    * ground truth, [[a06WithCodebooks]]): recall@3 0.1667 with rebuilt
+    * full-corpus codebooks vs 0.2333 with codebooks frozen before the
+    * shard — a |delta| ≤ 0.07 = ≤2 of 30 truths, inside sampling
+    * noise, i.e. ONE census append costs no measurable recall on this
+    * distribution (the corpus is stationary by construction; drift
+    * would need the shard distribution to move, which the monitor now
+    * exists to catch — BASELINE.md "a15 codebook staleness" row). */
   def a15(s: SparkSession, d: String): DataFrame = {
     val standing = publishedIndex(s, d).where(!a15ShardPred)
     // serve a06's query from the APPENDED index — the identical
