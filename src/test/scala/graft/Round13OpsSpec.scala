@@ -50,14 +50,16 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Dedup.d17Tombstones(spark, sf).count() > 0)
   }
 
-  test("d17 warm serve: published band table + id-only delete scan; no raw text, no rebuild") {
+  test("d17 warm serve: published pair table + id-only delete scan; no raw text, no kernel, no rebuild") {
     val sf = "/root/testdata/sf0.001"
-    graft.ops.Dedup.d02(spark, sf).count() // publish the band table
+    graft.ops.Dedup.d17(spark, sf).count() // cold path publishes band + pair tables
     val pub0 = graft.core.Materialize.publishCount
     val df = graft.ops.Dedup.d17(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_mat/minhash"),
-      "corpus side must read the published band table")
+    assert(plan.contains("graft_mat/minhash-pairs"),
+      "serve must read the published pair table")
+    assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"),
+      "warm d17 must not re-run the verify kernel")
     plan.linesIterator.filter(l =>
       l.contains("FileScan") && l.contains("documents.parquet")).foreach { l =>
       assert(!l.contains("text:"),
@@ -90,22 +92,30 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows == Seq((1L, 2L)),
       s"compacted serve answer wrong: $rows")
-    // cold corpus: band-table publish + compacted publish = exactly 2
-    assert(graft.core.Materialize.publishCount == pub0 + 2,
-      "compaction path must publish the reduced artifact exactly once")
-    // warm repeat: both artifacts served from storage, no new publish
+    // cold corpus: band table + full pair table + compacted pair table
+    assert(graft.core.Materialize.publishCount == pub0 + 3,
+      "compaction path must publish band/pairs/compacted exactly once each")
+    // warm repeat: all artifacts served from storage, no new publish
     val pub1 = graft.core.Materialize.publishCount
     assert(graft.ops.Dedup.d17(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(graft.core.Materialize.publishCount == pub1)
-    // the compacted table IS the anti-join view, row for row
-    val compacted = graft.ops.Dedup.compactedBandTable(spark, dir)
-      .select("i", "band", "sig", "n").collect().map(_.toSeq).toSet
-    val anti = graft.ops.Dedup.d02Internals(spark, dir)._1
-      .join(graft.ops.Dedup.d17Tombstones(spark, dir)
-        .select(col("doc_id").as("i")), Seq("i"), "left_anti")
-      .select("i", "band", "sig", "n").collect().map(_.toSeq).toSet
+    // the compacted table IS the anti-join view of the published
+    // pairs, row for row — and the full pair table still carries the
+    // tombstone-touching pair (1,3) the compaction removed
+    val compacted = graft.ops.Dedup.compactedPairsTable(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val tomb = graft.ops.Dedup.d17Tombstones(spark, dir)
+    val anti = graft.ops.Dedup.pairsTableD02(spark, dir)
+      .join(tomb.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(tomb.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .select("doc_a", "doc_b", "jaccard") // using-joins reorder columns
+      .collect().map(_.toSeq).toSet
     assert(compacted == anti)
+    val fullPairs = graft.ops.Dedup.pairsTableD02(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullPairs.contains((1L, 3L)),
+      "published pair artifact must be delete-set independent")
   }
 
   test("a16 == a06 on the reduced corpus (vector deletion == never indexed)") {
