@@ -28,17 +28,21 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  /** copy `table` from sf0.001 into a temp dir WITHOUT the rows
-    * matching `deleted` — the corpus that never ingested them. */
-  private def reducedDir(table: String,
-                         deleted: org.apache.spark.sql.Column): String = {
+  /** copy `table` from `src` into a temp dir WITHOUT the rows matching
+    * `deleted` — the corpus that never ingested them. */
+  private def reducedAt(src: String, table: String,
+                        deleted: org.apache.spark.sql.Column): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-r13-$table").toString
-    spark.read.parquet(s"/root/testdata/sf0.001/$table.parquet")
+    spark.read.parquet(s"$src/$table.parquet")
       .where(!deleted)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/$table.parquet")
     dir
   }
+
+  private def reducedDir(table: String,
+                         deleted: org.apache.spark.sql.Column): String =
+    reducedAt("/root/testdata/sf0.001", table, deleted)
 
   test("d17 == d02 on the reduced corpus (deletion == never ingested)") {
     val sf = "/root/testdata/sf0.001"
@@ -140,6 +144,36 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = graft.ops.Ann.a13(spark, sf).collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty, "s11 answered no probes")
     assert(streamed == batch, s"stream/batch serve drift (${streamed.size} vs ${batch.size} rows)")
+  }
+
+  test("a16 compaction: >threshold tombstones rewrite the index once; serve unchanged") {
+    val s = spark
+    import s.implicits._
+    // id set skewed onto the tombstone residue: 16 codebook rows +
+    // eight deletable ids (%10 == 3, >= 16) + four keepers -> 8 of 28
+    // deleted = 0.286 > the 0.25 threshold, so a16 must take the
+    // compacted-index path (the census corpora sit at ~10% and only
+    // exercise the anti-join branch).
+    val rnd = new scala.util.Random(11)
+    val ids = (0L until 16L) ++ Seq(23L, 33L, 43L, 53L, 63L, 73L, 83L, 93L,
+      20L, 21L, 30L, 40L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-a16-compact").toString
+    ids.map { i => (i, Array.fill(8)(rnd.nextFloat()), (i % 10).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pub0 = graft.core.Materialize.publishCount
+    val got = graft.ops.Ann.a16(spark, dir).collect().map(_.toSeq).toSeq
+    // cold corpus: full index publish + compacted index publish
+    assert(graft.core.Materialize.publishCount == pub0 + 2,
+      "compaction path must publish full + compacted index exactly once each")
+    val reduced = reducedAt(dir, "embeddings", graft.ops.Ann.a16TombstonePred)
+    val want = graft.ops.Ann.a06(spark, reduced).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      s"compacted serve diverged from a06-on-reduced (${got.size} vs ${want.size})")
+    // warm repeat: no new publish, same answer
+    val pub1 = graft.core.Materialize.publishCount
+    assert(graft.ops.Ann.a16(spark, dir).collect().map(_.toSeq).toSeq == got)
+    assert(graft.core.Materialize.publishCount == pub1)
   }
 
   test("a16 warm serve: published index + pruned probe reads; no rebuild") {
