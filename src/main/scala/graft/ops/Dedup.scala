@@ -2047,6 +2047,16 @@ object Dedup {
     pairs.orderBy("doc_a", "doc_b")
   }
 
+  /** d17's anti-join serve over an ARBITRARY delete set — exposed for
+    * the property spec: the "deletion == never ingested" contract is
+    * an algebraic claim about pair locality, so it must hold for ANY
+    * id set, not just the census residue the gate entry uses (no
+    * compaction branch here: the compacted fingerprint is keyed to the
+    * census set; ad-hoc delete sets always serve via anti-join). */
+  private[graft] def d17Over(s: SparkSession, d: String,
+                             tombstones: DataFrame): DataFrame =
+    livePairs(s, d, tombstones).orderBy("doc_a", "doc_b")
+
   /** the oracle IS d02's over the reduced corpus — deletion must be
     * indistinguishable from never having ingested the deleted docs. */
   val d17Sql: String = d02SqlOver(s"doc_id % $IncrementalMod <> $TombstoneRem")

@@ -122,6 +122,43 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "published pair artifact must be delete-set independent")
   }
 
+  test("d17 property: deletion == never ingested for ARBITRARY delete sets") {
+    val s = spark
+    import s.implicits._
+    // the census test proves the contract at one point; pair locality
+    // (pairs(corpus \ D) == pairs(corpus) \ {p : p ∩ D ≠ ∅}) is an
+    // algebraic claim that must hold for ANY delete set — exercise it
+    // on random corpora with duplicated-text planted pairs and random
+    // deletes, comparing the anti-join serve against d02 run on a
+    // corpus that never contained the deleted docs.
+    val rnd = new scala.util.Random(29)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 1 to 3) {
+      val nDocs = 20 + rnd.nextInt(20)
+      val texts = (0 until nDocs).map { _ =>
+        Array.fill(2 + rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" ")
+      }
+      // plant guaranteed duplicates so the pair set is non-trivial
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (i % 5 == 4) texts(i - 1) else t)
+      }
+      val deleted = docs.map(_._1).filter(_ => rnd.nextInt(3) == 0).toSet
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-d17-prop$trial").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val tomb = deleted.toSeq.toDF("doc_id")
+      val got = graft.ops.Dedup.d17Over(spark, dir, tomb)
+        .collect().map(_.toSeq).toSeq
+      val reduced = java.nio.file.Files.createTempDirectory(s"graft-d17-propr$trial").toString
+      docs.filterNot(p => deleted(p._1)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$reduced/documents.parquet")
+      val want = graft.ops.Dedup.d02(spark, reduced).collect().map(_.toSeq).toSeq
+      assert(want.nonEmpty || got.isEmpty, s"trial $trial produced no reference pairs")
+      assert(got == want,
+        s"trial $trial: d17Over(${deleted.size} deletes) diverged (${got.size} vs ${want.size})")
+    }
+  }
+
   test("a16 == a06 on the reduced corpus (vector deletion == never indexed)") {
     val sf = "/root/testdata/sf0.001"
     val dir = reducedDir("embeddings", graft.ops.Ann.a16TombstonePred)
