@@ -619,47 +619,54 @@ object Replay {
       .select(col("vec_id").as("probe_id"),
         transform(col("embedding"),
           x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+    // The whole per-probe answer is ONE expression, with the probe-side
+    // structures (probed-cluster list + ADC tables) BOUND ONCE via a
+    // 1-element transform(array(struct(...)), ctx -> ...) wrapper.
+    // Without the binding, CollapseProject inlines a withColumn'd
+    // pcl/adc into the candidate lambdas (each is referenced only once
+    // TEXTUALLY, so the optimizer considers the inline free) and the
+    // runtime then re-evaluates them per index entry / per candidate —
+    // measured 4.0-4.5 s of single-task time for 10 probes at sf0.1;
+    // the ctx binding makes every inner reference a lambda-variable
+    // field read. ctx.pcl: top-IvfProbeClusters coarse centroids by
+    // (cosine desc, cid) — the batch probeSide's row_number order;
+    // ctx.adc[sub][pcid]: integer L2 of the probe's sub-slice against
+    // that PQ centroid (subDists' arithmetic). Candidates come from the
+    // probed clusters (self excluded), scored by PqSubspaces table
+    // lookups, ranked by (adist, vec_id) via default struct ordering.
+    val w = s"CAST(size(q) / $PqSubspaces AS INT)"
     val answered = probes.crossJoin(broadcast(bundle))
-      .withColumn("pnorm2", expr(
-        "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-      .withColumn("w", expr(s"CAST(size(q) / $PqSubspaces AS INT)"))
-      // probed clusters: top-IvfProbeClusters coarse centroids by
-      // (cosine desc, cid) — the same double csim and tie-break as the
-      // batch probeSide's row_number
-      .withColumn("pcl", expr(
-        s"""transform(slice(array_sort(
-           |  transform(cents, c -> struct(
-           |    CAST(aggregate(zip_with(q, c.cq, (a, b) -> a * b),
-           |                   CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)
-           |      / SQRT(CAST(pnorm2 AS DOUBLE) * CAST(c.cnorm2 AS DOUBLE)) AS csim,
-           |    c.cid AS cid)),
-           |  (l, r) -> CASE WHEN l.csim > r.csim THEN -1 WHEN l.csim < r.csim THEN 1
-           |                 WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
-           |                 ELSE 0 END),
-           |1, $IvfProbeClusters), x -> x.cid)""".stripMargin))
-      // per-probe ADC table: adc[sub][pcid] = integer L2 of the probe's
-      // sub-slice against that PQ centroid's (subDists' arithmetic)
-      .withColumn("adc", expr(
-        s"""transform(sequence(0, ${PqSubspaces - 1}), sub ->
-           |  transform(pq, pc ->
-           |    aggregate(zip_with(slice(q, 1 + sub * w, w),
-           |                       slice(pc.cq, 1 + sub * w, w),
-           |                       (a, b) -> (a - b) * (a - b)),
-           |              CAST(0 AS BIGINT), (acc, x) -> acc + x)))""".stripMargin))
-      // candidates from the probed clusters (self excluded), scored by
-      // PqSubspaces table lookups, ranked by (adist, vec_id) via the
-      // default struct ordering; top 3
       .withColumn("top3", expr(
-        s"""slice(array_sort(
-           |  transform(
-           |    filter(index, b -> array_contains(pcl, b.cluster)
-           |                       AND b.vec_id != probe_id),
-           |    b -> struct(
-           |      aggregate(zip_with(b.codes, adc,
-           |                         (cd, row) -> element_at(row, CAST(cd + 1 AS INT))),
-           |                CAST(0 AS BIGINT), (acc, x) -> acc + x) AS adist,
-           |      b.vec_id AS vec_id))),
-           |1, 3)""".stripMargin))
+        s"""element_at(transform(array(struct(
+           |  transform(slice(array_sort(
+           |    transform(cents, c -> struct(
+           |      CAST(aggregate(zip_with(q, c.cq, (a, b) -> a * b),
+           |                     CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)
+           |        / SQRT(CAST(aggregate(q, CAST(0 AS BIGINT),
+           |                              (na, nx) -> na + nx * nx) AS DOUBLE)
+           |               * CAST(c.cnorm2 AS DOUBLE)) AS csim,
+           |      c.cid AS cid)),
+           |    (l, r) -> CASE WHEN l.csim > r.csim THEN -1 WHEN l.csim < r.csim THEN 1
+           |                   WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
+           |                   ELSE 0 END),
+           |  1, $IvfProbeClusters), pk -> pk.cid) AS pcl,
+           |  transform(sequence(0, ${PqSubspaces - 1}), sub ->
+           |    transform(pq, pc ->
+           |      aggregate(zip_with(slice(q, 1 + sub * $w, $w),
+           |                         slice(pc.cq, 1 + sub * $w, $w),
+           |                         (da, db) -> (da - db) * (da - db)),
+           |                CAST(0 AS BIGINT), (dacc, dx) -> dacc + dx))) AS adc)),
+           |ctx ->
+           |  slice(array_sort(
+           |    transform(
+           |      filter(index, b -> array_contains(ctx.pcl, b.cluster)
+           |                         AND b.vec_id != probe_id),
+           |      b -> struct(
+           |        aggregate(zip_with(b.codes, ctx.adc,
+           |                           (cd, row) -> element_at(row, CAST(cd + 1 AS INT))),
+           |                  CAST(0 AS BIGINT), (sacc, sx) -> sacc + sx) AS adist,
+           |        b.vec_id AS vec_id))),
+           |  1, 3)), 1)""".stripMargin))
       .select(col("probe_id"), posexplode(col("top3")))
       .select(col("probe_id"), (col("pos") + 1).cast(LongType).as("rank"),
         col("col.vec_id").as("neighbor_id"), col("col.adist").as("adist"))
