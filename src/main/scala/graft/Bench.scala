@@ -73,6 +73,7 @@ object Bench {
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val si = e.stageInfo
       val m = si.taskMetrics
+      if (m == null) return // skipped/failed stage: no metrics, no sample
       val wall = (for { c <- si.completionTime; s <- si.submissionTime }
         yield c - s).getOrElse(-1L)
       val name = si.name.replace('"', '\'').replace('\\', '/').take(48)
