@@ -1169,6 +1169,16 @@ object Ann {
     serveAdcTop3(s, d, served)
   }
 
+  /** a16's anti-join serve over an ARBITRARY delete set — exposed for
+    * the property spec (d17Over's contract on vectors): index-row
+    * locality is an algebraic claim, so serve-after-delete must equal
+    * a rebuild-on-reduced for ANY id set that respects the codebook
+    * premise (no vec_id < IvfCentroids), not just the census residue. */
+  private[graft] def a16Over(s: SparkSession, d: String,
+                             tombstones: DataFrame): DataFrame =
+    serveAdcTop3(s, d,
+      publishedIndex(s, d).join(tombstones.select("vec_id"), Seq("vec_id"), "left_anti"))
+
   /** a06's chain with the deletion cut exactly where the engine applies
     * it: the candidate stream (a14's splice pattern). */
   val a16Sql: String =

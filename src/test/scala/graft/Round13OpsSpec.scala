@@ -183,6 +183,36 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"stream/batch serve drift (${streamed.size} vs ${batch.size} rows)")
   }
 
+  test("a16 property: serve-after-delete == rebuild-on-reduced for ARBITRARY delete sets") {
+    val s = spark
+    import s.implicits._
+    // index-row locality must hold for any delete set respecting the
+    // codebook premise (never vec_id < IvfCentroids) — random corpora,
+    // random deletes, compare against a06 on a corpus that never
+    // contained the deleted vectors (d17's property, vector edition)
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 2) {
+      val n = 40 + rnd.nextInt(30)
+      val vecs = (0L until n.toLong).map { i =>
+        (i, Array.fill(8)(rnd.nextFloat()), (i % 10).toInt)
+      }
+      val deleted = vecs.map(_._1)
+        .filter(i => i >= graft.ops.Ann.IvfCentroids && rnd.nextInt(4) == 0).toSet
+      assert(deleted.nonEmpty, s"trial $trial drew no deletes — reseed")
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-a16-prop$trial").toString
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val reduced = java.nio.file.Files.createTempDirectory(s"graft-a16-propr$trial").toString
+      vecs.filterNot(v => deleted(v._1)).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$reduced/embeddings.parquet")
+      val got = graft.ops.Ann.a16Over(spark, dir, deleted.toSeq.toDF("vec_id"))
+        .collect().map(_.toSeq).toSeq
+      val want = graft.ops.Ann.a06(spark, reduced).collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got == want,
+        s"trial $trial: a16Over(${deleted.size} deletes) diverged (${got.size} vs ${want.size})")
+    }
+  }
+
   test("a16 compaction: >threshold tombstones rewrite the index once; serve unchanged") {
     val s = spark
     import s.implicits._
