@@ -89,6 +89,38 @@ object Bench {
   /** Seconds above which a query's diag line carries its stage table. */
   private val StageDiagMinSecs = 3.0
 
+  /** Repo root for the per-round diag artifact: the working directory if
+    * it is the sbt project root, else the canonical box path. */
+  private def repoDir: java.io.File = {
+    val cwd = new java.io.File(".").getCanonicalFile
+    if (new java.io.File(cwd, "build.sbt").exists()) cwd
+    else new java.io.File("/root/repo")
+  }
+
+  /** Round number the CURRENT bench belongs to: max committed
+    * BENCH_r<N>.json + 1 (the driver writes BENCH_r<N>.json only after
+    * the round's bench has run, so at bench time the max on disk is the
+    * PREVIOUS round). */
+  private def currentRound: Int = {
+    val re = """BENCH_r(\d+)\.json""".r
+    val ns = Option(repoDir.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    if (ns.isEmpty) 1 else ns.max + 1
+  }
+
+  /** Frozen per-entry medians (BENCH_FREEZE.json, written by the freeze
+    * protocol) — the yardstick behind the stdout `diag` verdicts. Flat
+    * {"name": seconds}; absent file -> no ratios, diag still carries the
+    * raw stage facts. Parsed with a dependency-free regex: the file is
+    * machine-written, flat, and numeric-valued by construction. */
+  private def loadFlatJson(f: java.io.File): Map[String, String] = {
+    if (!f.exists()) return Map.empty
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    """"([A-Za-z0-9_]+)"\s*:\s*(\{[^}]*\}|[-0-9.Ee]+)""".r
+      .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+  }
+
   /** FROZEN control probe — NEVER change this query (it is the
     * cross-session yardstick; round-8 freeze and all later rounds
     * compare against its history). It touches no graft operator code,
@@ -168,8 +200,13 @@ object Bench {
     }
     val stageRec = new StageRecorder
     sc.addSparkListener(stageRec)
+    // per-slow-entry stage facts, harvested for the stdout `diag`
+    // verdicts and the stage-signature file the NEXT freeze commits
+    final case class StageFacts(nStages: Int, shReadMb: Long, cpuS: Double,
+      gcS: Double, spillMb: Long)
+    val stageFacts = scala.collection.mutable.LinkedHashMap.empty[String, StageFacts]
     var prevSuite = ""
-    val results = allQueries.zipWithIndex.map { case ((name, fn), qIdx) =>
+    val results = try allQueries.zipWithIndex.map { case ((name, fn), qIdx) =>
       if (qIdx == midAt) runControl("mid")
       val suite = name.take(1)
       if (suite != prevSuite) { prevSuite = suite; runSuiteControl(suite) }
@@ -186,6 +223,12 @@ object Bench {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      // wall-clock end captured on the SAME clock as stage
+      // submission/completion times (currentTimeMillis) — deriving it
+      // from the nanoTime span mixed clocks, so NTP slew during the
+      // query could make post_stage_ms negative/inflated (round-13
+      // advice)
+      val wall1 = System.currentTimeMillis()
       // stage table for the heavy entries — captured BEFORE cleanStorage
       // so the query's own stages are not mixed with cleanup; the drain
       // is outside the timed window
@@ -211,8 +254,10 @@ object Bench {
         val subs = all.map(_.subMs).filter(_ > 0)
         val ends = all.map(_.endMs).filter(_ > 0)
         val preMs = if (subs.isEmpty) -1L else subs.min - wall0
-        val postMs = if (ends.isEmpty) -1L
-          else wall0 + math.round(secs * 1000) - ends.max
+        val postMs = if (ends.isEmpty) -1L else wall1 - ends.max
+        stageFacts(name) = StageFacts(all.size, all.map(_.shReadMb).sum,
+          all.map(_.cpuMs).sum / 1000.0, all.map(_.gcMs).sum / 1000.0,
+          all.map(_.spillMb).sum)
         s""","n_stages":${all.size},"st_wall_ms":${all.map(_.wallMs).sum},""" +
           s""""st_task_ms":${all.map(_.taskMs).sum},"st_cpu_ms":${all.map(_.cpuMs).sum},""" +
           s""""st_gc_ms":${all.map(_.gcMs).sum},"st_in_mb":${all.map(_.inMb).sum},""" +
@@ -234,7 +279,8 @@ object Bench {
       System.err.println(s"[bench-diag] $d")
       diag.append(d).append('\n')
       (name, secs, pubN)
-    }
+    } finally sc.removeSparkListener(stageRec) // no bus accumulation if
+    // run() is ever invoked twice in one JVM (round-13 advice)
     runControl("post")
     // 3-decimal seconds: ms precision (scheduling noise is +-100 ms);
     // full precision doubled the line length past the driver's capture.
@@ -260,10 +306,45 @@ object Bench {
     // would silently drop the entry from that join.
     val coldList = results.collect { case (k, _, p) if p > 0 =>
       "\"" + k.takeWhile(_ != '_') + "\"" }.mkString("[", ",", "]")
+    // ---- per-slow-entry ADJUDICATION (round-13 verdict item 1): the
+    // d02 exoneration depended on a /tmp diag file surviving until the
+    // judge read it. The stdout line now carries, for every entry >= 2x
+    // its frozen median, the facts the pre-registered ambient-vs-code
+    // rule (BASELINE.md) adjudicates on: same stage set as the frozen
+    // signature (same_stages: stage count + shuffle-read volume within
+    // 20%) and the CPU-seconds. Frozen medians come from
+    // BENCH_FREEZE.json, stage signatures from BENCH_STAGESIG.json —
+    // both committed by the freeze protocol; entries absent from them
+    // (new/renamed surface) get raw facts, no verdict.
+    val frozenMed = loadFlatJson(new java.io.File(repoDir, "BENCH_FREEZE.json"))
+      .flatMap { case (k, v) => scala.util.Try(k -> v.toDouble).toOption }
+    val frozenSig = loadFlatJson(new java.io.File(repoDir, "BENCH_STAGESIG.json"))
+    def sigOf(v: String, key: String): Option[Long] =
+      (""""""" + key + """"\s*:\s*(-?\d+)""").r.findFirstMatchIn(v)
+        .map(_.group(1).toLong)
+    val diagVerdicts = results.flatMap { case (name, sec, pubN) =>
+      frozenMed.get(name).filter(m => sec >= 1.0 && sec >= 2.0 * m).map { m =>
+        val base = s""""q":"${name.takeWhile(_ != '_')}","sec":${r3(sec)},""" +
+          s""""x":${r3(sec / m)},"pub":$pubN"""
+        val withStages = stageFacts.get(name).map { f =>
+          val same = frozenSig.get(name).flatMap { sig =>
+            for { ns <- sigOf(sig, "n_stages"); sr <- sigOf(sig, "sh_r_mb") }
+              yield ns == f.nStages &&
+                math.abs(sr - f.shReadMb) <= math.max(8L, sr / 5)
+          }
+          base + s""","stg":${f.nStages},"cpu_s":${r3(f.cpuS)}""" +
+            s""","shr_mb":${f.shReadMb},"gc_s":${r3(f.gcS)}""" +
+            s""","spill_mb":${f.spillMb}""" +
+            same.map(b => s""","same_stages":$b""").getOrElse("")
+        }.getOrElse(base)
+        "{" + withStages + "}"
+      }
+    }.mkString("[", ",", "]")
     def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""control":$ctl,"suite_controls":$suites,"cold":$coldList,"sf":"$sfDir"}"""
+        s""""control":$ctl,"suite_controls":$suites,"cold":$coldList,""" +
+        s""""diag":$diagVerdicts,"sf":"$sfDir"}"""
     }
     // total = sum of the ALREADY-ROUNDED per-query values (re-rounded to
     // strip FP dust), so a consumer cross-summing the queries map gets
@@ -288,6 +369,23 @@ object Bench {
     diag.append(s"""{"control_runs":[${ctlRuns.map(r3).mkString(",")}]}""").append('\n')
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_diag.json"),
       diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // THIS run's stage signatures (every entry that produced a stage
+    // table) — the freeze protocol copies this to BENCH_STAGESIG.json
+    val sigLine = stageFacts.map { case (k, f) =>
+      s""""$k":{"n_stages":${f.nStages},"sh_r_mb":${f.shReadMb}}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_bench_stagesig.json"),
+      (sigLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // per-round diag artifact IN THE REPO (round-13 verdict item 1: the
+    // adjudicating diag must survive in git history, not in /tmp) —
+    // overwritten by each bench at the same round, so the round's last
+    // run (the driver's) wins; the driver's end-of-round commit ships it
+    try java.nio.file.Files.write(
+      new java.io.File(repoDir, f"BENCH_DIAG_r$currentRound%02d.json").toPath,
+      diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] diag repo copy failed: ${e.getMessage}") }
     println(probeLine)
     println(compact)
     // the line must be the LAST output: Spark's stop() logging (or a
