@@ -1080,9 +1080,19 @@ object Ann {
     * stream-static equi-join on `cluster`, same arithmetic, so the
     * collapse here is a deployment size choice, not a semantic one.
     * Arrays are sorted so the PQ codebook index IS pcid and the bundle
-    * is byte-deterministic. */
+    * is byte-deterministic.
+    *
+    * DELETION-AWARE (round 14): the bundle is built over
+    * [[a16ServedIndex]] — the published index minus tombstones (or the
+    * compacted rewrite past the threshold) — NOT the raw published
+    * artifact. Before this, the streaming tier kept answering with
+    * vectors a16's batch tier had already deleted: exactly the
+    * takedown-leak failure mode d17's scaladoc names, live between two
+    * serving tiers of the same index. s11's oracle is a16's
+    * (reduced-corpus) chain, so a leaked deleted vector breaks the
+    * gate hash. */
   private[graft] def ivfpqServeBundle(s: SparkSession, d: String): DataFrame = {
-    val idx = publishedIndex(s, d)
+    val idx = a16ServedIndex(s, d)
     val perVec = idx
       .groupBy(col("vec_id"), col("cluster"))
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
@@ -1097,6 +1107,20 @@ object Ann {
     val pqRow = q.where(col("vec_id") < PqCentroids)
       .select(col("vec_id").as("pcid"), col("q").as("cq"))
       .agg(array_sort(collect_list(struct(col("pcid"), col("cq")))).as("pq"))
+      // the stream tier maps a PQ code to its codebook entry BY ARRAY
+      // POSITION (element_at(adc_row, code + 1)) — sound only if the
+      // codebook ids are exactly 0..PqCentroids-1. The batch path joins
+      // on pcid and would tolerate a gap; the bundle makes the premise
+      // executable so a corpus missing a low vec_id fails loudly at
+      // build instead of silently diverging the two tiers (round-13
+      // advice). assert_true returns NULL on pass, so the filter keeps
+      // the row; on violation the build throws.
+      .where(expr(
+        s"""assert_true(size(pq) = $PqCentroids AND
+           |  forall(zip_with(pq, sequence(0, ${PqCentroids - 1}),
+           |                  (p, i) -> p.pcid = i), x -> x),
+           |  'ivfpqServeBundle: PQ codebook ids not contiguous 0..${PqCentroids - 1}')"""
+          .stripMargin).isNull)
     indexRow.crossJoin(centsRow).crossJoin(pqRow)
   }
 
@@ -1156,17 +1180,31 @@ object Ann {
     * from a vec_id-pruned scan (the d17 AQE-class scalar). A deleted
     * vector leaking back into a top-3 — the legal failure mode — is a
     * row-hash break at the gate. */
-  def a16(s: SparkSession, d: String): DataFrame = {
-    val t = embeddings(s, d).agg(
-      count(lit(1)).as("n"),
-      sum(when(a16TombstonePred, lit(1L)).otherwise(lit(0L))).as("nd")).head()
+  def a16(s: SparkSession, d: String): DataFrame =
+    serveAdcTop3(s, d, a16ServedIndex(s, d))
+
+  /** The index view every deletion-aware serving tier answers from —
+    * a16's batch serve AND s11's streaming bundle build consume THIS,
+    * so the two tiers cannot disagree about which vectors are live:
+    * the published index minus tombstones via per-query anti-join below
+    * [[graft.ops.Dedup.TombstoneCompactThreshold]], the compacted
+    * rewrite above it. The threshold fraction counts DELETABLE rows
+    * only (vec_id >= [[IvfCentroids]]): codebook rows can never match
+    * the tombstone predicate, so counting them made the effective
+    * trigger stricter than the nominal shared constant and
+    * inconsistent with d17, whose denominator has no protected rows
+    * (round-13 advice). The two counters come from a vec_id-pruned
+    * scan — the AQE-class plan-choice scalar, not data movement. */
+  private[graft] def a16ServedIndex(s: SparkSession, d: String): DataFrame = {
+    val t = embeddings(s, d)
+      .where(col("vec_id") >= IvfCentroids.toLong)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a16TombstonePred, lit(1L)).otherwise(lit(0L))).as("nd")).head()
     val n = t.getLong(0)
     val nd = if (t.isNullAt(1)) 0L else t.getLong(1)
-    val served =
-      if (n > 0 && nd.toDouble / n > graft.ops.Dedup.TombstoneCompactThreshold)
-        compactedIndex(s, d)
-      else liveIndex(s, d)
-    serveAdcTop3(s, d, served)
+    if (n > 0 && nd.toDouble / n > graft.ops.Dedup.TombstoneCompactThreshold)
+      compactedIndex(s, d)
+    else liveIndex(s, d)
   }
 
   /** a16's anti-join serve over an ARBITRARY delete set — exposed for

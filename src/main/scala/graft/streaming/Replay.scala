@@ -599,10 +599,15 @@ object Replay {
     * candidate scoring, top-3 — is a single stateless expression chain
     * (HOFs over the broadcast arrays, exact integer ADC arithmetic):
     * no watermark, no state store, no shuffle of the query stream, so
-    * per-query latency is one executor-local map. Oracle = a06Sql (the
-    * stream must answer bit-for-bit what a13's batch serve answers —
-    * any index/codebook drift between the two serving tiers is the
-    * production corruption class this entry pins).
+    * per-query latency is one executor-local map. DELETION-AWARE since
+    * round 14: the bundle is built over [[graft.ops.Ann.a16ServedIndex]]
+    * (published index minus tombstones / the compacted rewrite), so the
+    * streaming tier can never answer with a vector the batch tier has
+    * deleted — the cross-tier takedown leak the round-13 verdict named.
+    * Oracle = a16Sql (the stream must answer bit-for-bit what a16's
+    * batch serve-after-delete answers — any index/codebook/tombstone
+    * drift between the two serving tiers is the production corruption
+    * class this entry pins).
     *
     * Scale shape: the replicated-bundle broadcast is the low-latency
     * deployment model (index on every serving node); the sharded
@@ -694,7 +699,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
-    "s11_stream_index_serve" -> graft.ops.Ann.a06Sql, // stream == a13's batch serve == a06
+    "s11_stream_index_serve" -> graft.ops.Ann.a16Sql, // stream == a16's deletion-aware batch serve
     "s10_stream_outer_join" -> s10Sql,
     "s09_stream_sliding" -> s09Sql,
     "s08_stream_backlog_drain" -> s08Sql,

@@ -172,15 +172,23 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got != full, "census deletion left every top-3 unchanged — pick a different residue")
   }
 
-  test("s11: streamed index serve == a13's batch serve, bit for bit") {
+  test("s11: streamed index serve == a16's deletion-aware batch serve, bit for bit") {
     val sf = "/root/testdata/sf0.001"
-    // the two serving tiers must answer identically from the same
-    // published index — any drift (stale bundle, HOF-vs-join
-    // arithmetic divergence, ranking tie-break skew) shows here
+    // the two serving tiers must answer identically from the same live
+    // index view — any drift (stale bundle, missing tombstone cut,
+    // HOF-vs-join arithmetic divergence, ranking tie-break skew) shows
+    // here. Round 14: the reference tier is a16, NOT a13 — the stream
+    // must never answer with a deleted vector.
     val streamed = graft.streaming.Replay.s11(spark, sf).collect().map(_.toSeq).toSeq
-    val batch = graft.ops.Ann.a13(spark, sf).collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Ann.a16(spark, sf).collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty, "s11 answered no probes")
     assert(streamed == batch, s"stream/batch serve drift (${streamed.size} vs ${batch.size} rows)")
+    // and the deletion must be VISIBLE from the stream tier: the
+    // pre-deletion serve (a13, full published index) differs on this
+    // census — otherwise this test cannot distinguish live from stale
+    val a13 = graft.ops.Ann.a13(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamed != a13,
+      "census deletion left the streamed top-3 unchanged — test has no signal")
   }
 
   test("a16 property: serve-after-delete == rebuild-on-reduced for ARBITRARY delete sets") {
