@@ -70,6 +70,36 @@ object Dedup {
   val TauDen = 2L
   val JaccardTau: Double = TauNum.toDouble / TauDen
 
+  // Census-split constants for the incremental lifecycle (d16 arrival,
+  // d17/a16 deletion). Declared HERE, before any oracle-SQL val that
+  // interpolates them: a forward reference inside the same object
+  // initializes as 0 silently (round-14 lesson — d14Sql briefly
+  // shipped `doc_id % 0 <> 0`), so keep every shared census constant
+  // above its first use in initialization order.
+
+  /** The arrival-batch census split: docs with doc_id % Mod == Rem play
+    * the "incoming shard"; the rest are the standing corpus. Both
+    * engines derive the split in pure SQL, so the oracle samples
+    * identically (the d14 census pattern). */
+  val IncrementalMod = 10L
+  val IncrementalRem = 7L
+
+  /** the census residue of the DELETED slice (d17's documents, a16's
+    * vectors) — distinct from [[IncrementalRem]] so the append and the
+    * deletion model different rows of the same census. */
+  val TombstoneRem = 3L
+
+  /** tombstone fraction above which a serve path stops anti-joining
+    * per query and REWRITES the published artifact without the deleted
+    * rows (compaction). Shared by d17 (pair table), the band-signature
+    * live view, and a16 (IVF-PQ index): below it, the per-query
+    * anti-join costs less than a rewrite; above it, every consumer pays
+    * the dead-row scan + join forever and the one-time slim-table
+    * rewrite (never a raw-input rescan — the published artifacts carry
+    * everything the reduced artifact needs) amortizes across all
+    * future serves. */
+  val TombstoneCompactThreshold = 0.25
+
   /** d02 implementation, scale-shaped end to end (the typed
     * MinHashAggregator in graft.functions is the API-surface equivalent
     * for ad-hoc Dataset use):
@@ -1695,14 +1725,19 @@ object Dedup {
     * 4×3 shape at 0.80 on this corpus and drove the retune) — a
     * diagnostic with real signal, not a tautology. */
   def d14(s: SparkSession, d: String): DataFrame = {
-    val n = documents(s, d).count() // census (metadata-only row count)
+    // the eval grades the LIVE corpus (round 14): deleted docs are cut
+    // from the census, the sample, AND the band keys — a recall number
+    // computed over signatures of documents that no longer exist would
+    // grade retrieval quality the serving tier can never deliver
+    val live = !d17TombstonePred
+    val n = documents(s, d).where(live).count() // census (pruned count)
     val step = math.max(1L, (n + D14SampleTarget - 1) / D14SampleTarget)
     // persisted: the ≤512-row sample feeds the token explode, the MD5
     // band pass AND the report's sampled_docs count (d02's persist
     // rationale for exactly this multi-consumer self-join shape; the
     // harness clears per-query persisted state between entries)
     val sample = documents(s, d)
-      .where(col("doc_id") % step === 0)
+      .where(col("doc_id") % step === 0 && live)
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the shared tokens() definition, filtered to the sample (the
@@ -1710,7 +1745,9 @@ object Dedup {
     // definition to keep in step with the oracle's string_split;
     // persisted for the same multi-consumer reason as sample/bands
     // (it feeds sizes plus BOTH sides of the inverted-index self-join)
-    val tok = tokens(s, d).where(col("doc_id") % step === 0)
+    val tok = tokens(s, d)
+      .where(col("doc_id") % step === 0 &&
+        col("doc_id") % IncrementalMod =!= TombstoneRem)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("nn"))
     val inter = tok.select(col("doc_id").as("a"), col("w"))
@@ -1722,13 +1759,14 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("b"), col("nn").as("nb")), "b")
       .where(col("c") * 3 >= col("na") + col("nb"))
       .select("a", "b")
-    // band keys for the sampled docs, SERVED from the same published
-    // signature table d02 consumes (round-12: the a13 build/serve
-    // pattern — the eval must grade the batch operator's EXACT keys,
-    // and reading the published table makes that structural instead of
-    // kernel-call-identical). Persisted: both sides of the (band, key)
+    // band keys for the sampled docs, SERVED from the LIVE view of the
+    // published signature table (round-12: the a13 build/serve pattern
+    // — the eval must grade the batch operator's EXACT keys, and
+    // reading the published table makes that structural instead of
+    // kernel-call-identical; round-14: tombstoned docs' bands are cut
+    // by [[liveBandTable]]). Persisted: both sides of the (band, key)
     // self-join would re-scan the parquet otherwise.
-    val bands = bandTable(s, d).where(col("i") % step === 0)
+    val bands = liveBandTable(s, d).where(col("i") % step === 0)
       .select(col("i").as("doc_id"), col("band"), col("sig").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
@@ -1747,9 +1785,10 @@ object Dedup {
   val d14Sql: String =
     s"""WITH st AS (
       |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / ${D14SampleTarget}.0) AS BIGINT)) AS step
-      |  FROM documents),
+      |  FROM documents WHERE doc_id % $IncrementalMod <> $TombstoneRem),
       |sample AS (
-      |  SELECT doc_id, text FROM documents, st WHERE doc_id % st.step = 0),
+      |  SELECT doc_id, text FROM documents, st
+      |  WHERE doc_id % st.step = 0 AND doc_id % $IncrementalMod <> $TombstoneRem),
       |tok AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM sample),
       |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM tok GROUP BY doc_id),
@@ -1785,27 +1824,9 @@ object Dedup {
 
   // ---- d16: incremental batch-vs-corpus near-dup admission ----
 
-  /** The arrival-batch census split: docs with doc_id % Mod == Rem play
-    * the "incoming shard"; the rest are the standing corpus. Both
-    * engines derive the split in pure SQL, so the oracle samples
-    * identically (the d14 census pattern). */
-  val IncrementalMod = 10L
-  val IncrementalRem = 7L
-
-  /** the census residue of the DELETED slice (d17's documents, a16's
-    * vectors) — distinct from [[IncrementalRem]] so the append and the
-    * deletion model different rows of the same census. */
-  val TombstoneRem = 3L
-
-  /** tombstone fraction above which a serve path stops anti-joining
-    * per query and REWRITES the published artifact without the deleted
-    * rows (compaction). Shared by d17 (band table) and a16 (IVF-PQ
-    * index): below it, the per-query anti-join costs less than a
-    * rewrite; above it, every consumer pays the dead-row scan + join
-    * forever and the one-time slim-table rewrite (never a raw-input
-    * rescan — the published artifacts carry everything the reduced
-    * artifact needs) amortizes across all future serves. */
-  val TombstoneCompactThreshold = 0.25
+  // IncrementalMod/IncrementalRem/TombstoneRem/TombstoneCompactThreshold
+  // are declared with the top-of-object constants (initialization-order
+  // constraint: d14Sql interpolates them).
 
   /** d16: INCREMENTAL near-dup admission — the shape a production
     * ingest actually runs every day: a NEW batch of documents arrives
@@ -1831,7 +1852,11 @@ object Dedup {
     * once and is arrival-sized; the corpus side is the slim published
     * table, never raw text. Dup-free batch docs survive via the left
     * join (the p09 lesson: the rows an admission report exists for are
-    * exactly the ones an inner join would drop). */
+    * exactly the ones an inner join would drop). DELETION-AWARE since
+    * round 14: the corpus side is [[liveBandTable]] (published bands
+    * minus tombstones), so arrivals are never rejected for matching
+    * deleted documents; oracle = the chain over the corpus minus both
+    * the arrival and tombstone residues. */
   def d16(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val batchPred = col("doc_id") % IncrementalMod === IncrementalRem
@@ -1844,7 +1869,14 @@ object Dedup {
     // persist below carries the same contract.
     val newBands = bandRowsFor(s, documents(s, d).where(batchPred))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusBands = bandTable(s, d)
+    // corpus side = the LIVE band view (round 14): tombstoned docs are
+    // cut before the candidate join, so an arrival is never rejected
+    // for matching a document that has been DELETED — the d16∘d17
+    // composition failure the round-13 verdict named (a takedown that
+    // keeps blocking re-ingestion forever). Below the compaction
+    // threshold this is an id-only anti-join on the published table;
+    // above it, the compacted artifact.
+    val corpusBands = liveBandTable(s, d)
       .where(col("i") % IncrementalMod =!= IncrementalRem)
     val cand = newBands
       .select(col("i").as("ni"), col("band"), col("sig"), col("n").as("na"))
@@ -1899,7 +1931,8 @@ object Dedup {
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM newdocs),
       |ctok AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      |  FROM documents WHERE doc_id % $IncrementalMod <> $IncrementalRem),
+      |  FROM documents WHERE doc_id % $IncrementalMod <> $IncrementalRem
+      |    AND doc_id % $IncrementalMod <> $TombstoneRem),
       |nsig AS (
       |  SELECT doc_id, seed, MIN(md5(seed || ':' || w)) AS sig
       |  FROM ntok, (SELECT unnest(generate_series(0, ${MinhashSeeds - 1})) AS seed)
@@ -2036,16 +2069,60 @@ object Dedup {
     * scan (a driver-side scalar steering WHICH of two equal-result
     * plans runs — the AQE decision class, not data movement). */
   def d17(s: SparkSession, d: String): DataFrame = {
+    val pairs =
+      if (aboveCompactThreshold(s, d)) compactedPairsTable(s, d)
+      else livePairs(s, d, d17Tombstones(s, d))
+    pairs.orderBy("doc_a", "doc_b")
+  }
+
+  /** the shared compaction trigger: tombstoned fraction of the corpus
+    * against [[TombstoneCompactThreshold]] — two counters from a
+    * doc_id-pruned scan (the AQE-class plan-choice scalar), consumed by
+    * d17's pair serve AND the live band view so every deletion-aware
+    * consumer flips to its compacted artifact at the same point. */
+  private def aboveCompactThreshold(s: SparkSession, d: String): Boolean = {
     val t = documents(s, d).agg(
       count(lit(1)).as("n"),
       sum(when(d17TombstonePred, lit(1L)).otherwise(lit(0L))).as("nd")).head()
     val n = t.getLong(0)
     val nd = if (t.isNullAt(1)) 0L else t.getLong(1)
-    val pairs =
-      if (n > 0 && nd.toDouble / n > TombstoneCompactThreshold) compactedPairsTable(s, d)
-      else livePairs(s, d, d17Tombstones(s, d))
-    pairs.orderBy("doc_a", "doc_b")
+    n > 0 && nd.toDouble / n > TombstoneCompactThreshold
   }
+
+  // ---- the band-signature artifact under deletion (round 14) ----
+
+  private[graft] def compactedBandFingerprint(s: SparkSession, d: String): String =
+    graft.core.Materialize.fingerprint(d, "documents",
+      s"minhash-s$MinhashSeeds-r$BandRows-minusdel-m$IncrementalMod-t$TombstoneRem",
+      dedupCodeSalt)
+
+  /** COMPACTION of the signature artifact itself: the published band
+    * table rewritten without the tombstoned docs' rows, under its own
+    * fingerprint — d17's compaction contract applied to the MinHash
+    * artifact (round-13 verdict item 3: d17 compacted the *pair* table
+    * but the *signature* table kept deleted docs' bands forever, so
+    * d14's recall eval and s06's batch reference still saw them). The
+    * compute reads the PUBLISHED band table, never raw text. */
+  private[graft] def compactedBandTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "minhash", compactedBandFingerprint(s, d))(
+      bandTable(s, d)
+        .join(d17Tombstones(s, d).select(col("doc_id").as("i")), Seq("i"), "left_anti")
+        .select(col("i"), col("band"), col("sig"), col("n"), col("toks")))
+
+  /** The LIVE view of the band-signature artifact — what every
+    * deletion-aware consumer (d16's corpus side, d14's recall eval,
+    * s06's batch reference) reads instead of [[bandTable]]: the
+    * published table minus tombstoned docs via id-only anti-join below
+    * the shared threshold, the compacted rewrite above it (one slim
+    * scan+write, never raw text, amortized over all future serves).
+    * d02 deliberately still consumes the FULL table: it is the
+    * nightly full-corpus kernel measure; its deletion-aware serve is
+    * d17. */
+  private[graft] def liveBandTable(s: SparkSession, d: String): DataFrame =
+    if (aboveCompactThreshold(s, d)) compactedBandTable(s, d)
+    else bandTable(s, d)
+      .join(d17Tombstones(s, d).select(col("doc_id").as("i")), Seq("i"), "left_anti")
+      .select(col("i"), col("band"), col("sig"), col("n"), col("toks"))
 
   /** d17's anti-join serve over an ARBITRARY delete set — exposed for
     * the property spec: the "deletion == never ingested" contract is

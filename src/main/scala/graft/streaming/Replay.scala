@@ -391,12 +391,19 @@ object Replay {
     * collision); the per-bucket transition processes rows in doc_id
     * order, so `dup_of` is the bucket MINIMUM regardless of micro-
     * batch partitioning and the DuckDB oracle (which truncates band
-    * sigs to the same 60-bit BIGINT as the Spark kernel) is exact. */
+    * sigs to the same 60-bit BIGINT as the Spark kernel) is exact.
+    * DELETION-AWARE since round 14: the replay models the LIVE corpus —
+    * tombstoned docs neither arrive nor occupy buckets (source-pushed
+    * predicate), matching the batch reference's [[graft.ops.Dedup
+    * .liveBandTable]] consumption, so an arrival is never flagged as a
+    * near-dup of a document that has been deleted. */
   def s06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docSchema = s.read.parquet(s"$d/documents.parquet").schema
     val docStream = s.readStream.schema(docSchema)
       .parquet(s"$d/[d]ocuments.parquet") // one-file glob, as with events
+      .where(col("doc_id") % graft.ops.Dedup.IncrementalMod =!=
+        graft.ops.Dedup.TombstoneRem)
       .select(col("doc_id"), col("text")).as[StreamNearDup.DocIn]
     sinkRun(s, StreamNearDup.flags(docStream).toDF(), runBase("s06"))
       .select(col("doc_id"), col("band").cast(LongType).as("band"), col("dup_of"))
@@ -405,7 +412,9 @@ object Replay {
 
   val s06Sql: String =
     s"""WITH tok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents
+      |  WHERE doc_id % ${graft.ops.Dedup.IncrementalMod} <> ${graft.ops.Dedup.TombstoneRem}),
       |sigs AS (
       |  SELECT doc_id, seed, MIN(md5(seed || ':' || w)) AS sig
       |  FROM tok, (SELECT unnest(generate_series(0, ${graft.ops.Dedup.MinhashSeeds - 1})) AS seed)

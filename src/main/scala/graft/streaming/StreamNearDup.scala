@@ -69,14 +69,16 @@ object StreamNearDup {
   /** batch reference for the equivalence spec: with an id-ordered replay
     * the bucket's "first seen" is its min doc_id, so the flags are
     * exactly (doc, band, bucket_min) for every non-min doc of each
-    * occupied bucket. Band keys come from the PUBLISHED signature
-    * table ([[Dedup.bandTable]], the a13 build/serve pattern) — the
-    * same artifact d02/d14 consume, so the batch reference and the
-    * nightly dedup pass are structurally the same keys; the streaming
-    * side necessarily computes keys on arrival ([[bandRows]]), and the
-    * equivalence spec pins the two kernels to each other. */
+    * occupied bucket. Band keys come from the LIVE view of the
+    * published signature table ([[Dedup.liveBandTable]], the a13
+    * build/serve pattern + the round-14 tombstone cut) — the same
+    * artifact d14/d16 consume, so the batch reference and the nightly
+    * dedup pass are structurally the same keys and deleted docs' bands
+    * are invisible to both tiers; the streaming side necessarily
+    * computes keys on arrival ([[bandRows]]) over the live replay, and
+    * the equivalence spec pins the two kernels to each other. */
   def batchFlags(s: SparkSession, dir: String): DataFrame = {
-    val rows = Dedup.bandTable(s, dir)
+    val rows = Dedup.liveBandTable(s, dir)
       .select(col("i").as("doc_id"), col("band"), col("sig").as("key"))
     val firsts = rows.groupBy("band", "key").agg(min("doc_id").as("dup_of"))
     rows.join(firsts, Seq("band", "key"))

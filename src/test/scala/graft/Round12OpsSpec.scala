@@ -183,13 +183,18 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docScans.nonEmpty, "d16 must read the arrival batch from raw documents")
     docScans.foreach { l =>
       // tolerant of plan-print format and column order (the round-12
-      // advice item): both arrival columns present, none of the other
-      // documents columns (lang/source/n_chars) read
-      assert(l.contains("doc_id:bigint") && l.contains("text:string"),
-        s"documents scan lost the 2-column arrival read:\n$l")
+      // advice item): every documents scan is either the 2-column
+      // arrival read or (round 14) the id-only tombstone list — never
+      // corpus text, never the other columns (lang/source/n_chars)
+      assert(l.contains("doc_id:bigint"),
+        s"documents scan without doc_id:\n$l")
       assert(!l.contains("lang:") && !l.contains("source:") && !l.contains("n_chars:"),
-        s"documents scan beyond the 2-column arrival read:\n$l")
+        s"documents scan beyond the arrival/tombstone reads:\n$l")
     }
+    assert(docScans.exists(l => l.contains("text:string")),
+      "the arrival batch must be read from raw documents (2-column scan)")
+    assert(docScans.exists(l => !l.contains("text:string")),
+      "the tombstone list must be an id-only scan (no text)")
     assert(plan.contains("InMemoryTableScan"),
       "arrival bands must be computed once and served from the cache")
     assert(plan.contains("graft_mat/minhash"),
@@ -290,6 +295,7 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sf = "/root/testdata/sf0.001"
     val mod = graft.ops.Dedup.IncrementalMod
     val rem = graft.ops.Dedup.IncrementalRem
+    val trem = graft.ops.Dedup.TombstoneRem
     val d02Cross = graft.ops.Dedup.d02(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .filter { case (a, b, _) =>
@@ -297,7 +303,11 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       .map { case (a, b, j) =>
         if (a % mod == rem) (a, b, j) else (b, a, j) // orient batch-first
-      }.toSet
+      }
+      // round 14: d16's corpus side is the LIVE band view — pairs whose
+      // corpus endpoint is tombstoned are invisible to the admission
+      .filter { case (_, ci, _) => ci % mod != trem }
+      .toSet
     val d16Pairs = graft.ops.Dedup.d16(spark, sf).collect()
     // reconstruct the full pair set from the report: n_dups and best
     // alone can't carry every pair, so check both directions that ARE

@@ -363,7 +363,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     implicit val sq = spark.sqlContext
+    // live corpus only (round 14): batchFlags consumes the live band
+    // view, so the replay must exclude tombstoned docs the same way
     val docs = graft.core.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % graft.ops.Dedup.IncrementalMod =!=
+        graft.ops.Dedup.TombstoneRem)
       .select(col("doc_id"), col("text")).as[DocIn]
       .collect().sortBy(_.doc_id)
     val stream = MemoryStream[DocIn]
