@@ -869,10 +869,18 @@ object Ann {
   /** the OFFLINE index build: one flattened table (vec_id, cluster,
     * sub, code) — the coarse assignment joined to the PQ codes, both
     * from the SAME shared constructions the query path uses. */
-  private def buildIvfPqIndex(s: SparkSession, d: String): DataFrame = {
+  private def buildIvfPqIndex(s: SparkSession, d: String): DataFrame =
+    buildIvfPqIndexWith(s, d, defaultCoarseSel, defaultPqSel)
+
+  /** the index build under ARBITRARY codebook-row selections — one
+    * definition for a13's default build and a17's stale-generation
+    * build, so "index as built" can never drift from "index as the
+    * serve assumes" across generations. */
+  private def buildIvfPqIndexWith(s: SparkSession, d: String,
+      coarseSel: Column, pqSel: Column): DataFrame = {
     val q = ivfQ(s, d)
-    coarseAssigned(q).select(col("vec_id"), col("cluster"))
-      .join(pqCodes(q), "vec_id")
+    coarseAssigned(q, coarseSel).select(col("vec_id"), col("cluster"))
+      .join(pqCodes(q, pqSel), "vec_id")
       .select(col("vec_id"), col("cluster"), col("sub"), col("code"))
   }
 
@@ -921,8 +929,16 @@ object Ann {
     * rescan), candidates from [[candsFor]], ADC top-3. a13 passes the
     * published index, a15 its appended one — the consumption block
     * exists once so the two can never drift. */
-  private def serveAdcTop3(s: SparkSession, d: String, idx: DataFrame): DataFrame = {
-    val (probeClusters, adcTable) = probeSide(ivfQServe(s, d))
+  private def serveAdcTop3(s: SparkSession, d: String, idx: DataFrame): DataFrame =
+    serveAdcTop3From(ivfQServe(s, d), idx, defaultCoarseSel, defaultPqSel)
+
+  /** the serve body over an arbitrary pruned read + codebook-row
+    * selections — a13/a15/a16 pass the defaults; a17's stale-generation
+    * serve passes the pre-append codebook rows (its `q` must include
+    * them, see [[a17StaleServe]]). */
+  private def serveAdcTop3From(q: DataFrame, idx: DataFrame,
+      coarseSel: Column, pqSel: Column): DataFrame = {
+    val (probeClusters, adcTable) = probeSide(q, coarseSel, pqSel)
     adcScores(candsFor(idx, probeClusters),
         idx.select(col("vec_id"), col("sub"), col("code")), adcTable)
       .where(col("arank") <= 3)
@@ -1109,17 +1125,20 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("pcid"), col("cq")))).as("pq"))
       // the stream tier maps a PQ code to its codebook entry BY ARRAY
       // POSITION (element_at(adc_row, code + 1)) — sound only if the
-      // codebook ids are exactly 0..PqCentroids-1. The batch path joins
-      // on pcid and would tolerate a gap; the bundle makes the premise
-      // executable so a corpus missing a low vec_id fails loudly at
-      // build instead of silently diverging the two tiers (round-13
-      // advice). assert_true returns NULL on pass, so the filter keeps
-      // the row; on violation the build throws.
+      // codebook ids present are exactly 0..size-1 (codes are pcids,
+      // so position == pcid must hold for every entry; fewer than
+      // PqCentroids rows is fine — a small corpus's codes then only
+      // reference the rows that exist). The batch path joins on pcid
+      // and would tolerate a gap; the bundle makes the premise
+      // executable so a gapped codebook fails loudly at build instead
+      // of silently diverging the two tiers (round-13 advice).
+      // assert_true returns NULL on pass, so the filter keeps the row;
+      // on violation the build throws.
       .where(expr(
-        s"""assert_true(size(pq) = $PqCentroids AND
-           |  forall(zip_with(pq, sequence(0, ${PqCentroids - 1}),
+        s"""assert_true(size(pq) = 0 OR
+           |  forall(zip_with(pq, sequence(0, size(pq) - 1),
            |                  (p, i) -> p.pcid = i), x -> x),
-           |  'ivfpqServeBundle: PQ codebook ids not contiguous 0..${PqCentroids - 1}')"""
+           |  'ivfpqServeBundle: PQ codebook ids not contiguous from 0')"""
           .stripMargin).isNull)
     indexRow.crossJoin(centsRow).crossJoin(pqRow)
   }
@@ -1237,6 +1256,121 @@ object Ann {
       |  FROM dscored)
       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
       |FROM dranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  // ---- a17: codebook RETRAIN -> republish -> cutover (index refresh) ----
+
+  /** declared retrain policy: when more than this fraction of the
+    * corpus arrived AFTER the serving codebooks were trained, retrain.
+    * The trigger is a declared-fraction rule (two pruned counters — the
+    * d17/a16 AQE-class scalar) rather than a measured-recall rule
+    * because it must be deterministic and oracle-expressible; the
+    * recall EFFECT of not retraining is what tools/A15Staleness
+    * measures (BASELINE.md "a15 codebook staleness"), and this
+    * operator is what acts when a deployment's monitor fires. */
+  val RetrainAppendThreshold = 0.05
+
+  /** rows that arrived after the stale generation's codebooks were
+    * trained: the census arrival residue, at ANY vec_id — unlike
+    * [[a15ShardPred]] (which excludes codebook rows because an append
+    * REFUSES to touch them), the training-time corpus simply did not
+    * contain these rows yet, codebook-range ids included. */
+  private[graft] def a17ArrivalPred: Column =
+    col("vec_id") % graft.ops.Dedup.IncrementalMod === graft.ops.Dedup.IncrementalRem
+
+  /** The stale generation's codebook row ids: the first
+    * [[IvfCentroids]] ids of the PRE-APPEND corpus (first-k-rows
+    * codebook convention over vec_ids the training-time corpus
+    * contained; the PQ codebook is the first [[PqCentroids]] of the
+    * same list). ≤16 scalars to the driver — the trained MODEL itself,
+    * the adjudicated t12/s07 transfer class (a deployment distributes
+    * codebook identities exactly like this). */
+  private[graft] def a17StaleCodebookIds(s: SparkSession, d: String): Seq[Long] =
+    embeddings(s, d).where(!a17ArrivalPred)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(IvfCentroids)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** codebook-membership predicate from a driver-held id list (empty
+    * corpus -> no codebook rows, not an empty IN list). */
+  private def a17IdsPred(ids: Seq[Long]): Column =
+    if (ids.isEmpty) lit(false) else col("vec_id").isin(ids: _*)
+
+  private[graft] def a17StaleFingerprint(s: SparkSession, d: String): String =
+    graft.core.Materialize.fingerprint(d, "embeddings",
+      s"ivfpq-stale-c$IvfCentroids-pq$PqCentroids-s$PqSubspaces" +
+        s"-m${graft.ops.Dedup.IncrementalMod}-r${graft.ops.Dedup.IncrementalRem}",
+      annCodeSalt)
+
+  /** generation 1: the FULL corpus (standing + arrived rows) encoded
+    * under the STALE codebooks — the serving index of the a15 world
+    * (standing index built pre-append + shard appended under frozen
+    * codebooks), published under its own fingerprint. */
+  private[graft] def a17StaleIndex(s: SparkSession, d: String): DataFrame = {
+    val ids = a17StaleCodebookIds(s, d)
+    graft.core.Materialize.readOrCompute(s, "ivfpq", a17StaleFingerprint(s, d))(
+      buildIvfPqIndexWith(s, d,
+        a17IdsPred(ids), a17IdsPred(ids.take(PqCentroids))))
+  }
+
+  /** a06's serve from the stale generation: probe-side structures
+    * (cluster ranking + ADC tables) computed against the STALE
+    * codebooks — a serve that mixed generations (stale index rows,
+    * fresh probe tables) would be the exact corruption class the
+    * cutover must exclude, so the codebook selection threads through
+    * every consumer from one id list. */
+  private[graft] def a17StaleServe(s: SparkSession, d: String): DataFrame = {
+    val ids = a17StaleCodebookIds(s, d)
+    val q = ivfQWhere(s, d, col("vec_id") < 10 || a17IdsPred(ids))
+    serveAdcTop3From(q, a17StaleIndex(s, d),
+      a17IdsPred(ids), a17IdsPred(ids.take(PqCentroids)))
+  }
+
+  /** a17: RETRAIN -> REPUBLISH -> CUTOVER — the refresh that completes
+    * the index lifecycle (a13 build / a15 append / a16 delete): the
+    * serving index is the STALE generation ([[a17StaleIndex]] —
+    * codebooks trained before the census arrivals existed, the state
+    * a15 leaves behind), and when the post-training arrival fraction
+    * exceeds [[RetrainAppendThreshold]], the operator retrains the
+    * coarse/PQ codebooks on the CURRENT corpus (the default first-k
+    * selections), rebuilds the index under them, publishes it under the
+    * NEW fingerprint ([[ivfpqFingerprint]] — deliberately THE default
+    * build fingerprint, so the cutover is every a13-family consumer
+    * flipping to the fresh artifact, not a third index flavor), and
+    * serves from it. Below the threshold the stale generation keeps
+    * serving — retraining on every append would pay the full-corpus
+    * rebuild the append exists to avoid. Output carries the served
+    * generation (`gen` 1=stale, 2=retrained) so the cutover decision
+    * is inside the gate hash: on the census corpus the arrival
+    * fraction is ~10% > 5%, the retrain fires, and the oracle states
+    * the retrained serve (== a fresh a13 build == a06's chain) with
+    * gen pinned to 2.
+    *
+    * Scale shape at 100 TB: the trigger reads two pruned counters; the
+    * retrain itself is the one deliberate full-corpus pass of the
+    * lifecycle (the same linear partial-aggregable encode as a13's
+    * build — THE cost A15Staleness's monitor exists to justify
+    * spending), published once and amortized over every serve after
+    * cutover; the old generation's artifact stays addressable under
+    * its own fingerprint for rollback. */
+  def a17(s: SparkSession, d: String): DataFrame = {
+    val t = embeddings(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(a17ArrivalPred, lit(1L)).otherwise(lit(0L))).as("na")).head()
+    val n = t.getLong(0)
+    val na = if (t.isNullAt(1)) 0L else t.getLong(1)
+    if (n > 0 && na.toDouble / n > RetrainAppendThreshold)
+      serveAdcTop3(s, d, publishedIndex(s, d)).withColumn("gen", lit(2L))
+    else
+      a17StaleServe(s, d).withColumn("gen", lit(1L))
+  }
+
+  /** the oracle is the retrained serve: a06's chain with the served
+    * generation pinned to 2 (the census corpus is always past the
+    * declared threshold — a gen-1 answer breaks the hash loudly). */
+  val a17Sql: String =
+    s"""WITH $ivfPqCtes
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist,
+      |  CAST(2 AS BIGINT) AS gen
+      |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
   // ---- a07/a08: k-means clustering + semantic dedup (SemDeDup) ----
 
@@ -1678,6 +1812,7 @@ object Ann {
     "a14_ann_filtered" -> a14 _,
     "a15_ivfpq_index_append" -> a15 _,
     "a16_ivfpq_tombstone_serve" -> a16 _,
+    "a17_ivfpq_retrain_cutover" -> a17 _,
     "a01_ann_bruteforce_topk" -> a01 _,
     "a02_ann_lsh_bucketed" -> a02 _,
     "a03_ann_ivf" -> a03 _,
@@ -1696,6 +1831,7 @@ object Ann {
     "a14_ann_filtered" -> a14Sql,
     "a15_ivfpq_index_append" -> a06Sql, // append == rebuild == a06 by contract
     "a16_ivfpq_tombstone_serve" -> a16Sql,
+    "a17_ivfpq_retrain_cutover" -> a17Sql,
 
     "a01_ann_bruteforce_topk" -> a01Sql,
     "a02_ann_lsh_bucketed" -> a02Sql,

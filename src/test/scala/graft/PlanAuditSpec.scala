@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a14_ann_filtered" -> "a13's probe-side constant-size broadcast crosses (the label filter itself is a hash equi-join on the slim metadata projection)",
     "a15_ivfpq_index_append" -> "a13's probe-side constant-size broadcast crosses (the shard encode reads only codebook + shard rows; the append is a union, not a join)",
     "a16_ivfpq_tombstone_serve" -> "a13's probe-side constant-size broadcast crosses (the deletion itself is an id-only hash anti-join against the published index)",
+    "a17_ivfpq_retrain_cutover" -> "a13's probe-side constant-size broadcast crosses (the cutover serves the retrained published index; the retrain decision is two pruned counters)",
     "d14_lsh_recall" -> "crossJoins of three 1-row count aggregates (the report row assembly)",
     "t13_lm_score" -> "crossJoin vs broadcast 1-row vocab-size aggregate (the V of (c_ab+1)/(c_a+V))",
     "t15_vocab_growth" -> "crossJoin vs broadcast 1-row max-id aggregate (the decile denominator)")

@@ -163,6 +163,80 @@ class Round14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted == rebuilt, "compacted band table != rebuild-on-reduced")
   }
 
+  test("a17 cutover: retrained serve == a fresh a13 build, generation pinned to 2") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Ann.a17(spark, sf).collect()
+    assert(rows.nonEmpty, "a17 answered no probes")
+    assert(rows.forall(_.getLong(4) == 2L),
+      "census corpus is past the declared threshold — a17 must serve generation 2")
+    val a13 = graft.ops.Ann.a13(spark, sf).collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq.dropRight(1)).toSeq == a13,
+      "retrained serve diverged from a fresh a13 build")
+  }
+
+  test("a17 stale generation: the pre-append codebooks give a DIFFERENT answer (retrain has signal)") {
+    val sf = "/root/testdata/sf0.001"
+    // the stale codebook ids are the pre-append corpus's first rows —
+    // on the census they exclude the arrival-residue ids, so the
+    // codebook SET differs from the fresh one
+    val stale = graft.ops.Ann.a17StaleCodebookIds(spark, sf)
+    assert(stale.nonEmpty && stale.exists(_ >= graft.ops.Ann.IvfCentroids),
+      s"stale codebook ids should spill past the fresh range, got $stale")
+    // index rows must differ: any vector whose fresh assignment is an
+    // arrival-residue centroid has no such centroid in the stale world
+    val fresh = graft.ops.Ann.a13(spark, sf).collect().map(_.toSeq).toSeq
+    val staleServe = graft.ops.Ann.a17StaleServe(spark, sf).collect().map(_.toSeq).toSeq
+    assert(staleServe.nonEmpty, "stale serve answered no probes")
+    assert(staleServe != fresh,
+      "stale and fresh serves coincide on the census — the retrain entry has no signal")
+  }
+
+  test("a17 below threshold: no post-training arrivals -> stale generation keeps serving (gen 1)") {
+    val s = spark
+    import s.implicits._
+    // corpus with NO arrival-residue ids: the training-time corpus IS
+    // the current corpus, stale codebooks == fresh codebooks, and the
+    // declared-fraction trigger must NOT fire — serving gen 1, whose
+    // answer equals a06 on this corpus (no drift to repair)
+    val rnd = new scala.util.Random(71)
+    val ids = ((0L until 16L) ++ Seq(20L, 21L, 22L, 23L, 30L, 31L, 32L, 33L,
+      40L, 41L, 50L, 51L)).filter(_ % 10 != 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-a17-below").toString
+    ids.map { i => (i, Array.fill(8)(rnd.nextFloat()), (i % 10).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.ops.Ann.a17(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(4) == 1L),
+      "no arrivals -> a17 must keep serving the stale generation")
+    // gen-1 build/serve consistency: the index-served stale answer must
+    // equal the direct chain under the SAME codebook rows (the
+    // a06WithCodebooks instrument — on this gapped-id corpus the
+    // first-k-rows codebook is NOT vec_id < k, so a06 itself is not
+    // the reference)
+    val stale = graft.ops.Ann.a17StaleCodebookIds(spark, dir)
+    val want = graft.ops.Ann.a06WithCodebooks(spark, dir,
+        col("vec_id").isin(stale: _*),
+        col("vec_id").isin(stale.take(graft.ops.Ann.PqCentroids): _*))
+      .collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq.dropRight(1)).toSeq == want,
+      "stale index serve diverged from the direct stale-codebook chain")
+  }
+
+  test("a17 warm: both generations' artifacts published once; no republish on repeat") {
+    val sf = "/root/testdata/sf0.001"
+    graft.ops.Ann.a17(spark, sf).count() // publishes stale/fresh if cold
+    graft.ops.Ann.a17StaleServe(spark, sf).count()
+    val pub0 = graft.core.Materialize.publishCount
+    graft.ops.Ann.a17(spark, sf).count()
+    graft.ops.Ann.a17StaleServe(spark, sf).count()
+    assert(graft.core.Materialize.publishCount == pub0,
+      "warm a17 must serve both generations from published artifacts")
+    // distinct fingerprints: the stale generation stays addressable for
+    // rollback after the cutover
+    assert(graft.ops.Ann.a17StaleFingerprint(spark, sf) !=
+      graft.ops.Ann.ivfpqFingerprint(spark, sf))
+  }
+
   test("d14 grades the live corpus: recall eval == d14 on the reduced corpus") {
     val sf = "/root/testdata/sf0.001"
     val dir = reducedAt(sf, "documents", graft.ops.Dedup.d17TombstonePred)
