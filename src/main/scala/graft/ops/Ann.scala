@@ -1108,15 +1108,43 @@ object Ann {
     * (reduced-corpus) chain, so a leaked deleted vector breaks the
     * gate hash. */
   private[graft] def ivfpqServeBundle(s: SparkSession, d: String): DataFrame = {
-    val idx = a16ServedIndex(s, d)
-    val perVec = idx
-      .groupBy(col("vec_id"), col("cluster"))
+    val indexRow = perVecCodes(a16ServedIndex(s, d)).agg(
+      array_sort(collect_list(struct(col("cluster"), col("vec_id"), col("codes"))))
+        .as("index"))
+    indexRow.crossJoin(ivfpqCodebooksRow(s, d))
+  }
+
+  /** one (cluster, vec_id, codes[sub]) row per LIVE vector — the pivot
+    * both streaming serve shapes share (the one-row bundle collapses
+    * it; the sharded serve groups it per cluster). */
+  private def perVecCodes(idx: DataFrame): DataFrame =
+    idx.groupBy(col("vec_id"), col("cluster"))
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
       .select(col("cluster"), col("vec_id"),
         expr("transform(sc, x -> CAST(x.code AS BIGINT))").as("codes"))
-    val indexRow = perVec.agg(
-      array_sort(collect_list(struct(col("cluster"), col("vec_id"), col("codes"))))
-        .as("index"))
+
+  /** The PER-CLUSTER sharded form of the serving index — the scale
+    * path past the one-row bundle's single-row/2 GiB ceiling (the
+    * round-13 `weak`): one (cluster, entries) row per IVF cluster,
+    * entries sorted for determinism, built over the SAME
+    * [[a16ServedIndex]] live view as the bundle. A row is bounded by
+    * its cluster's population (the IVF partition-pruning contract —
+    * at 100x the index, rows grow with N/K and the coarse codebook
+    * grows K with N), and probes ROUTE to rows by probed-cluster id
+    * via a stream-static equi-join: each query touches
+    * IvfProbeClusters shard rows, never the whole index, and the
+    * static side shuffles/broadcasts per cluster instead of one
+    * monolithic row. */
+  private[graft] def ivfpqServeShards(s: SparkSession, d: String): DataFrame =
+    perVecCodes(a16ServedIndex(s, d))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("codes")))).as("entries"))
+
+  /** the constant-size codebook half of the serving state (coarse
+    * centroids + PQ codebook, one row) — shared by the one-row bundle
+    * and the sharded serve, which broadcasts ONLY this and routes
+    * probes to index shards. */
+  private[graft] def ivfpqCodebooksRow(s: SparkSession, d: String): DataFrame = {
     val q = ivfQServe(s, d)
     val centsRow = coarseCents(q).agg(
       array_sort(collect_list(struct(col("cid"), col("cq"), col("cnorm2")))).as("cents"))
@@ -1140,7 +1168,7 @@ object Ann {
            |                  (p, i) -> p.pcid = i), x -> x),
            |  'ivfpqServeBundle: PQ codebook ids not contiguous from 0')"""
           .stripMargin).isNull)
-    indexRow.crossJoin(centsRow).crossJoin(pqRow)
+    centsRow.crossJoin(pqRow)
   }
 
   // ---- a16: tombstone DELETION against the published IVF-PQ index ----

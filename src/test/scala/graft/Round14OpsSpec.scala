@@ -237,6 +237,30 @@ class Round14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Ann.ivfpqFingerprint(spark, sf))
   }
 
+  test("s11 sharded serve == one-row bundle serve == a16, bit for bit") {
+    val sf = "/root/testdata/sf0.001"
+    // the scale shape (per-cluster shards + stream-static routing +
+    // gather merge) must reproduce the replicated-bundle answer exactly
+    // — same context/scoring expressions by construction, same live
+    // index view, lossless shard-local top-3 merge
+    val sharded = graft.streaming.Replay.s11Sharded(spark, sf).collect().map(_.toSeq).toSeq
+    val oneRow = graft.streaming.Replay.s11OneRow(spark, sf).collect().map(_.toSeq).toSeq
+    assert(sharded.nonEmpty, "sharded serve answered no probes")
+    assert(sharded == oneRow,
+      s"sharded/one-row serve drift (${sharded.size} vs ${oneRow.size} rows)")
+    val batch = graft.ops.Ann.a16(spark, sf).collect().map(_.toSeq).toSeq
+    assert(sharded == batch, "sharded serve drifted from the batch tier")
+    // and the shards are the live view: no tombstoned vector appears
+    val tombs = graft.ops.Ann.a16Tombstones(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs.nonEmpty)
+    val shardVecs = graft.ops.Ann.ivfpqServeShards(spark, sf)
+      .selectExpr("explode(entries) AS e").selectExpr("e.vec_id AS v")
+      .collect().map(_.getLong(0)).toSet
+    assert(shardVecs.nonEmpty && shardVecs.intersect(tombs).isEmpty,
+      "sharded serving state leaked tombstoned vectors")
+  }
+
   test("d14 grades the live corpus: recall eval == d14 on the reduced corpus") {
     val sf = "/root/testdata/sf0.001"
     val dir = reducedAt(sf, "documents", graft.ops.Dedup.d17TombstonePred)
