@@ -316,13 +316,31 @@ object Bench {
     // BENCH_FREEZE.json, stage signatures from BENCH_STAGESIG.json —
     // both committed by the freeze protocol; entries absent from them
     // (new/renamed surface) get raw facts, no verdict.
-    val frozenMed = loadFlatJson(new java.io.File(repoDir, "BENCH_FREEZE.json"))
-      .flatMap { case (k, v) => scala.util.Try(k -> v.toDouble).toOption }
+    // sf guard (round-14 review): the freeze file stamps the scale
+    // factor it was measured at (`_sf`); verdicts against medians from
+    // a DIFFERENT corpus would be pure noise, so a mismatched run
+    // computes none (and, below, does not clobber the round's repo
+    // diag artifact with wrong-scale lines). Absent stamp/file =
+    // legacy/bootstrap -> current behavior.
+    val freezeFile = new java.io.File(repoDir, "BENCH_FREEZE.json")
+    val freezeSf: Option[String] =
+      if (!freezeFile.exists()) None
+      else """"_sf"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(freezeFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .map(_.group(1))
+    val freezeApplies = freezeSf.forall(_ == sfDir)
+    if (!freezeApplies)
+      System.err.println(s"[bench] BENCH_FREEZE.json is for ${freezeSf.get}, " +
+        s"run is $sfDir — diag verdicts and the repo diag copy are OFF")
+    val frozenMed =
+      (if (freezeApplies) loadFlatJson(freezeFile) else Map.empty[String, String])
+        .flatMap { case (k, v) => scala.util.Try(k -> v.toDouble).toOption }
     val frozenSig = loadFlatJson(new java.io.File(repoDir, "BENCH_STAGESIG.json"))
     def sigOf(v: String, key: String): Option[Long] =
       (""""""" + key + """"\s*:\s*(-?\d+)""").r.findFirstMatchIn(v)
         .map(_.group(1).toLong)
-    val diagVerdicts = results.flatMap { case (name, sec, pubN) =>
+    val allVerdicts = results.flatMap { case (name, sec, pubN) =>
       frozenMed.get(name).filter(m => sec >= 1.0 && sec >= 2.0 * m).map { m =>
         val base = s""""q":"${name.takeWhile(_ != '_')}","sec":${r3(sec)},""" +
           s""""x":${r3(sec / m)},"pub":$pubN"""
@@ -337,9 +355,16 @@ object Bench {
             s""","spill_mb":${f.spillMb}""" +
             same.map(b => s""","same_stages":$b""").getOrElse("")
         }.getOrElse(base)
-        "{" + withStages + "}"
+        (sec / m, "{" + withStages + "}")
       }
-    }.mkString("[", ",", "]")
+    }
+    // the tail line must survive the driver's 2000-char window even
+    // under whole-session ambient inflation: keep the 8 worst ratios,
+    // count the rest (full detail is in the diag file regardless)
+    val diagVerdicts =
+      allVerdicts.sortBy(-_._1).take(8).map(_._2).mkString("[", ",", "]") +
+        (if (allVerdicts.size > 8) s""","diag_more":${allVerdicts.size - 8}"""
+         else "")
     def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -380,12 +405,16 @@ object Bench {
     // per-round diag artifact IN THE REPO (round-13 verdict item 1: the
     // adjudicating diag must survive in git history, not in /tmp) —
     // overwritten by each bench at the same round, so the round's last
-    // run (the driver's) wins; the driver's end-of-round commit ships it
-    try java.nio.file.Files.write(
-      new java.io.File(repoDir, f"BENCH_DIAG_r$currentRound%02d.json").toPath,
-      diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] diag repo copy failed: ${e.getMessage}") }
+    // run (the driver's) wins; the driver's end-of-round commit ships
+    // it. Skipped when this run's sf differs from the freeze's (a
+    // diagnostic run at another scale must not clobber the round's
+    // adjudication artifact with wrong-scale lines — round-14 review).
+    if (freezeApplies)
+      try java.nio.file.Files.write(
+        new java.io.File(repoDir, f"BENCH_DIAG_r$currentRound%02d.json").toPath,
+        diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] diag repo copy failed: ${e.getMessage}") }
     println(probeLine)
     println(compact)
     // the line must be the LAST output: Spark's stop() logging (or a

@@ -1332,12 +1332,18 @@ object Ann {
     * under the STALE codebooks — the serving index of the a15 world
     * (standing index built pre-append + shard appended under frozen
     * codebooks), published under its own fingerprint. */
-  private[graft] def a17StaleIndex(s: SparkSession, d: String): DataFrame = {
-    val ids = a17StaleCodebookIds(s, d)
+  private[graft] def a17StaleIndex(s: SparkSession, d: String): DataFrame =
+    a17StaleIndexFor(s, d, a17StaleCodebookIds(s, d))
+
+  /** ids threaded from the caller: [[a17StaleServe]] derives the model
+    * once and passes it to both the index build and the probe side —
+    * deriving it independently here would run the corpus
+    * scan-sort-limit job twice per gen-1 serve (round-14 review). */
+  private def a17StaleIndexFor(s: SparkSession, d: String,
+                               ids: Seq[Long]): DataFrame =
     graft.core.Materialize.readOrCompute(s, "ivfpq", a17StaleFingerprint(s, d))(
       buildIvfPqIndexWith(s, d,
         a17IdsPred(ids), a17IdsPred(ids.take(PqCentroids))))
-  }
 
   /** a06's serve from the stale generation: probe-side structures
     * (cluster ranking + ADC tables) computed against the STALE
@@ -1348,7 +1354,7 @@ object Ann {
   private[graft] def a17StaleServe(s: SparkSession, d: String): DataFrame = {
     val ids = a17StaleCodebookIds(s, d)
     val q = ivfQWhere(s, d, col("vec_id") < 10 || a17IdsPred(ids))
-    serveAdcTop3From(q, a17StaleIndex(s, d),
+    serveAdcTop3From(q, a17StaleIndexFor(s, d, ids),
       a17IdsPred(ids), a17IdsPred(ids.take(PqCentroids)))
   }
 

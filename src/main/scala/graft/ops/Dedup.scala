@@ -1746,8 +1746,7 @@ object Dedup {
     // persisted for the same multi-consumer reason as sample/bands
     // (it feeds sizes plus BOTH sides of the inverted-index self-join)
     val tok = tokens(s, d)
-      .where(col("doc_id") % step === 0 &&
-        col("doc_id") % IncrementalMod =!= TombstoneRem)
+      .where(col("doc_id") % step === 0 && live)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("nn"))
     val inter = tok.select(col("doc_id").as("a"), col("w"))

@@ -28,11 +28,19 @@ def main():
     for r in runs[1:]:
         if sorted(r["queries"]) != names:
             sys.exit("runs cover different entry sets — same bytecode required")
+    sfs = {r.get("sf") for r in runs}
+    if len(sfs) != 1:
+        sys.exit(f"runs span scale factors {sfs} — medians would blend corpora")
     med = {n: round(statistics.median(r["queries"][n] for r in runs), 3)
            for n in names}
     controls = [r.get("control") for r in runs]
     with open("BENCH_FREEZE.json", "w") as f:
-        json.dump(med, f, indent=0, sort_keys=True)
+        # `_sf` stamps the corpus the medians were measured at; Bench
+        # refuses to compute diag verdicts (or clobber the round's repo
+        # diag artifact) when a run's sf differs from this stamp.
+        out = dict(med)
+        out["_sf"] = sfs.pop()
+        json.dump(out, f, indent=0, sort_keys=True)
         f.write("\n")
     total = round(sum(med.values()), 1)
     totals = " / ".join(f"{round(sum(r['queries'].values()), 1)}" for r in runs)
