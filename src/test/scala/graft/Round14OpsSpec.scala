@@ -261,6 +261,50 @@ class Round14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sharded serving state leaked tombstoned vectors")
   }
 
+  test("band-row locality property: live view == rebuild-on-reduced for random corpora (both branches)") {
+    val s = spark
+    import s.implicits._
+    // the d17Over/a16Over algebraic claim, applied to the signature
+    // artifact: a band row depends only on its own document, so the
+    // live view (anti-join OR compacted) must equal the band table a
+    // corpus that never ingested the tombstoned docs would publish —
+    // exercised on random corpora that land on BOTH sides of the
+    // compaction threshold (trial parity plants ~8% vs ~40% tombstone
+    // mass via id selection).
+    val rnd = new scala.util.Random(137)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 1 to 4) {
+      val heavy = trial % 2 == 0 // even trials: tombstone-heavy (> threshold)
+      val nDocs = 18 + rnd.nextInt(18)
+      val ids = (0 until nDocs).map { i =>
+        // heavy: ~half the ids on the tombstone residue; light: ~1 in 12
+        val wantTomb = if (heavy) i % 2 == 0 else i % 12 == 0
+        val base = i.toLong * 10
+        if (wantTomb) base + graft.ops.Dedup.TombstoneRem
+        else base + (i % 2)
+      }
+      val docs = ids.map { id =>
+        (id, Array.fill(2 + rnd.nextInt(5))(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-band-prop$trial").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val reduced = java.nio.file.Files.createTempDirectory(s"graft-band-propr$trial").toString
+      docs.filterNot(_._1 % graft.ops.Dedup.IncrementalMod == graft.ops.Dedup.TombstoneRem)
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$reduced/documents.parquet")
+      val live = graft.ops.Dedup.liveBandTable(spark, dir)
+        .select(col("i"), col("band"), col("sig"), col("n"))
+        .collect().map(_.toSeq).toSet
+      val want = graft.ops.Dedup.bandTable(spark, reduced)
+        .select(col("i"), col("band"), col("sig"), col("n"))
+        .collect().map(_.toSeq).toSet
+      assert(want.nonEmpty, s"trial $trial produced an empty reference table")
+      assert(live == want,
+        s"trial $trial (heavy=$heavy): live band view != rebuild-on-reduced " +
+          s"(${live.size} vs ${want.size} rows)")
+    }
+  }
+
   test("d14 grades the live corpus: recall eval == d14 on the reduced corpus") {
     val sf = "/root/testdata/sf0.001"
     val dir = reducedAt(sf, "documents", graft.ops.Dedup.d17TombstonePred)
