@@ -100,6 +100,16 @@ object Dedup {
     * future serves. */
   val TombstoneCompactThreshold = 0.25
 
+  /** the LIVE corpus as a shared oracle-SQL prefix: documents minus
+    * the tombstone census residue. Every cluster-derived report oracle
+    * (d07/d09/d10/d13/p09 since round 15) is stated over `livedocs` —
+    * a takedown must be invisible in every report, not just the
+    * pair/band serves d17/d16/d14 already restated. Declared with the
+    * census constants (initialization-order rule: an oracle val that
+    * interpolates a LATER val reads 0 silently). */
+  private[graft] val LiveDocsCte: String =
+    s"livedocs AS (SELECT * FROM documents WHERE doc_id % $IncrementalMod <> $TombstoneRem)"
+
   /** d02 implementation, scale-shaped end to end (the typed
     * MinHashAggregator in graft.functions is the API-surface equivalent
     * for ad-hoc Dataset use):
@@ -588,10 +598,13 @@ object Dedup {
   }
 
   /** shared oracle prefix: simhash fingerprints (`fp(doc_id, simhash)`)
-    * — d03's pair predicate and every report built on it start here. */
-  private val simhashFpCte: String =
+    * — d03's pair predicate and every report built on it start here.
+    * Parameterized by the corpus relation: d03 (the kernel measure)
+    * states it over `documents`; every cluster-derived REPORT states
+    * it over `livedocs` (round 15 — deletion reaches the reports). */
+  private def simhashFpCteOver(rel: String): String =
     s"""tok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM $rel),
       |th AS (
       |  SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
       |votes AS (
@@ -602,6 +615,28 @@ object Dedup {
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  private val simhashFpCte: String = simhashFpCteOver("documents")
+
+  /** the d03 pair predicate + the transitive-closure labelling, over an
+    * arbitrary corpus relation — the shared tail of every clustering
+    * oracle (d07/d09 directly; d13/p09 via [[ccCanonCtesOver]]). Ends
+    * at `lab(doc, cluster_id)`. */
+  private def ccLabCtesOver(rel: String): String =
+    s"""${simhashFpCteOver(rel)},
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc, label) AS (
+      |  SELECT doc_id, doc_id FROM $rel
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+      |  WHERE r.label <> e.dst),
+      |lab AS (SELECT doc, MIN(label) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
 
   val d03Sql: String =
     s"""WITH $simhashFpCte
@@ -625,8 +660,15 @@ object Dedup {
     * to a shuffle join when the doc map outgrows the threshold — then
     * a tiny |sources|^2 aggregation. */
   def d10(s: SparkSession, d: String): DataFrame = {
+    // DELETION-AWARE since round 15: the report reads the LIVE pair
+    // view (published d03 pairs minus tombstone-touching rows — exact,
+    // because pair membership is a property of the two docs alone), so
+    // a takedown can no longer inflate the contamination matrix with
+    // pairs of documents that no longer exist. The source map stays the
+    // full projection: only live pairs reach the join, and pruning it
+    // would add a second anti-join for rows the join already drops.
     val src = documents(s, d).select(col("doc_id"), col("source"))
-    pairsTable(s, d)
+    liveD03Pairs(s, d)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .select(least(col("sa"), col("sb")).as("src_a"),
@@ -637,7 +679,8 @@ object Dedup {
   }
 
   val d10Sql: String =
-    s"""WITH $simhashFpCte,
+    s"""WITH $LiveDocsCte,
+      |${simhashFpCteOver("livedocs")},
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -646,8 +689,8 @@ object Dedup {
       |  GREATEST(da.source, db.source) AS src_b,
       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
       |FROM pairs
-      |JOIN documents da ON da.doc_id = pairs.doc_a
-      |JOIN documents db ON db.doc_id = pairs.doc_b
+      |JOIN livedocs da ON da.doc_id = pairs.doc_a
+      |JOIN livedocs db ON db.doc_id = pairs.doc_b
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- d07: near-dup CLUSTERS — connected components over d03 pairs ----
@@ -841,6 +884,42 @@ object Dedup {
   private[graft] def pairsTable(s: SparkSession, d: String): DataFrame =
     graft.core.Materialize.readOrCompute(s, "pairs", pairsFingerprint(d))(d03Pairs(s, d))
 
+  /** the published d03 pair table minus every pair touching a doc of an
+    * ARBITRARY delete set — exact, because d03 pair membership (two
+    * simhash fingerprints within [[HammingMax]]) is a property of the
+    * TWO docs alone: removing docs removes pairs, never creates or
+    * rescores one. Same algebra as [[livePairs]] for the d02 artifact. */
+  private[graft] def liveD03PairsOver(s: SparkSession, d: String,
+                                      tombstones: DataFrame): DataFrame =
+    pairsTable(s, d)
+      .join(tombstones.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(tombstones.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+  private[graft] def compactedD03PairsFingerprint(d: String): String =
+    graft.core.Materialize.fingerprint(d, "documents",
+      s"simhash-pairs-b$SimhashBits-h$HammingMax" +
+        s"-minusdel-m$IncrementalMod-t$TombstoneRem", dedupCodeSalt)
+
+  /** COMPACTION of the d03 pair artifact: the published table rewritten
+    * without tombstone-touching rows, under its own fingerprint — the
+    * d17 contract applied to the simhash pair family. Reads the
+    * PUBLISHED table, never raw text, never the pigeonhole kernel. */
+  private[graft] def compactedD03PairsTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "pairs", compactedD03PairsFingerprint(d))(
+      liveD03PairsOver(s, d, d17Tombstones(s, d)))
+
+  /** The LIVE view of the d03 pair artifact — what every report built
+    * on the simhash pair family (d10's leakage matrix, the cluster
+    * repair below) reads instead of [[pairsTable]]: id-only anti-join
+    * below the shared [[TombstoneCompactThreshold]], the compacted
+    * rewrite above it. d03 itself stays on the full table — it is the
+    * pair-generation kernel measure, exactly as d02 stays on the full
+    * band table. */
+  private[graft] def liveD03Pairs(s: SparkSession, d: String): DataFrame =
+    if (aboveCompactThreshold(s, d)) compactedD03PairsTable(s, d)
+    else liveD03PairsOver(s, d, d17Tombstones(s, d))
+
   /** Compute cluster labels (doc, label) for the d03 similarity graph
     * and MATERIALIZE them at the fingerprint key (atomic publish, temp
     * cleanup and concurrency semantics in [[graft.core.Materialize]]) —
@@ -875,13 +954,98 @@ object Dedup {
     else this.synchronized { computeAndMaterializeLabels(s, d) }
   }
 
+  // ---- the cluster-label artifact under deletion (round 15) ----
+
+  /** Deletion-localized REPAIR of the cluster-label artifact, over an
+    * ARBITRARY delete set. The label table is the one published dedup
+    * artifact that CANNOT be served by an id-only anti-join (documented
+    * divergence from the pair/band/index families): connectivity is
+    * GLOBAL — deleting a bridge doc SPLITS its component in the reduced
+    * graph, and deleting a component's min-id doc leaves every survivor
+    * carrying the DELETED doc's id as its label (a takedown leaking
+    * into the output — the exact failure this view exists to close).
+    * An anti-join keeps both wrong answers; the property spec's random
+    * delete sets would catch it.
+    *
+    * The repair is still O(touched), never O(corpus): components are
+    * independent subgraphs, so labels(corpus ∖ D) decomposes as
+    *  - components with NO deleted member — served verbatim from the
+    *    published full-corpus label table (their subgraph, and hence
+    *    their min-id label, is untouched);
+    *  - components WITH a deleted member — re-labelled by the same
+    *    distributed CC, seeded only with those components' surviving
+    *    docs and their live pairs (from the published pair table; both
+    *    inputs are id-keyed semi/anti-joins, no raw text, no pair
+    *    kernel). Touched work is |tombstones| × avg component, a
+    *    vanishing fraction of a 100 TB corpus for any takedown wave. */
+  private[graft] def liveLabelsOver(s: SparkSession, d: String,
+                                    tombstones: DataFrame,
+                                    livePairsIn: DataFrame): DataFrame = {
+    val full = ccLabels(s, d)
+    val tomb = tombstones.select(col("doc_id").as("doc"))
+    val touched = full.join(tomb, "doc").select("label").distinct()
+    val untouched = full.join(touched, Seq("label"), "left_anti")
+      .select(col("doc"), col("label"))
+    val repairDocs = full.join(touched, Seq("label"), "left_semi")
+      .join(tomb, Seq("doc"), "left_anti")
+      .select(col("doc"))
+    // a live pair inside a touched component has BOTH endpoints in it
+    // (pairs respect components), so one endpoint semi-join suffices
+    val repairPairs = livePairsIn
+      .join(repairDocs.select(col("doc").as("doc_a")), Seq("doc_a"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    untouched.union(connectedComponents(s, repairDocs, repairPairs))
+  }
+
+  private[graft] def liveLabelsFingerprint(d: String): String =
+    graft.core.Materialize.fingerprint(d, "documents",
+      s"cc-minlabel-minusdel-m$IncrementalMod-t$TombstoneRem", dedupCodeSalt)
+
+  /** publish the repaired (live) label table at its deletion-keyed
+    * fingerprint, releasing the repair CC's checkpoint blocks — the
+    * parquet table is the materialization. */
+  private def computeAndMaterializeLiveLabels(s: SparkSession, d: String): DataFrame = {
+    val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = graft.core.Materialize.publish(s, "labels", liveLabelsFingerprint(d))(
+      liveLabelsOver(s, d, d17Tombstones(s, d), liveD03Pairs(s, d)))
+    (s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+      .foreach(id => s.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    out
+  }
+
+  /** The LIVE view of the cluster-label artifact, consumed by every
+    * cluster-derived report (d09's savings, d13's keep-list, p09's
+    * mixing rates). Unlike the pair/band live views there is no
+    * below-threshold anti-join branch to serve per query — the correct
+    * serve is the component repair ([[liveLabelsOver]]), an ITERATIVE
+    * job, and re-running it per report is the anti-pattern the
+    * published-artifact doctrine exists to prevent — so the repaired
+    * table is always published at its deletion-keyed fingerprint and
+    * reports read parquet (one slim write per corpus × delete-set,
+    * amortized over every report; the compaction economics that are
+    * only conditionally right for a per-query anti-join are
+    * unconditionally right here). */
+  private[graft] def liveCcLabels(s: SparkSession, d: String): DataFrame = {
+    val fp = liveLabelsFingerprint(d)
+    if (graft.core.Materialize.exists(s, "labels", fp))
+      s.read.parquet(graft.core.Materialize.tablePath(s, "labels", fp))
+    else this.synchronized { computeAndMaterializeLiveLabels(s, d) }
+  }
+
   def d07(s: SparkSession, d: String): DataFrame = {
-    // d07 IS the clustering job: the CC always computes fresh (it is
-    // the thing being measured) and leaves the materialized label table
-    // behind for consumers (d09's report, external canonicalizers).
-    // Its pair INPUT comes from the materialized pair table — the d03
+    // d07 IS the clustering job: the full-corpus CC always computes
+    // fresh (it is the thing being measured) and leaves BOTH label
+    // artifacts behind for consumers — the delete-set-independent
+    // full-corpus table, then (round 15) the repaired LIVE table the
+    // reports read (see liveCcLabels: clusters, unlike pairs, cannot
+    // be anti-join-served, so the live view is itself an artifact).
+    // Pair INPUT comes from the materialized pair table — the d03
     // kernel runs once per corpus fingerprint, not once per job.
-    val labels = this.synchronized { computeAndMaterializeLabels(s, d) }
+    val labels = this.synchronized {
+      computeAndMaterializeLabels(s, d)
+      computeAndMaterializeLiveLabels(s, d)
+    }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n"))
     labels.join(sizes, "label")
       .select(col("doc").as("doc_id"), col("label").as("cluster_id"),
@@ -902,7 +1066,11 @@ object Dedup {
     * (doc, label) — the documents join is a doc_id equi-join, the
     * accounting a per-source aggregation. */
   def d09(s: SparkSession, d: String): DataFrame = {
-    val labels = ccLabels(s, d)
+    // LIVE labels (round 15): the savings report is stated over the
+    // corpus minus tombstones — the inner doc_id join against the live
+    // label table cuts deleted docs from every count, and the repair
+    // guarantees cluster ids are live docs (no takedown id in output).
+    val labels = liveCcLabels(s, d)
       .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
     documents(s, d)
       .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
@@ -917,39 +1085,18 @@ object Dedup {
       .orderBy("source")
   }
 
-  /** Oracle: d07's recursive-CTE closure joined back to the corpus. */
+  /** Oracle: d07's recursive-CTE closure joined back to the LIVE
+    * corpus — the whole chain (fingerprints, pairs, closure, report)
+    * stated over documents-minus-tombstones. */
   val d09Sql: String =
-    s"""WITH RECURSIVE tok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
-      |th AS (
-      |  SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
-      |votes AS (
-      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-      |  FROM th, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)
-      |  GROUP BY doc_id, j),
-      |fp AS (
-      |  SELECT doc_id,
-      |    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM votes GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax),
-      |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-      |reach(doc, label) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
-      |  WHERE r.label <> e.dst),
-      |lab AS (SELECT doc, MIN(label) AS cluster_id FROM reach GROUP BY doc)
+    s"""WITH RECURSIVE $LiveDocsCte,
+      |${ccLabCtesOver("livedocs")}
       |SELECT source,
       |  CAST(COUNT(*) AS BIGINT) AS docs_total,
       |  CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_total,
       |  CAST(SUM(CASE WHEN doc_id = cluster_id THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS tokens_kept
-      |FROM documents JOIN lab ON lab.doc = documents.doc_id
+      |FROM livedocs JOIN lab ON lab.doc = livedocs.doc_id
       |GROUP BY source ORDER BY source""".stripMargin
 
   /** d13: the canonical KEEP-LIST — the artifact a dedup pipeline
@@ -965,7 +1112,11 @@ object Dedup {
     * At 100 TB: two keyed shuffles over slim (doc, label, n_tok) rows;
     * the wide text column is never carried past the length projection. */
   def d13(s: SparkSession, d: String): DataFrame = {
-    val labels = ccLabels(s, d)
+    // LIVE labels (round 15): the keep-list ships to the trainer — a
+    // deleted doc surviving here as a row, a canonical pick, or a
+    // cluster id is the legal failure mode; the live label view
+    // excludes all three by construction.
+    val labels = liveCcLabels(s, d)
       .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
     val sized = documents(s, d)
       .select(col("doc_id"),
@@ -984,36 +1135,12 @@ object Dedup {
     * prefix (ends at `canon`): d13's whole derivation, shared verbatim
     * by p09's oracle so the keep-list both entries reason about is ONE
     * SQL text, not two copies that can drift. */
-  private[graft] val ccCanonCtes: String =
-    s"""tok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
-      |th AS (
-      |  SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
-      |votes AS (
-      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-      |  FROM th, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)
-      |  GROUP BY doc_id, j),
-      |fp AS (
-      |  SELECT doc_id,
-      |    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM votes GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax),
-      |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-      |reach(doc, label) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
-      |  WHERE r.label <> e.dst),
-      |lab AS (SELECT doc, MIN(label) AS cluster_id FROM reach GROUP BY doc),
+  private[graft] def ccCanonCtesOver(rel: String): String =
+    s"""${ccLabCtesOver(rel)},
       |sized AS (
       |  SELECT lab.doc AS doc_id, lab.cluster_id,
       |    len(string_split(d.text, ' ')) AS n_tok
-      |  FROM lab JOIN documents d ON d.doc_id = lab.doc),
+      |  FROM lab JOIN $rel d ON d.doc_id = lab.doc),
       |ranked AS (
       |  SELECT doc_id, cluster_id,
       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
@@ -1024,7 +1151,8 @@ object Dedup {
   /** Oracle: the d07 closure + a per-cluster (n_tok DESC, doc ASC)
     * ranking for the canonical pick. */
   val d13Sql: String =
-    s"""WITH RECURSIVE $ccCanonCtes
+    s"""WITH RECURSIVE $LiveDocsCte,
+      |${ccCanonCtesOver("livedocs")}
       |SELECT s.doc_id, s.cluster_id, c.canonical_id,
       |  CAST(CASE WHEN s.doc_id = c.canonical_id THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM sized s JOIN canon c ON s.cluster_id = c.cluster_id
@@ -1032,33 +1160,12 @@ object Dedup {
 
   /** Oracle: transitive closure by recursive CTE (labels flood the
     * component; MIN per doc = component min), over the same d03 pair
-    * predicate. */
+    * predicate — on the LIVE corpus, so a deleted bridge doc splits
+    * its cluster and a deleted min-id doc never labels survivors
+    * (exactly what the component repair must reproduce). */
   val d07Sql: String =
-    s"""WITH RECURSIVE tok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
-      |th AS (
-      |  SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
-      |votes AS (
-      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-      |  FROM th, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)
-      |  GROUP BY doc_id, j),
-      |fp AS (
-      |  SELECT doc_id,
-      |    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM votes GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax),
-      |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-      |reach(doc, label) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
-      |  WHERE r.label <> e.dst),
-      |lab AS (SELECT doc, MIN(label) AS cluster_id FROM reach GROUP BY doc)
+    s"""WITH RECURSIVE $LiveDocsCte,
+      |${ccLabCtesOver("livedocs")}
       |SELECT doc AS doc_id, cluster_id,
       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM lab ORDER BY doc_id""".stripMargin

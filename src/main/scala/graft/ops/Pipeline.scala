@@ -427,7 +427,13 @@ object Pipeline {
     val dec = DecimalType(38, 0)
     val keepers = graft.ops.Dedup.d13(s, d)
       .where(col("keep") === 1L).select("doc_id")
+    // LIVE corpus (round 15): the mixture rates feed SAMPLING — a
+    // deleted doc contributing token mass to its source's rate is the
+    // takedown leak the round-14 verdict named. d13's keepers are
+    // already live; the before/after token stats must cut the same
+    // census residue or the report's "before" column re-admits them.
     val docs = documents(s, d)
+      .where(!graft.ops.Dedup.d17TombstonePred)
       .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
     val before = docs.groupBy("source").agg(
       big(count(lit(1))).as("docs_before"),
@@ -469,7 +475,8 @@ object Pipeline {
     * [[graft.ops.Dedup.ccCanonCtes]] text) + p06's HUGEINT mixing math
     * restricted to the keepers. */
   val p09Sql: String =
-    s"""WITH RECURSIVE ${graft.ops.Dedup.ccCanonCtes},
+    s"""WITH RECURSIVE ${graft.ops.Dedup.LiveDocsCte},
+      |${graft.ops.Dedup.ccCanonCtesOver("livedocs")},
       |keepers AS (
       |  SELECT s.doc_id FROM sized s JOIN canon c ON s.cluster_id = c.cluster_id
       |  WHERE s.doc_id = c.canonical_id),
@@ -478,7 +485,7 @@ object Pipeline {
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
       |    CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
       |      % 1000000 AS hm
-      |  FROM documents),
+      |  FROM livedocs),
       |before AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_before,
       |    CAST(SUM(n_tok) AS BIGINT) AS tokens_before

@@ -261,11 +261,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Dedup.ccFingerprint(dir.toString) != fp2)
   }
 
-  test("d07 clusters == driver union-find over the d03 pair graph (sf0.001)") {
+  test("d07 clusters == driver union-find over the LIVE d03 pair graph (sf0.001)") {
+    // d07 reports the live corpus since round 15: the reference
+    // union-find runs over documents-minus-tombstones and the pair
+    // graph with both endpoints live — the component repair must equal
+    // a from-scratch clustering of the reduced graph.
+    import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
+    val mod = graft.ops.Dedup.IncrementalMod
+    val trem = graft.ops.Dedup.TombstoneRem
     val pairs = graft.ops.Dedup.d03Pairs(spark, sf)
+      .where(col("doc_a") % mod =!= trem && col("doc_b") % mod =!= trem)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     val docs = graft.core.Tables.documents(spark, sf)
+      .where(col("doc_id") % mod =!= trem)
       .select("doc_id").collect().map(_.getLong(0))
     // reference: classic union-find on the driver
     val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)

@@ -124,10 +124,16 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(report.forall { case (c, n, _, _) => sizes(c) === n })
   }
 
-  test("d10: leakage matrix total equals the d03 pair count") {
+  test("d10: leakage matrix total equals the LIVE d03 pair count") {
+    // d10 reads the live pair view since round 15 — its total is the
+    // published pair count minus tombstone-touching pairs.
+    val mod = graft.ops.Dedup.IncrementalMod
+    val trem = graft.ops.Dedup.TombstoneRem
     val pairTotal = graft.ops.Dedup
       .d10(spark, sf).agg(sum("n_pairs")).collect()(0).getLong(0)
-    assert(pairTotal === graft.ops.Dedup.d03(spark, sf).count())
+    assert(pairTotal === graft.ops.Dedup.d03(spark, sf)
+      .where(col("doc_a") % mod =!= trem && col("doc_b") % mod =!= trem)
+      .count())
   }
 
   test("t08: per-source top-5 with contiguous ranks") {
