@@ -89,6 +89,13 @@ object Dedup {
     * deletion model different rows of the same census. */
   val TombstoneRem = 3L
 
+  /** the census residue of the DAY-2 arrival batch (d18): the docs
+    * that arrive AFTER day-1's admitted batch has been appended into
+    * the published band artifact — distinct from [[IncrementalRem]]
+    * (day 1) and [[TombstoneRem]] (deletions) so the three lifecycle
+    * events model disjoint rows of the same census. */
+  val AppendRem = 9L
+
   /** tombstone fraction above which a serve path stops anti-joining
     * per query and REWRITES the published artifact without the deleted
     * rows (compaction). Shared by d17 (pair table), the band-signature
@@ -1964,15 +1971,14 @@ object Dedup {
     * deleted documents; oracle = the chain over the corpus minus both
     * the arrival and tombstone residues. */
   def d16(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val batchPred = col("doc_id") % IncrementalMod === IncrementalRem
     // arrival-sized: bands for the ~N/10 incoming docs, persisted for
     // the three consumers (candidate join, verify arrays, report base).
     // Deliberately NOT unpersisted here (same accepted contract as
     // a06Parts): the Verify/Bench harness clears per-query persisted
     // state between entries, the copies are arrival-sized, and
     // cross-call memoization would leak session state. The `pairs`
-    // persist below carries the same contract.
+    // persist inside the report core carries the same contract.
+    val batchPred = col("doc_id") % IncrementalMod === IncrementalRem
     val newBands = bandRowsFor(s, documents(s, d).where(batchPred))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus side = the LIVE band view (round 14): tombstoned docs are
@@ -1984,6 +1990,18 @@ object Dedup {
     // above it, the compacted artifact.
     val corpusBands = liveBandTable(s, d)
       .where(col("i") % IncrementalMod =!= IncrementalRem)
+    admissionReportOver(s, newBands, corpusBands)
+  }
+
+  /** the admission kernel d16/d18 share, over an arbitrary (arrival
+    * bands, corpus bands) split: directed banded candidate join with
+    * the τ-derived size-ratio prune, exact merge-intersect Jaccard
+    * verify, one report row per arrival doc. Factored (round 15) so
+    * next-day admission (d18 — corpus side = the APPENDED artifact)
+    * runs the IDENTICAL kernel as day-1 admission. */
+  private def admissionReportOver(s: SparkSession, newBands: DataFrame,
+                                  corpusBands: DataFrame): DataFrame = {
+    import s.implicits._
     val cand = newBands
       .select(col("i").as("ni"), col("band"), col("sig"), col("n").as("na"))
       .join(corpusBands.select(col("i").as("ci"), col("band").as("band_b"),
@@ -2029,59 +2047,102 @@ object Dedup {
       .orderBy("new_doc_id")
   }
 
-  val d16Sql: String =
-    s"""WITH newdocs AS (
-      |  SELECT doc_id, text FROM documents
-      |  WHERE doc_id % $IncrementalMod = $IncrementalRem),
-      |ntok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM newdocs),
-      |ctok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      |  FROM documents WHERE doc_id % $IncrementalMod <> $IncrementalRem
-      |    AND doc_id % $IncrementalMod <> $TombstoneRem),
-      |nsig AS (
+  /** the admission-chain oracle CTEs, parameterized by the two docs
+    * relations (`${np}docs` = arrivals, `${cp}docs` = corpus): MinHash
+    * signatures + banding for both sides, banded candidate join, exact
+    * token-intersect Jaccard, τ-filtered pairs — the SQL twin of
+    * [[admissionReportOver]], shared by d16 and both of d18's days so
+    * the admission semantics exist as ONE text. */
+  private def admissionChainSql(np: String, cp: String): String =
+    s"""${np}tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM ${np}docs),
+      |${cp}tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM ${cp}docs),
+      |${np}sig AS (
       |  SELECT doc_id, seed, MIN(md5(seed || ':' || w)) AS sig
-      |  FROM ntok, (SELECT unnest(generate_series(0, ${MinhashSeeds - 1})) AS seed)
+      |  FROM ${np}tok, (SELECT unnest(generate_series(0, ${MinhashSeeds - 1})) AS seed)
       |  GROUP BY 1, 2),
-      |nband AS (
+      |${np}band AS (
       |  SELECT doc_id, seed // $BandRows AS band,
       |    CAST(('0x' || substring(md5(string_agg(sig, '|' ORDER BY seed)), 1, 15)) AS BIGINT) AS key
-      |  FROM nsig GROUP BY 1, 2),
-      |csig AS (
+      |  FROM ${np}sig GROUP BY 1, 2),
+      |${cp}sig AS (
       |  SELECT doc_id, seed, MIN(md5(seed || ':' || w)) AS sig
-      |  FROM ctok, (SELECT unnest(generate_series(0, ${MinhashSeeds - 1})) AS seed)
+      |  FROM ${cp}tok, (SELECT unnest(generate_series(0, ${MinhashSeeds - 1})) AS seed)
       |  GROUP BY 1, 2),
-      |cband AS (
+      |${cp}band AS (
       |  SELECT doc_id, seed // $BandRows AS band,
       |    CAST(('0x' || substring(md5(string_agg(sig, '|' ORDER BY seed)), 1, 15)) AS BIGINT) AS key
-      |  FROM csig GROUP BY 1, 2),
-      |cand AS (
+      |  FROM ${cp}sig GROUP BY 1, 2),
+      |${np}cand AS (
       |  SELECT DISTINCT n.doc_id AS ni, c.doc_id AS ci
-      |  FROM nband n JOIN cband c ON n.band = c.band AND n.key = c.key),
-      |ncnt AS (SELECT doc_id, COUNT(*) AS c FROM ntok GROUP BY doc_id),
-      |ccnt AS (SELECT doc_id, COUNT(*) AS c FROM ctok GROUP BY doc_id),
-      |inter AS (
+      |  FROM ${np}band n JOIN ${cp}band c ON n.band = c.band AND n.key = c.key),
+      |${np}nc AS (SELECT doc_id, COUNT(*) AS c FROM ${np}tok GROUP BY doc_id),
+      |${np}cc AS (SELECT doc_id, COUNT(*) AS c FROM ${cp}tok GROUP BY doc_id),
+      |${np}inter AS (
       |  SELECT cand.ni, cand.ci, COUNT(*) AS x
-      |  FROM cand JOIN ntok a ON a.doc_id = cand.ni
-      |            JOIN ctok b ON b.doc_id = cand.ci AND b.w = a.w
+      |  FROM ${np}cand cand JOIN ${np}tok a ON a.doc_id = cand.ni
+      |            JOIN ${cp}tok b ON b.doc_id = cand.ci AND b.w = a.w
       |  GROUP BY 1, 2),
-      |pairs AS (
+      |${np}pairs AS (
       |  SELECT ni, ci, CAST(x AS DOUBLE) / CAST(na.c + cb.c - x AS DOUBLE) AS jac
-      |  FROM inter JOIN ncnt na ON na.doc_id = ni JOIN ccnt cb ON cb.doc_id = ci
-      |  WHERE CAST(x AS DOUBLE) / CAST(na.c + cb.c - x AS DOUBLE) >= $JaccardTau),
-      |best AS (
+      |  FROM ${np}inter JOIN ${np}nc na ON na.doc_id = ni JOIN ${np}cc cb ON cb.doc_id = ci
+      |  WHERE CAST(x AS DOUBLE) / CAST(na.c + cb.c - x AS DOUBLE) >= $JaccardTau)""".stripMargin
+
+  /** the admission-report oracle tail over `${np}pairs`/`${np}docs` —
+    * one row per arrival, d16's exact report shape. */
+  private def admissionReportSql(np: String): String =
+    s"""${np}best AS (
       |  SELECT ni, ci, jac,
       |    ROW_NUMBER() OVER (PARTITION BY ni ORDER BY jac DESC, ci) AS rn
-      |  FROM pairs),
-      |agg AS (SELECT ni, COUNT(*) AS nd FROM pairs GROUP BY ni)
+      |  FROM ${np}pairs),
+      |${np}agg AS (SELECT ni, COUNT(*) AS nd FROM ${np}pairs GROUP BY ni)
       |SELECT d.doc_id AS new_doc_id,
       |  CAST(COALESCE(agg.nd, 0) AS BIGINT) AS n_dups,
       |  CAST(COALESCE(b.ci, -1) AS BIGINT) AS best_match,
       |  COALESCE(b.jac, 0.0) AS best_jaccard,
       |  CAST(CASE WHEN agg.nd IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admit
-      |FROM newdocs d LEFT JOIN agg ON agg.ni = d.doc_id
-      |  LEFT JOIN best b ON b.ni = d.doc_id AND b.rn = 1
+      |FROM ${np}docs d LEFT JOIN ${np}agg agg ON agg.ni = d.doc_id
+      |  LEFT JOIN ${np}best b ON b.ni = d.doc_id AND b.rn = 1
       |ORDER BY new_doc_id""".stripMargin
+
+  val d16Sql: String =
+    s"""WITH ndocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % $IncrementalMod = $IncrementalRem),
+      |cdocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % $IncrementalMod <> $IncrementalRem
+      |    AND doc_id % $IncrementalMod <> $TombstoneRem),
+      |${admissionChainSql("n", "c")},
+      |${admissionReportSql("n")}""".stripMargin
+
+  /** Oracle: the two-day census timeline stated end to end — day-1
+    * admission against the standing corpus (day-2 docs not yet
+    * arrived, tombstones cut), the admitted docs folded into the
+    * corpus, then day-2 admission against corpus+admitted. The same
+    * admission chain text three relations apart — an appended artifact
+    * that drifted from rebuild-on-(corpus+admitted) hash-mismatches. */
+  val d18Sql: String =
+    s"""WITH xdocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % $IncrementalMod = $IncrementalRem),
+      |ydocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % $IncrementalMod NOT IN
+      |    ($IncrementalRem, $AppendRem, $TombstoneRem)),
+      |${admissionChainSql("x", "y")},
+      |admitted AS (
+      |  SELECT doc_id, text FROM xdocs
+      |  WHERE doc_id NOT IN (SELECT ni FROM xpairs)),
+      |ndocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % $IncrementalMod = $AppendRem),
+      |zdocs AS (
+      |  SELECT doc_id, text FROM ydocs
+      |  UNION ALL SELECT doc_id, text FROM admitted),
+      |${admissionChainSql("n", "z")},
+      |${admissionReportSql("n")}""".stripMargin
 
   // ---- d17: DELETION against the published band table (tombstones) ----
 
@@ -2230,6 +2291,78 @@ object Dedup {
       .join(d17Tombstones(s, d).select(col("doc_id").as("i")), Seq("i"), "left_anti")
       .select(col("i"), col("band"), col("sig"), col("n"), col("toks"))
 
+  // ---- d18: dedup-side artifact APPEND (round 15, the a15 analog) ----
+
+  /** census predicate of the DAY-2 arrival batch. */
+  private[graft] def d18ArrivalPred: Column =
+    col("doc_id") % IncrementalMod === AppendRem
+
+  /** the standing-corpus band view of the d18 world: the live artifact
+    * minus BOTH arrival residues (day-1 docs are graded by admission,
+    * day-2 docs have not arrived yet). */
+  private[graft] def d18StandingBands(s: SparkSession, d: String): DataFrame =
+    liveBandTable(s, d)
+      .where(col("i") % IncrementalMod =!= IncrementalRem &&
+        col("i") % IncrementalMod =!= AppendRem)
+
+  /** day-1 admission inside the d18 timeline: d16's kernel with the
+    * day-2 residue excluded from the corpus side (those docs do not
+    * exist yet when day-1 is graded). Returns the admitted doc ids. */
+  private[graft] def d18Day1AdmittedIds(s: SparkSession, d: String): DataFrame = {
+    val day1 = bandRowsFor(s,
+      documents(s, d).where(col("doc_id") % IncrementalMod === IncrementalRem))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    admissionReportOver(s, day1, d18StandingBands(s, d))
+      .where(col("admit") === 1L)
+      .select(col("new_doc_id").as("doc_id"))
+  }
+
+  /** fingerprint of the APPENDED band artifact: corpus identity ×
+    * banding × the census slices folded in (day-1 admitted, tombstones
+    * cut) — a new generation of the signature table, the old one left
+    * addressable under its own fingerprint. */
+  private[graft] def appendedBandFingerprint(s: SparkSession, d: String): String =
+    graft.core.Materialize.fingerprint(d, "documents",
+      s"minhash-s$MinhashSeeds-r$BandRows-append-m$IncrementalMod" +
+        s"-a$IncrementalRem-adm-x$AppendRem-minusdel-t$TombstoneRem",
+      dedupCodeSalt)
+
+  /** The APPENDED band-signature artifact — the a15 contract on the
+    * dedup side: after day-1 admission, the admitted arrivals' band
+    * rows are MERGED into the published artifact under a new
+    * fingerprint, so next-day admission serves corpus+day-1 without
+    * re-signing either (the round-14 verdict's gap 2: without append,
+    * daily ingest re-pays the arrival signing forever and the corpus
+    * artifact goes stale on day one). Band signatures depend only on
+    * the doc (the same invariance a15's frozen-codebook encode
+    * exploits), so append == full rebuild over corpus+admitted holds
+    * row-for-row — Round15OpsSpec pins it. The build reads the
+    * published live view + signs ONLY the admitted docs (arrival-
+    * sized); the standing corpus' raw text is never touched. */
+  private[graft] def appendedBandTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "minhash", appendedBandFingerprint(s, d)) {
+      val admittedDocs = documents(s, d)
+        .where(col("doc_id") % IncrementalMod === IncrementalRem)
+        .join(d18Day1AdmittedIds(s, d), Seq("doc_id"), "left_semi")
+      d18StandingBands(s, d).unionByName(bandRowsFor(s, admittedDocs))
+    }
+
+  /** d18: NEXT-DAY admission over the appended artifact — the proof
+    * the append is consumable: a second arrival batch (the
+    * [[AppendRem]] census residue) is graded against corpus + day-1
+    * admitted docs, served entirely from [[appendedBandTable]] (warm:
+    * one published-table scan; no standing-corpus or day-1 re-signing
+    * anywhere in the plan). Day-1 rejected docs are NOT in the
+    * artifact — a rejected duplicate must not become the evidence that
+    * rejects its own future copies; its standing near-dup already is.
+    * Output/oracle contract: exactly d16's report shape, stated over
+    * the two-day census timeline. */
+  def d18(s: SparkSession, d: String): DataFrame = {
+    val day2 = bandRowsFor(s, documents(s, d).where(d18ArrivalPred))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    admissionReportOver(s, day2, appendedBandTable(s, d))
+  }
+
   /** d17's anti-join serve over an ARBITRARY delete set — exposed for
     * the property spec: the "deletion == never ingested" contract is
     * an algebraic claim about pair locality, so it must hold for ANY
@@ -2245,6 +2378,7 @@ object Dedup {
   val d17Sql: String = d02SqlOver(s"doc_id % $IncrementalMod <> $TombstoneRem")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_incremental_append" -> d18 _,
     "d17_tombstone_neardup" -> d17 _,
     "d16_incremental_neardup" -> d16 _,
     "d15_span_excision" -> d15 _,
@@ -2264,6 +2398,7 @@ object Dedup {
     "d13_canonical_keep" -> d13 _)
 
   val oracle: Map[String, String] = Map(
+    "d18_incremental_append" -> d18Sql,
     "d17_tombstone_neardup" -> d17Sql,
     "d16_incremental_neardup" -> d16Sql,
     "d15_span_excision" -> d15Sql,

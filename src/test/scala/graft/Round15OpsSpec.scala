@@ -166,6 +166,90 @@ class Round15OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("band append semantics: day-2 vs admitted/rejected/tombstoned day-1 (planted)") {
+    // standing {1,2}, tombstoned {3}, day-1 {17 unique -> admitted,
+    // 27 dup-of-2 -> rejected}, day-2 {19 dup-of-17, 29 dup-of-3,
+    // 39 jac-0.5-of-27 / jac-0.25-of-2}. Band collisions verified
+    // offline against the md5 chain (27/39 and 2/39 share band 1; the
+    // 2/39 candidate dies at the exact verify).
+    val dir = writeDocs(Seq(
+      1L -> "alpha solo text one",
+      2L -> "apple bran cedar dune",
+      3L -> "tomb gone removed text",
+      17L -> "delta epsilon zeta eta",
+      27L -> "apple bran cedar dune echo fern",
+      19L -> "delta epsilon zeta eta",
+      29L -> "tomb gone removed text",
+      39L -> "cedar dune echo fern grove hazel"), "append")
+    // signal-guard: day-1 admission inside the d18 timeline is as planted
+    val admitted = graft.ops.Dedup.d18Day1AdmittedIds(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(17L),
+      s"planted day-1 admission drifted — test lost its signal: $admitted")
+    val rows = graft.ops.Dedup.d18(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSeq.sortBy(_._1)
+    // 19 rejected AGAINST THE APPENDED day-1 doc (the append is live);
+    // 29 admitted though it duplicates a tombstoned doc (takedowns do
+    // not block re-ingestion); 39 admitted because day-1 REJECTED docs
+    // are not folded into the artifact (their standing near-dup is the
+    // evidence, and 39 is not a near-dup of it).
+    assert(rows == Seq((19L, 17L, 0L), (29L, -1L, 1L), (39L, -1L, 1L)),
+      s"day-2 admission over the appended artifact wrong: $rows")
+  }
+
+  test("band append == band table rebuilt on corpus+admitted, row for row (sf0.001)") {
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val mod = graft.ops.Dedup.IncrementalMod
+    val appended = graft.ops.Dedup.appendedBandTable(spark, sf)
+      .select(col("i"), col("band"), col("sig"), col("n"),
+        concat_ws(",", col("toks")).as("t"))
+      .collect().map(_.toSeq).toSet
+    // the corpus a never-incremental pipeline would have signed: live
+    // standing docs + day-1 admitted docs, as a plain documents table
+    val admitted = graft.ops.Dedup.d18Day1AdmittedIds(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % mod =!= graft.ops.Dedup.IncrementalRem &&
+        col("doc_id") % mod =!= graft.ops.Dedup.AppendRem &&
+        col("doc_id") % mod =!= graft.ops.Dedup.TombstoneRem)
+      .unionByName(spark.read.parquet(s"$sf/documents.parquet")
+        .join(admitted, Seq("doc_id"), "left_semi"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-r15-rebuild").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rebuilt = graft.ops.Dedup.bandTable(spark, dir)
+      .select(col("i"), col("band"), col("sig"), col("n"),
+        concat_ws(",", col("toks")).as("t"))
+      .collect().map(_.toSeq).toSet
+    assert(appended.nonEmpty && appended == rebuilt,
+      s"appended band artifact != rebuild-on-(corpus+admitted): " +
+        s"${appended.size} vs ${rebuilt.size} rows")
+  }
+
+  test("warm d18: served from the published appended artifact — no republish, one arrival signing pass") {
+    val sf = "/root/testdata/sf0.001"
+    graft.ops.Dedup.d18(spark, sf).count() // publishes if cold
+    val pub0 = graft.core.Materialize.publishCount
+    val warm = graft.ops.Dedup.d18(spark, sf)
+    warm.count()
+    assert(graft.core.Materialize.publishCount == pub0,
+      "warm d18 must not republish the appended artifact")
+    val plan = warm.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mat/minhash"),
+      "warm d18 must scan the published appended artifact")
+    // the only raw-text pass is the day-2 arrival signing: the day-1
+    // batch predicate appearing anywhere means day-1 admission re-ran
+    // inside the serve, and a LeftAnti means the corpus side regressed
+    // from the appended artifact to the live-view anti-join.
+    val mod = graft.ops.Dedup.IncrementalMod
+    assert(!plan.contains(s"% $mod) = ${graft.ops.Dedup.IncrementalRem}"),
+      s"warm d18 re-signed the day-1 batch:\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"warm d18 must read the appended artifact, not the live-view anti-join:\n$plan")
+    assert(plan.contains(s"% $mod) = ${graft.ops.Dedup.AppendRem}"),
+      "warm d18 lost the day-2 arrival pushdown — test lost its signal")
+  }
+
   test("live label artifact is published once; warm reports read it without re-clustering") {
     val sf = "/root/testdata/sf0.001"
     graft.ops.Dedup.d07(spark, sf).count() // fresh publish of both label artifacts
