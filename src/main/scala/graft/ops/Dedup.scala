@@ -96,6 +96,22 @@ object Dedup {
     * events model disjoint rows of the same census. */
   val AppendRem = 9L
 
+  /** rows-per-band of the STALE banding generation d19's refresh
+    * retires: 16 seeds / 4 rows = 4 bands — the under-banded tuning
+    * whose measured live recall (0.68–0.75 across the gate SFs)
+    * sits below the declared floor, vs 0.975+ for the default 8×2.
+    * (The d14 scaladoc's 'previous shape that drove the retune' —
+    * now modeled as an addressable artifact generation.) */
+  val StaleBandRows = 4
+
+  /** declared recall floor of the banding refresh (d19): when the
+    * SERVING generation's measured live recall (the d14 instrument)
+    * drops below this, the operator retunes to the default banding,
+    * rebuilds + republishes the signature artifact, and cuts over.
+    * 0.9 separates the stale 4×4 (≤0.75 measured) from the default
+    * 8×2 (≥0.975 measured) at every gate SF. */
+  val RetuneRecallThreshold = 0.9
+
   /** tombstone fraction above which a serve path stops anti-joining
     * per query and REWRITES the published artifact without the deleted
     * rows (compaction). Shared by d17 (pair table), the band-signature
@@ -164,8 +180,16 @@ object Dedup {
     * buckets arriving documents with EXACTLY the batch operator's keys.
     * `md` is the caller's thread-local digest instance. */
   private[graft] def docBandKeys(md: java.security.MessageDigest,
-                                 toks: Array[String]): Array[Long] = {
-    val numBands = MinhashSeeds / BandRows
+                                 toks: Array[String]): Array[Long] =
+    docBandKeysB(md, toks, BandRows)
+
+  /** the band-key kernel under an ARBITRARY rows-per-band — the knob
+    * d19's refresh retunes (the seed signatures are banding-independent;
+    * only the grouping changes). */
+  private[graft] def docBandKeysB(md: java.security.MessageDigest,
+                                  toks: Array[String],
+                                  bandRows: Int): Array[Long] = {
+    val numBands = MinhashSeeds / bandRows
     val sigs = Array.tabulate(MinhashSeeds) { seed =>
       // min over hex strings == unsigned-lexicographic min over digest
       // bytes (hex is monotone per byte): compare raw bytes, hexify
@@ -178,7 +202,7 @@ object Dedup {
       hexMd5(best)
     }
     Array.tabulate(numBands) { b =>
-      val h = hexMd5(md.digest(sigs.slice(b * BandRows, (b + 1) * BandRows)
+      val h = hexMd5(md.digest(sigs.slice(b * bandRows, (b + 1) * bandRows)
         .mkString("|").getBytes("UTF-8")))
       java.lang.Long.parseLong(h.substring(0, 15), 16)
     }
@@ -214,9 +238,10 @@ object Dedup {
     * kernel over an incoming batch that is NOT yet in the published
     * table (the incremental-ingest shape: corpus side served, batch
     * side computed fresh at arrival size). */
-  private def bandRowsFor(s: SparkSession, docs: DataFrame): DataFrame = {
+  private def bandRowsFor(s: SparkSession, docs: DataFrame,
+                          bandRows: Int = BandRows): DataFrame = {
     import s.implicits._
-    val numBands = MinhashSeeds / BandRows
+    val numBands = MinhashSeeds / bandRows
     val par = s.sparkContext.defaultParallelism
     docs.select(col("doc_id"), col("text"))
       .repartition(par, col("doc_id"))
@@ -236,7 +261,7 @@ object Dedup {
             v
           }
           java.util.Arrays.sort(ids)
-          val bandKeys = docBandKeys(md, toks)
+          val bandKeys = docBandKeysB(md, toks, bandRows)
           Iterator.tabulate(numBands) { b =>
             (id, b, bandKeys(b), ids.length,
               // carry the id array once per doc (band 0 only) so the
@@ -1838,7 +1863,16 @@ object Dedup {
     * 1−(1−0.5²)⁸ ≈ 0.90 (this instrument measured the previous
     * 4×3 shape at 0.80 on this corpus and drove the retune) — a
     * diagnostic with real signal, not a tautology. */
-  def d14(s: SparkSession, d: String): DataFrame = {
+  def d14(s: SparkSession, d: String): DataFrame =
+    d14Over(s, d, liveBandTable(s, d))
+
+  /** the recall instrument over an ARBITRARY band view — factored
+    * (round 15) so d19's refresh can grade the STALE banding
+    * generation with the IDENTICAL eval that grades the serving one
+    * (`bandView` carries (i, band, sig) under any banding; truth is
+    * banding-independent). */
+  private[graft] def d14Over(s: SparkSession, d: String,
+                             bandView: DataFrame): DataFrame = {
     // the eval grades the LIVE corpus (round 14): deleted docs are cut
     // from the census, the sample, AND the band keys — a recall number
     // computed over signatures of documents that no longer exist would
@@ -1879,7 +1913,7 @@ object Dedup {
     // kernel-call-identical; round-14: tombstoned docs' bands are cut
     // by [[liveBandTable]]). Persisted: both sides of the (band, key)
     // self-join would re-scan the parquet otherwise.
-    val bands = liveBandTable(s, d).where(col("i") % step === 0)
+    val bands = bandView.where(col("i") % step === 0)
       .select(col("i").as("doc_id"), col("band"), col("sig").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
@@ -1934,6 +1968,18 @@ object Dedup {
       |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
       |       ELSE CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
       |            / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END AS recall""".stripMargin
+
+  /** Oracle: the retune always fires on the census corpus (stale 4×4
+    * recall ≤ 0.75 < 0.9 at every gate SF, measured), so the answer is
+    * the DEFAULT banding's recall report — d14's chain verbatim — with
+    * the served generation and banding parameters pinned; a gen-1
+    * (stale-banding) answer breaks the hash loudly, a17's exact
+    * oracle doctrine. */
+  val d19Sql: String =
+    s"""SELECT q.*, CAST(2 AS BIGINT) AS gen,
+      |  CAST(${MinhashSeeds / BandRows} AS BIGINT) AS bands,
+      |  CAST($BandRows AS BIGINT) AS band_rows
+      |FROM ($d14Sql) q""".stripMargin
 
   // ---- d16: incremental batch-vs-corpus near-dup admission ----
 
@@ -2363,6 +2409,70 @@ object Dedup {
     admissionReportOver(s, day2, appendedBandTable(s, d))
   }
 
+  // ---- d19: banding REFRESH (round 15, the a17 analog) ----
+
+  /** fingerprint of the STALE banding generation (4 bands × 4 rows
+    * from the same 16 seeds) — the pre-retune serving artifact, kept
+    * addressable for rollback after the cutover, exactly like a17's
+    * stale index generation. */
+  private[graft] def staleBandFingerprint(s: SparkSession, d: String): String =
+    graft.core.Materialize.fingerprint(d, "documents",
+      s"minhash-s$MinhashSeeds-r$StaleBandRows-stalegen", dedupCodeSalt)
+
+  private[graft] def staleBandTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.readOrCompute(s, "minhash", staleBandFingerprint(s, d))(
+      bandRowsFor(s, documents(s, d), StaleBandRows))
+
+  /** the stale generation's live view: tombstones cut by id-only
+    * anti-join (no compaction flavor — the stale artifact is
+    * pre-cutover history; the rewrite economics belong to the SERVING
+    * generation). */
+  private[graft] def staleLiveBands(s: SparkSession, d: String): DataFrame =
+    staleBandTable(s, d)
+      .join(d17Tombstones(s, d).select(col("doc_id").as("i")), Seq("i"), "left_anti")
+
+  /** d19: RECALL-TRIGGERED banding refresh — retune → rebuild →
+    * republish → cutover, the a17 lifecycle on the dedup side (the
+    * round-14 verdict's gap 3: d14 measured recall but nothing acted
+    * on it). The serving artifact is the STALE 4×4 banding generation
+    * ([[staleBandTable]] — the under-banded tuning d14's scaladoc
+    * credits with driving the original retune, now modeled as an
+    * addressable generation); the d14 instrument grades it on the
+    * live corpus, and when measured recall falls below the declared
+    * [[RetuneRecallThreshold]] the operator retunes to the default
+    * 8×2 banding, rebuilds the signature artifact and republishes it
+    * under THE default fingerprint ([[minhashFingerprint]] via
+    * [[bandTable]]) — deliberately not a third flavor, so the cutover
+    * is every band consumer (d02/d14/d16/s06) flipping to the fresh
+    * artifact, a17's exact cutover semantics. The stale generation
+    * stays addressable under [[staleBandFingerprint]] for rollback.
+    * Output: the served generation's recall report + (gen, bands,
+    * band_rows) — the cutover decision sits inside the gate hash (on
+    * the census corpus stale recall is 0.68–0.75 < 0.9, the retune
+    * always fires, and the oracle pins gen 2 with the DEFAULT
+    * banding's report; a gen-1 answer breaks the hash loudly).
+    *
+    * Scale shape at 100 TB: the trigger is the sample-bounded d14
+    * instrument (≤512 docs regardless of corpus size) + one driver
+    * scalar (the AQE-class plan choice); the retune itself is the one
+    * deliberate full-corpus signature pass — the cost the monitor
+    * exists to justify — published once and amortized over every
+    * consumer after cutover. */
+  def d19(s: SparkSession, d: String): DataFrame = {
+    val staleRecall = d14Over(s, d, staleLiveBands(s, d))
+      .select(col("recall")).head().getDouble(0)
+    if (staleRecall < RetuneRecallThreshold)
+      d14Over(s, d, liveBandTable(s, d)) // bandTable publishes if absent = the rebuild
+        .withColumn("gen", lit(2L))
+        .withColumn("bands", lit((MinhashSeeds / BandRows).toLong))
+        .withColumn("band_rows", lit(BandRows.toLong))
+    else
+      d14Over(s, d, staleLiveBands(s, d))
+        .withColumn("gen", lit(1L))
+        .withColumn("bands", lit((MinhashSeeds / StaleBandRows).toLong))
+        .withColumn("band_rows", lit(StaleBandRows.toLong))
+  }
+
   /** d17's anti-join serve over an ARBITRARY delete set — exposed for
     * the property spec: the "deletion == never ingested" contract is
     * an algebraic claim about pair locality, so it must hold for ANY
@@ -2378,6 +2488,7 @@ object Dedup {
   val d17Sql: String = d02SqlOver(s"doc_id % $IncrementalMod <> $TombstoneRem")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_band_retune_cutover" -> d19 _,
     "d18_incremental_append" -> d18 _,
     "d17_tombstone_neardup" -> d17 _,
     "d16_incremental_neardup" -> d16 _,
@@ -2398,6 +2509,7 @@ object Dedup {
     "d13_canonical_keep" -> d13 _)
 
   val oracle: Map[String, String] = Map(
+    "d19_band_retune_cutover" -> d19Sql,
     "d18_incremental_append" -> d18Sql,
     "d17_tombstone_neardup" -> d17Sql,
     "d16_incremental_neardup" -> d16Sql,

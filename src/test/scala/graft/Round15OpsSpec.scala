@@ -250,6 +250,58 @@ class Round15OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "warm d18 lost the day-2 arrival pushdown — test lost its signal")
   }
 
+  test("d19 trigger has signal: stale 4x4 recall < floor < retuned 8x2 recall (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    def recallOf(view: org.apache.spark.sql.DataFrame): Double =
+      graft.ops.Dedup.d14Over(spark, sf, view)
+        .select(col("recall")).head().getDouble(0)
+    val stale = recallOf(graft.ops.Dedup.staleLiveBands(spark, sf))
+    val retuned = recallOf(graft.ops.Dedup.liveBandTable(spark, sf))
+    val floor = graft.ops.Dedup.RetuneRecallThreshold
+    assert(stale < floor && floor < retuned,
+      s"retune trigger lost its signal: stale=$stale floor=$floor retuned=$retuned")
+  }
+
+  test("d19 cutover: retune fires on the census corpus; serve == d14's default-banding report, gen 2") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Dedup.d19(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(4) == 2L && r.getLong(5) == 8L && r.getLong(6) == 2L,
+      s"census corpus must cut over to the default 8x2 banding: ${r.toSeq}")
+    val d14 = graft.ops.Dedup.d14(spark, sf).collect().head.toSeq
+    assert(r.toSeq.take(4) == d14,
+      "the cutover serve must be the DEFAULT artifact's recall report " +
+        s"(every consumer flips at the same fingerprint): ${r.toSeq} vs $d14")
+    // rollback stays addressable: distinct fingerprints per generation
+    assert(graft.ops.Dedup.staleBandFingerprint(spark, sf) !=
+      graft.ops.Dedup.minhashFingerprint(spark, sf))
+    // warm: both generations published; repeat serves nothing new
+    val pub0 = graft.core.Materialize.publishCount
+    graft.ops.Dedup.d19(spark, sf).count()
+    assert(graft.core.Materialize.publishCount == pub0,
+      "warm d19 must serve both generations from published artifacts")
+  }
+
+  test("d19 below the floor: a corpus whose near-dups are exact keeps the stale generation (gen 1)") {
+    // exact duplicates collide under ANY banding (identical signature
+    // vectors), so the stale 4x4 generation's measured recall is 1.0
+    // and the retrain must NOT fire — a17's gen-1 doctrine: refresh
+    // only when the monitor says the tuning is failing.
+    val dir = writeDocs(Seq(
+      1L -> "same text exactly here",
+      2L -> "same text exactly here",
+      4L -> "other words entirely different",
+      5L -> "yet another unrelated document",
+      6L -> "more filler prose unlike others"), "d19below")
+    val rows = graft.ops.Dedup.d19(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getDouble(3) == 1.0 && r.getLong(4) == 1L &&
+      r.getLong(5) == 4L && r.getLong(6) == 4L,
+      s"no-regression corpus must keep serving the stale generation: ${r.toSeq}")
+  }
+
   test("live label artifact is published once; warm reports read it without re-clustering") {
     val sf = "/root/testdata/sf0.001"
     graft.ops.Dedup.d07(spark, sf).count() // fresh publish of both label artifacts
