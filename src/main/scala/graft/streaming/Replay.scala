@@ -768,7 +768,59 @@ object Replay {
       .orderBy("probe_id", "rank")
   }
 
+  /** s12: STREAMING TOMBSTONE FEED — deletion arrives as an EVENT, not
+    * a static census residue (the round-14 verdict's gap 4): takedown
+    * ids are replayed through the real engine (the documents file as a
+    * stream, cut to the tombstone residue and projected to doc_id AT
+    * THE SOURCE — a takedown event carries no content) and drained
+    * into the per-run delete relation; the post-drain serve is d17's
+    * pair serve anti-joined against the DRAINED relation — the served
+    * near-dup state provably flips as tombstones flow through the
+    * engine (the mid-stream two-stage drain is spec-pinned via
+    * [[s12DrainInto]]; this entry pins the drained endpoint). Oracle =
+    * d17Sql: after the feed drains, the streaming tier's answer must
+    * be bit-for-bit the batch deletion serve — any drift between
+    * event-driven and census-driven deletion is the cross-tier
+    * corruption class s11/a16 pin for the ANN index.
+    *
+    * Scale shape: the feed is id-only (source-pruned scan, no text);
+    * the serve is the id-only anti-join over the published pair
+    * artifact (O(|pairs|), kernel never re-runs — d17's plan); state
+    * is the sink parquet itself, so a takedown wave of any size drains
+    * in bounded micro-batches. */
+  def s12(s: SparkSession, d: String): DataFrame = {
+    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val feed = s.readStream.schema(docSchema)
+      .parquet(s"$d/[d]ocuments.parquet") // one-file glob, as with events
+      .where(graft.ops.Dedup.d17TombstonePred)
+      .select(col("doc_id"))
+    val drained = sinkRun(s, feed, runBase("s12"))
+    graft.ops.Dedup.d17Over(s, d, drained)
+  }
+
+  /** one AvailableNow drain pass of a tombstone feed directory into a
+    * fixed sink/checkpoint — exposed for the Round15 spec's two-stage
+    * mid-stream probe (drain half the feed, observe the half-deleted
+    * serve, drain the rest, observe the batch answer). Subsequent
+    * calls continue the SAME checkpoint, so each pass drains exactly
+    * the files that arrived since the previous one. */
+  private[graft] def s12DrainInto(s: SparkSession, feedDir: String,
+                                  base: String): DataFrame = {
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val feed = s.readStream.schema(schema).parquet(feedDir)
+    withReplayPartitions(s) {
+      val q = feed.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$base/out")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_stream_tombstone_feed" -> s12 _,
     "s11_stream_index_serve" -> s11 _,
     "s10_stream_outer_join" -> s10 _,
     "s09_stream_sliding" -> s09 _,
@@ -786,6 +838,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s12_stream_tombstone_feed" -> graft.ops.Dedup.d17Sql, // post-drain == batch deletion serve
     "s11_stream_index_serve" -> graft.ops.Ann.a16Sql, // stream == a16's deletion-aware batch serve
     "s10_stream_outer_join" -> s10Sql,
     "s09_stream_sliding" -> s09Sql,

@@ -302,6 +302,38 @@ class Round15OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no-regression corpus must keep serving the stale generation: ${r.toSeq}")
   }
 
+  test("s12 two-stage drain: the served pair state flips as tombstones flow through the engine") {
+    val s = spark
+    import s.implicits._
+    val dir = writeDocs(plantedDocs ++ fillerDocs, "s12feed")
+    def pairsOf(tomb: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      graft.ops.Dedup.d17Over(spark, dir, tomb).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pre-drain probe: nothing deleted yet — the full published pairs
+    val none = spark.range(0).select(col("id").as("doc_id"))
+    assert(pairsOf(none) == Set((1L, 3L), (3L, 7L), (13L, 24L)),
+      "pre-drain serve must be the full pair set — plant drifted")
+    val feedDir = java.nio.file.Files.createTempDirectory("graft-s12-feed").toString
+    val base = java.nio.file.Files.createTempDirectory("graft-s12-run").toString
+    // takedown event 1 arrives: doc 3 (the bridge)
+    Seq(3L).toDF("doc_id").write.mode("append").parquet(feedDir)
+    val drained1 = graft.streaming.Replay.s12DrainInto(spark, feedDir, base)
+    assert(drained1.collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(pairsOf(drained1) == Set((13L, 24L)),
+      "mid-stream serve must reflect exactly the drained takedowns")
+    // takedown event 2 arrives: doc 13 — same checkpoint, drains only
+    // the new file; the cumulative sink is the full census delete set
+    Seq(13L).toDF("doc_id").write.mode("append").parquet(feedDir)
+    val drained2 = graft.streaming.Replay.s12DrainInto(spark, feedDir, base)
+    assert(drained2.collect().map(_.getLong(0)).toSet == Set(3L, 13L))
+    val served = pairsOf(drained2)
+    assert(served.isEmpty, s"post-drain serve must drop all tombstone pairs: $served")
+    // ...and equals the census batch serve bit-for-bit (the gate contract)
+    val batch = graft.ops.Dedup.d17(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == batch, "post-drain streaming serve != batch deletion serve")
+  }
+
   test("live label artifact is published once; warm reports read it without re-clustering") {
     val sf = "/root/testdata/sf0.001"
     graft.ops.Dedup.d07(spark, sf).count() // fresh publish of both label artifacts
