@@ -33,7 +33,15 @@ def main():
         sys.exit(f"runs span scale factors {sfs} — medians would blend corpora")
     med = {n: round(statistics.median(r["queries"][n] for r in runs), 3)
            for n in names}
+    # validate controls BEFORE writing any output: a run file missing
+    # its control would otherwise fail at the summary print with
+    # BENCH_FREEZE.json already on disk (round-14 review)
     controls = [r.get("control") for r in runs]
+    bad = [p for p, c in zip(sys.argv[1:], controls)
+           if not isinstance(c, (int, float))]
+    if bad:
+        sys.exit(f"run files missing a numeric 'control': {bad} — "
+                 "refusing to freeze without the ambient yardstick")
     with open("BENCH_FREEZE.json", "w") as f:
         # `_sf` stamps the corpus the medians were measured at; Bench
         # refuses to compute diag verdicts (or clobber the round's repo
