@@ -334,6 +334,92 @@ class Round15OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == batch, "post-drain streaming serve != batch deletion serve")
   }
 
+  test("label repair property: liveLabelsOver == union-find on the reduced graph, for random corpora and ARBITRARY delete sets") {
+    val s = spark
+    import s.implicits._
+    // the repair's exactness claim is algebraic (components of the
+    // reduced graph = untouched components + re-labelled touched
+    // subgraphs), so it must hold for ANY delete set — not just the
+    // census residue the gate entry uses. Random short-doc corpora
+    // over a small word pool produce dense simhash pair graphs with
+    // real bridges and min-id deletions; the reference is an
+    // independent driver union-find over the reduced pair graph.
+    val rnd = new scala.util.Random(271)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 1 to 4) {
+      val nDocs = 16 + rnd.nextInt(16)
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong * 7 + 1,
+          Array.fill(2 + rnd.nextInt(5))(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-lab-prop$trial").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val ids = docs.map(_._1)
+      val del = ids.filter(_ => rnd.nextDouble() < 0.3).toSet
+      val tomb = del.toSeq.toDF("doc_id")
+      val live = graft.ops.Dedup.liveLabelsOver(spark, dir, tomb,
+          graft.ops.Dedup.liveD03PairsOver(spark, dir, tomb))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // independent reference: union-find over the reduced pair graph
+      val pairs = graft.ops.Dedup.d03(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => !del.contains(a) && !del.contains(b) }
+      val keep = ids.filterNot(del.contains)
+      val parent = scala.collection.mutable.Map(keep.map(d => d -> d): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = keep.groupBy(find).flatMap { case (_, ms) =>
+        val lbl = ms.min; ms.map(_ -> lbl)
+      }.toMap
+      assert(live == want,
+        s"trial $trial (delete $del): repair diverged from reduced-graph union-find\n" +
+          s"got  $live\nwant $want")
+    }
+  }
+
+  test("append == rebuild property over random corpora (admission-dependent composition)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(911)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 1 to 2) {
+      val nDocs = 20 + rnd.nextInt(12)
+      // ids spread across all census residues so standing/day1/day2/
+      // tombstone slices are all populated
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong,
+          Array.fill(2 + rnd.nextInt(4))(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-app-prop$trial").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val mod = graft.ops.Dedup.IncrementalMod
+      val admitted = graft.ops.Dedup.d18Day1AdmittedIds(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      val appended = graft.ops.Dedup.appendedBandTable(spark, dir)
+        .select(col("i"), col("band"), col("sig"), col("n"))
+        .collect().map(_.toSeq).toSet
+      val keepIds = docs.map(_._1).filter(id =>
+        (id % mod != graft.ops.Dedup.IncrementalRem ||
+          admitted.contains(id)) &&
+          id % mod != graft.ops.Dedup.AppendRem &&
+          id % mod != graft.ops.Dedup.TombstoneRem).toSet
+      val rdir = java.nio.file.Files.createTempDirectory(s"graft-app-propr$trial").toString
+      docs.filter(d => keepIds.contains(d._1)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$rdir/documents.parquet")
+      val rebuilt = graft.ops.Dedup.bandTable(spark, rdir)
+        .select(col("i"), col("band"), col("sig"), col("n"))
+        .collect().map(_.toSeq).toSet
+      assert(appended.nonEmpty && appended == rebuilt,
+        s"trial $trial: appended artifact != rebuild on corpus+admitted " +
+          s"(${appended.size} vs ${rebuilt.size} rows; admitted=$admitted)")
+    }
+  }
+
   test("live label artifact is published once; warm reports read it without re-clustering") {
     val sf = "/root/testdata/sf0.001"
     graft.ops.Dedup.d07(spark, sf).count() // fresh publish of both label artifacts
