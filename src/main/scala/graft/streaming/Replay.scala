@@ -798,6 +798,28 @@ object Replay {
     graft.ops.Dedup.d17Over(s, d, drained)
   }
 
+  /** s13: STREAMING TOMBSTONE FEED, index edition — s12's contract on
+    * the ANN serving tier: vector takedowns arrive as an id-only event
+    * stream (the embeddings file cut to the tombstone residue at the
+    * source — codebook rows excluded by the same premise as a16) and
+    * drain into the per-run delete relation; the serve is a16's
+    * anti-join over the published 4-int index against the DRAINED set
+    * ([[graft.ops.Ann.a16Over]] — the identical serveAdcTop3
+    * consumption block), so the served top-3 provably flips from
+    * a13's answer (pre-drain, nothing deleted) to a16's (post-drain)
+    * as events flow. Oracle = a16Sql. With s12 this closes the
+    * deletion matrix: {pair artifact, ANN index} × {census batch,
+    * event feed} all serve the same liveness. */
+  def s13(s: SparkSession, d: String): DataFrame = {
+    val embSchema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val feed = s.readStream.schema(embSchema)
+      .parquet(s"$d/[e]mbeddings.parquet") // one-file glob, as with events
+      .where(graft.ops.Ann.a16TombstonePred)
+      .select(col("vec_id"))
+    val drained = sinkRun(s, feed, runBase("s13"))
+    graft.ops.Ann.a16Over(s, d, drained)
+  }
+
   /** one AvailableNow drain pass of a tombstone feed directory into a
     * fixed sink/checkpoint — exposed for the Round15 spec's two-stage
     * mid-stream probe (drain half the feed, observe the half-deleted
@@ -820,6 +842,7 @@ object Replay {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_stream_index_tombstones" -> s13 _,
     "s12_stream_tombstone_feed" -> s12 _,
     "s11_stream_index_serve" -> s11 _,
     "s10_stream_outer_join" -> s10 _,
@@ -838,6 +861,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s13_stream_index_tombstones" -> graft.ops.Ann.a16Sql, // post-drain == a16's batch serve
     "s12_stream_tombstone_feed" -> graft.ops.Dedup.d17Sql, // post-drain == batch deletion serve
     "s11_stream_index_serve" -> graft.ops.Ann.a16Sql, // stream == a16's deletion-aware batch serve
     "s10_stream_outer_join" -> s10Sql,

@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a14_ann_filtered" -> "a13's probe-side constant-size broadcast crosses (the label filter itself is a hash equi-join on the slim metadata projection)",
     "a15_ivfpq_index_append" -> "a13's probe-side constant-size broadcast crosses (the shard encode reads only codebook + shard rows; the append is a union, not a join)",
     "a16_ivfpq_tombstone_serve" -> "a13's probe-side constant-size broadcast crosses (the deletion itself is an id-only hash anti-join against the published index)",
+    "s13_stream_index_tombstones" -> "a16's serve plan over the drained delete relation (the same probe-side constant-size broadcast crosses)",
     "a17_ivfpq_retrain_cutover" -> "a13's probe-side constant-size broadcast crosses (the cutover serves the retrained published index; the retrain decision is two pruned counters)",
     "d14_lsh_recall" -> "crossJoins of three 1-row count aggregates (the report row assembly)",
     "d19_band_retune_cutover" -> "d14's crossJoins of three 1-row count aggregates (the served generation's recall report)",

@@ -420,6 +420,25 @@ class Round15OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s13: the served ANN top-3 flips from a13's answer to a16's as the tombstone feed drains") {
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // pre-drain: nothing deleted — the serve over an empty drained
+    // relation IS a13's published-index answer
+    val none = spark.range(0).select(col("id").as("vec_id"))
+    val pre = graft.ops.Ann.a16Over(spark, sf, none).collect().map(_.toSeq).toSeq
+    val a13 = graft.ops.Ann.a13(spark, sf).collect().map(_.toSeq).toSeq
+    assert(pre == a13, "pre-drain serve must equal the undeleted a13 answer")
+    // post-drain: the gate entry's own drain — equals a16's batch serve
+    val post = graft.streaming.Replay.s13(spark, sf).collect().map(_.toSeq).toSeq
+    val a16 = graft.ops.Ann.a16(spark, sf).collect().map(_.toSeq).toSeq
+    assert(post == a16, "post-drain serve must equal a16's batch deletion serve")
+    // and the feed has signal: the deletion visibly changes the answer
+    assert(pre != post,
+      "census deletion must change the served top-3 — the feed has no signal")
+  }
+
   test("live label artifact is published once; warm reports read it without re-clustering") {
     val sf = "/root/testdata/sf0.001"
     graft.ops.Dedup.d07(spark, sf).count() // fresh publish of both label artifacts
