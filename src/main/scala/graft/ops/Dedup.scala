@@ -238,6 +238,23 @@ object Dedup {
     * kernel over an incoming batch that is NOT yet in the published
     * table (the incremental-ingest shape: corpus side served, batch
     * side computed fresh at arrival size). */
+  /** sorted 64-bit token-id array for the verify kernel (first 8 MD5
+    * bytes, big-endian signed long — internal ids, Spark-side only);
+    * shared by the batch signature pass and the streaming arrival
+    * pass. */
+  private def tokenIds(md: java.security.MessageDigest,
+                       toks: Array[String]): Array[Long] = {
+    val ids = toks.map { w =>
+      val h = md.digest(w.getBytes("UTF-8"))
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+      v
+    }
+    java.util.Arrays.sort(ids)
+    ids
+  }
+
   private def bandRowsFor(s: SparkSession, docs: DataFrame,
                           bandRows: Int = BandRows): DataFrame = {
     import s.implicits._
@@ -250,17 +267,7 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
           val toks = text.split(" ", -1).distinct
-          // sorted 64-bit token-id array for the verify kernel, from the
-          // tokenization this pass already did (first 8 MD5 bytes,
-          // big-endian signed long — internal ids, Spark-side only)
-          val ids = toks.map { w =>
-            val h = md.digest(w.getBytes("UTF-8"))
-            var v = 0L
-            var k = 0
-            while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
-            v
-          }
-          java.util.Arrays.sort(ids)
+          val ids = tokenIds(md, toks)
           val bandKeys = docBandKeysB(md, toks, bandRows)
           Iterator.tabulate(numBands) { b =>
             (id, b, bandKeys(b), ids.length,
@@ -2060,11 +2067,24 @@ object Dedup {
       .select(col("i").as("ni"), col("toks").as("ta"))
     val corpusSets = corpusBands.where(col("band") === 0)
       .select(col("i").as("ci"), col("toks").as("tb"))
-    val pairs = cand
+    val pairs = verifyCandidates(cand
       .join(newSets, "ni")
       .join(corpusSets, "ci")
-      .select(col("ni"), col("ci"), col("ta"), col("tb"))
-      .as[(Long, Long, Array[Long], Array[Long])]
+      .select(col("ni"), col("ci"), col("ta"), col("tb")))
+    admissionReportFrom(s,
+      newBands.where(col("band") === 0).select(col("i").as("new_doc_id")),
+      pairs)
+  }
+
+  /** the exact merge-intersect Jaccard verify over a (ni, ci, ta, tb)
+    * candidate relation — ONE kernel definition for the batch
+    * admissions (d16/d18) AND the streaming admission (s14, where it
+    * runs stateless inside the micro-batch). Emits (ni, ci, jac) for
+    * pairs at or above τ. */
+  private[graft] def verifyCandidates(cand: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand.as[(Long, Long, Array[Long], Array[Long])]
       .mapPartitions { it =>
         it.flatMap { case (ni, ci, ta, tb) =>
           val x = sortedIntersectLong(ta, tb)
@@ -2073,6 +2093,38 @@ object Dedup {
         }
       }
       .toDF("ni", "ci", "jac")
+  }
+
+  /** the arrival-side signature pass as a STREAM transform: per
+    * arriving doc, all band rows with the sorted token-id array on
+    * EVERY row (the batch table carries it on band 0 only and joins it
+    * back — a stream cannot self-join, so the arrival tier pays
+    * numBands copies of each doc's ids inside the micro-batch; the
+    * payload never lands in an artifact). Same digest/banding kernel
+    * as [[bandRowsFor]] via the shared [[docBandKeys]]/[[tokenIds]]. */
+  private[graft] def streamArrivalBandRows(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val numBands = MinhashSeeds / BandRows
+    docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1).distinct
+        val ids = tokenIds(md, toks)
+        val bandKeys = docBandKeys(md, toks)
+        Iterator.tabulate(numBands)(b => (id, b, bandKeys(b), ids.length, ids))
+      }
+    }.toDF("i", "band", "sig", "n", "toks")
+  }
+
+  /** the report-assembly half of the admission, over an ALREADY
+    * verified (ni, ci, jac) pair relation — factored (round 15) so the
+    * streaming admission (s14: pairs verified IN the stream, drained
+    * to the sink) assembles the identical report d16/d18 emit. */
+  private[graft] def admissionReportFrom(s: SparkSession,
+                                         arrivalIds: DataFrame,
+                                         pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = pairs.groupBy("ni").agg(big(count(lit(1))).as("n_dups"))
     val best = pairs
@@ -2081,7 +2133,7 @@ object Dedup {
           .orderBy(col("jac").desc, col("ci"))))
       .where(col("rn") === 1)
       .select(col("ni").as("bi"), col("ci").as("best_match"), col("jac"))
-    newBands.where(col("band") === 0).select(col("i").as("new_doc_id"))
+    arrivalIds.select(col("new_doc_id"))
       .join(agg, col("new_doc_id") === col("ni"), "left")
       .join(best, col("new_doc_id") === col("bi"), "left")
       .select(

@@ -820,6 +820,66 @@ object Replay {
     graft.ops.Ann.a16Over(s, d, drained)
   }
 
+  /** s14: STREAMING ADMISSION — d16's daily-ingest kernel run AT THE
+    * INGEST TIER, through the real engine: arrival documents stream in
+    * (the file cut to the day-1 census residue at the source), each is
+    * signed IN-STREAM ([[graft.ops.Dedup.streamArrivalBandRows]] — the
+    * batch kernel's digest/banding via the shared definitions), banded
+    * candidates come from a STREAM-STATIC equi-join against the
+    * published live band view (with d16's τ-derived size-ratio prune
+    * in the join condition), repeats from multi-band collisions are
+    * cut by a keyed dropDuplicates (pair-key state only), corpus token
+    * arrays arrive by a second stream-static join against the band-0
+    * projection, and the exact merge-intersect Jaccard verify
+    * ([[graft.ops.Dedup.verifyCandidates]] — d16's own kernel) runs
+    * stateless inside the micro-batch. Verified pairs drain to the
+    * sink; the read-back assembles d16's exact admission report
+    * ([[graft.ops.Dedup.admissionReportFrom]]). Oracle = d16Sql: the
+    * ingest tier's admission must be bit-for-bit the nightly batch
+    * answer — with s06 (candidate flags), s12/s13 (takedown feeds)
+    * this closes {arrival, deletion} × {batch, stream} for the
+    * admission lifecycle.
+    *
+    * Scale shape: the stream side is arrival-sized (numBands band
+    * rows + one token-id array per doc, payload confined to the
+    * micro-batch); the static side is the published slim artifact —
+    * never raw corpus text; dedup state is pair KEYS only; per-pair
+    * verify cost is d02's audited kernel. */
+  def s14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mod = graft.ops.Dedup.IncrementalMod
+    val rem = graft.ops.Dedup.IncrementalRem
+    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val arrivals = s.readStream.schema(docSchema)
+      .parquet(s"$d/[d]ocuments.parquet")
+      .where(col("doc_id") % mod === rem)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val newBands = graft.ops.Dedup.streamArrivalBandRows(arrivals)
+    val corpus = graft.ops.Dedup.liveBandTable(s, d)
+      .where(col("i") % mod =!= rem)
+    val cand = newBands
+      .select(col("i").as("ni"), col("band"), col("sig"),
+        col("n").as("na"), col("toks").as("ta"))
+      .join(corpus.select(col("i").as("ci"), col("band").as("band_b"),
+          col("sig").as("sig_b"), col("n").as("nb")),
+        col("band") === col("band_b") && col("sig") === col("sig_b") &&
+          greatest(col("na"), col("nb")) * lit(graft.ops.Dedup.TauNum) <=
+            lit(graft.ops.Dedup.TauDen) * least(col("na"), col("nb")))
+      .select(col("ni"), col("ci"), col("ta"))
+      .dropDuplicates("ni", "ci")
+    val withTb = cand.join(
+      corpus.where(col("band") === 0)
+        .select(col("i").as("ci"), col("toks").as("tb")), "ci")
+    val pairs = graft.ops.Dedup.verifyCandidates(
+      withTb.select(col("ni"), col("ci"), col("ta"), col("tb")))
+    val drained = sinkRun(s, pairs, runBase("s14"))
+    val arrivalIds = graft.core.Tables.documents(s, d)
+      .where(col("doc_id") % mod === rem)
+      .select(col("doc_id").as("new_doc_id"))
+    graft.ops.Dedup.admissionReportFrom(s, arrivalIds,
+      drained.select(col("ni"), col("ci"), col("jac")))
+  }
+
   /** one AvailableNow drain pass of a tombstone feed directory into a
     * fixed sink/checkpoint — exposed for the Round15 spec's two-stage
     * mid-stream probe (drain half the feed, observe the half-deleted
@@ -842,6 +902,7 @@ object Replay {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_stream_admission" -> s14 _,
     "s13_stream_index_tombstones" -> s13 _,
     "s12_stream_tombstone_feed" -> s12 _,
     "s11_stream_index_serve" -> s11 _,
@@ -861,6 +922,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s14_stream_admission" -> graft.ops.Dedup.d16Sql, // ingest tier == nightly batch admission
     "s13_stream_index_tombstones" -> graft.ops.Ann.a16Sql, // post-drain == a16's batch serve
     "s12_stream_tombstone_feed" -> graft.ops.Dedup.d17Sql, // post-drain == batch deletion serve
     "s11_stream_index_serve" -> graft.ops.Ann.a16Sql, // stream == a16's deletion-aware batch serve

@@ -439,6 +439,19 @@ class Round15OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "census deletion must change the served top-3 — the feed has no signal")
   }
 
+  test("s14: streaming admission == d16's nightly batch answer, bit for bit") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = graft.streaming.Replay.s14(spark, sf).collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Dedup.d16(spark, sf).collect().map(_.toSeq).toSeq
+    assert(stream.nonEmpty && stream == batch,
+      s"ingest-tier admission diverged from the batch answer " +
+        s"(${stream.size} vs ${batch.size} rows)")
+    // signal: the arrival batch contains both admitted and rejected docs
+    val admits = stream.map(_.last.asInstanceOf[Long]).toSet
+    assert(admits == Set(0L, 1L),
+      "census arrival batch should exercise both admission outcomes")
+  }
+
   test("live label artifact is published once; warm reports read it without re-clustering") {
     val sf = "/root/testdata/sf0.001"
     graft.ops.Dedup.d07(spark, sf).count() // fresh publish of both label artifacts
