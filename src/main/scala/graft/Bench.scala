@@ -118,7 +118,13 @@ object Bench {
         import scala.sys.process._
         Process(Seq("git", "-C", repoDir.getPath, "ls-files"))
           .!!.linesIterator.toSeq
-      } catch { case _: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only (round-15 advice): an OOM/interrupt must not be
+        // swallowed into a silent round-number guess; and when git IS
+        // unavailable, say so — the unfiltered listing can re-introduce
+        // the stray-untracked-file round bump this path exists to avoid
+        System.err.println(s"[bench] git ls-files unavailable (${e.getMessage}); " +
+          "round derived from the UNFILTERED directory listing")
         Option(repoDir.listFiles()).getOrElse(Array.empty).toSeq.map(_.getName)
       }
     val ns = names.flatMap(f => re.findFirstMatchIn(f).map(_.group(1).toInt))
@@ -215,6 +221,27 @@ object Bench {
       System.err.println(f"[bench-ctl] suite:$suite ${s}%.3fs")
       cleanStorage()
     }
+    // frozen medians loaded BEFORE the query loop (round-15 verdict
+    // item 4): the in-loop >2x retry needs the yardstick at query time
+    val freezeFile = new java.io.File(repoDir, "BENCH_FREEZE.json")
+    val freezeSf: Option[String] =
+      if (!freezeFile.exists()) None
+      else """"_sf"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(freezeFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .map(_.group(1))
+    // canonicalize both sides (round-14 review): a trailing slash,
+    // relative spelling, or symlink of the same corpus must not
+    // silently disable the verdicts and the round's repo diag copy
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
+    val freezeApplies = freezeSf.forall(p => canon(p) == canon(sfDir))
+    if (!freezeApplies)
+      System.err.println(s"[bench] BENCH_FREEZE.json is for ${freezeSf.get}, " +
+        s"run is $sfDir — diag verdicts and the repo diag copy are OFF")
+    val frozenMed =
+      (if (freezeApplies) loadFlatJson(freezeFile) else Map.empty[String, String])
+        .flatMap { case (k, v) => scala.util.Try(k -> v.toDouble).toOption }
     val stageRec = new StageRecorder
     sc.addSparkListener(stageRec)
     // per-slow-entry stage facts, harvested for the stdout `diag`
@@ -289,26 +316,51 @@ object Bench {
       val pubN = graft.core.Materialize.publishCount - pub0
       val blocksLeft = sc.getPersistentRDDs.size
       cleanStorage()
+      // >2x-of-frozen RETRY (round-15 verdict item 4): six consecutive
+      // driver sessions adjudicated the same entry's burst as ambient
+      // from stage facts alone — measure it instead. One immediate
+      // re-run, same session, clean storage; both samples land in the
+      // diag. The FIRST sample stays the official reading (the
+      // cross-round protocol every freeze compares against is
+      // single-sample); the retry is evidence: retry ~ frozen median
+      // = transient host burst, retry ~ first sample = a persistent
+      // slowdown the adjudication rule must face.
+      val retry: Option[(Double, Long)] =
+        frozenMed.get(name).filter(m => secs >= 1.0 && secs >= 2.0 * m).map { _ =>
+          val rp0 = graft.core.Materialize.publishCount
+          val rt0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name retry failed: ${e.getMessage}")
+          }
+          val rSecs = (System.nanoTime() - rt0) / 1e9
+          cleanStorage()
+          (rSecs, graft.core.Materialize.publishCount - rp0)
+        }
+      val retryJson = retry.map { case (rs, rp) =>
+        s""","retry_sec":${math.round(rs * 1000) / 1000.0},"retry_pub":$rp"""
+      }.getOrElse("")
       val shm = shmUsedBytes
       val d = s"""{"q":"$name","sec":${math.round(secs * 1000) / 1000.0},""" +
         s""""gc_ms":$gcMs,"blocks_after":$blocksLeft,"shm_mb":${shm >> 20},""" +
-        s""""mat_pub":$pubN,"load1m":${math.round(load0 * 100) / 100.0}$stagesJson}"""
+        s""""mat_pub":$pubN,"load1m":${math.round(load0 * 100) / 100.0}""" +
+        retryJson + stagesJson + "}"
       System.err.println(s"[bench-diag] $d")
       diag.append(d).append('\n')
-      (name, secs, pubN)
+      (name, secs, pubN, retry)
     } finally sc.removeSparkListener(stageRec) // no bus accumulation if
     // run() is ever invoked twice in one JVM (round-13 advice)
     runControl("post")
     // 3-decimal seconds: ms precision (scheduling noise is +-100 ms);
     // full precision doubled the line length past the driver's capture.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val rounded = results.map { case (k, v, _) => k -> r3(v) }
+    val rounded = results.map { case (k, v, _, _) => k -> r3(v) }
     // entries whose timed window included a materialization publish —
     // a COLD sample (first run at this corpus fingerprint, or an
     // always-compute kernel). Three rounds running, first-run publishes
     // read as false regressions in the driver's single run; the marker
     // makes them mechanically adjudicable from the tail line alone.
-    val coldNames = results.collect { case (k, _, p) if p > 0 => k }.toSet
+    val coldNames = results.collect { case (k, _, p, _) if p > 0 => k }.toSet
     // session-ambient yardstick: median of the 3 control runs (full
     // list in the diag file). Extra top-level JSON keys are additive —
     // the driver's parser reads metric/value/queries and ignores these.
@@ -321,7 +373,7 @@ object Bench {
     // themselves stay unstarred: they are the cross-round join key for
     // BASELINE comparisons, and a key that mutates with cache state
     // would silently drop the entry from that join.
-    val coldList = results.collect { case (k, _, p) if p > 0 =>
+    val coldList = results.collect { case (k, _, p, _) if p > 0 =>
       "\"" + k.takeWhile(_ != '_') + "\"" }.mkString("[", ",", "]")
     // ---- per-slow-entry ADJUDICATION (round-13 verdict item 1): the
     // d02 exoneration depended on a /tmp diag file surviving until the
@@ -339,25 +391,6 @@ object Bench {
     // computes none (and, below, does not clobber the round's repo
     // diag artifact with wrong-scale lines). Absent stamp/file =
     // legacy/bootstrap -> current behavior.
-    val freezeFile = new java.io.File(repoDir, "BENCH_FREEZE.json")
-    val freezeSf: Option[String] =
-      if (!freezeFile.exists()) None
-      else """"_sf"\s*:\s*"([^"]+)"""".r
-        .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(freezeFile.toPath),
-          java.nio.charset.StandardCharsets.UTF_8))
-        .map(_.group(1))
-    // canonicalize both sides (round-14 review): a trailing slash,
-    // relative spelling, or symlink of the same corpus must not
-    // silently disable the verdicts and the round's repo diag copy
-    def canon(p: String): String =
-      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
-    val freezeApplies = freezeSf.forall(p => canon(p) == canon(sfDir))
-    if (!freezeApplies)
-      System.err.println(s"[bench] BENCH_FREEZE.json is for ${freezeSf.get}, " +
-        s"run is $sfDir — diag verdicts and the repo diag copy are OFF")
-    val frozenMed =
-      (if (freezeApplies) loadFlatJson(freezeFile) else Map.empty[String, String])
-        .flatMap { case (k, v) => scala.util.Try(k -> v.toDouble).toOption }
     val frozenSig = loadFlatJson(new java.io.File(repoDir, "BENCH_STAGESIG.json"))
     def sigOf(v: String, key: String): Option[Long] =
       (""""""" + key + """"\s*:\s*(-?\d+)""").r.findFirstMatchIn(v)
@@ -365,10 +398,15 @@ object Bench {
     // 1.4x since round 15 (was 2x): the band where round-14's largest
     // unexplained ratios lived now gets verdict rows too; the 2x gate
     // itself is unchanged — sub-2x rows are advisory context
-    val allVerdicts = results.flatMap { case (name, sec, pubN) =>
+    val allVerdicts = results.flatMap { case (name, sec, pubN, retry) =>
       frozenMed.get(name).filter(m => sec >= 1.0 && sec >= 1.4 * m).map { m =>
         val base = s""""q":"${name.takeWhile(_ != '_')}","sec":${r3(sec)},""" +
-          s""""x":${r3(sec / m)},"pub":$pubN"""
+          s""""x":${r3(sec / m)},"pub":$pubN""" +
+          // the measured second sample (>2x entries re-ran once, clean
+          // storage, same session): retry_x near 1 = transient burst,
+          // retry_x near x = persistent — the ambient argument as data
+          retry.map { case (rs, _) =>
+            s""","retry_sec":${r3(rs)},"retry_x":${r3(rs / m)}""" }.getOrElse("")
         val withStages = stageFacts.get(name).map { f =>
           val same = frozenSig.get(name).flatMap { sig =>
             for { ns <- sigOf(sig, "n_stages"); sr <- sigOf(sig, "sh_r_mb") }

@@ -2511,15 +2511,23 @@ object Dedup {
     * exists to justify — published once and amortized over every
     * consumer after cutover. */
   def d19(s: SparkSession, d: String): DataFrame = {
-    val staleRecall = d14Over(s, d, staleLiveBands(s, d))
-      .select(col("recall")).head().getDouble(0)
+    // EAGER at DataFrame-construction time by design: the .head() IS
+    // the monitor reading — it runs the sample-bounded stale-generation
+    // instrument (publishing the stale artifact if absent) to obtain
+    // the one scalar the cutover decision needs (the d17/a16/a17
+    // AQE-class plan-choice read). The instrument result is REUSED for
+    // the gen-1 branch (one d14Over construction, one set of persists
+    // — round-15 advice), so a no-retune serve never grades the stale
+    // generation twice.
+    val staleReport = d14Over(s, d, staleLiveBands(s, d))
+    val staleRecall = staleReport.select(col("recall")).head().getDouble(0)
     if (staleRecall < RetuneRecallThreshold)
       d14Over(s, d, liveBandTable(s, d)) // bandTable publishes if absent = the rebuild
         .withColumn("gen", lit(2L))
         .withColumn("bands", lit((MinhashSeeds / BandRows).toLong))
         .withColumn("band_rows", lit(BandRows.toLong))
     else
-      d14Over(s, d, staleLiveBands(s, d))
+      staleReport
         .withColumn("gen", lit(1L))
         .withColumn("bands", lit((MinhashSeeds / StaleBandRows).toLong))
         .withColumn("band_rows", lit(StaleBandRows.toLong))

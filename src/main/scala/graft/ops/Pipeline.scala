@@ -472,7 +472,7 @@ object Pipeline {
   }
 
   /** Oracle: d13's full canonical-keeper derivation (the shared
-    * [[graft.ops.Dedup.ccCanonCtes]] text) + p06's HUGEINT mixing math
+    * [[graft.ops.Dedup.ccCanonCtesOver]] text) + p06's HUGEINT mixing math
     * restricted to the keepers. */
   val p09Sql: String =
     s"""WITH RECURSIVE ${graft.ops.Dedup.LiveDocsCte},
