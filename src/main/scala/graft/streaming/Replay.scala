@@ -828,7 +828,10 @@ object Replay {
     * candidates come from a STREAM-STATIC equi-join against the
     * published live band view (with d16's τ-derived size-ratio prune
     * in the join condition), repeats from multi-band collisions are
-    * cut by a keyed dropDuplicates (pair-key state only), corpus token
+    * cut by a watermark-BOUNDED pair-key dedup ([[StreamDedup
+    * .dedupWithinWatermark]] — state holds only the in-flight window's
+    * pair keys, never arrival history; sound because repeats are
+    * always intra-micro-batch, see the inline note), corpus token
     * arrays arrive by a second stream-static join against the band-0
     * projection, and the exact merge-intersect Jaccard verify
     * ([[graft.ops.Dedup.verifyCandidates]] — d16's own kernel) runs
@@ -843,7 +846,9 @@ object Replay {
     * Scale shape: the stream side is arrival-sized (numBands band
     * rows + one token-id array per doc, payload confined to the
     * micro-batch); the static side is the published slim artifact —
-    * never raw corpus text; dedup state is pair KEYS only; per-pair
+    * never raw corpus text; dedup state is pair KEYS only AND bounded
+    * by the watermark horizon (a continuous deployment's state volume
+    * tracks its in-flight arrival window, not its uptime); per-pair
     * verify cost is d02's audited kernel. */
   def s14(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -866,7 +871,23 @@ object Replay {
           greatest(col("na"), col("nb")) * lit(graft.ops.Dedup.TauNum) <=
             lit(graft.ops.Dedup.TauDen) * least(col("na"), col("nb")))
       .select(col("ni"), col("ci"), col("ta"))
-      .dropDuplicates("ni", "ci")
+      // pair-key dedup state BOUNDED by watermark (round-15 verdict
+      // item 2): a bare dropDuplicates keeps every pair key forever —
+      // fine for this AvailableNow replay, a state leak in the
+      // continuous ingest deployment the entry models. Soundness of
+      // the bound: a repeated (ni,ci) can ONLY arise from multi-band
+      // collisions of ONE arrival doc, and streamArrivalBandRows emits
+      // all of a doc's band rows from one flatMap over one input row —
+      // so every repeat lands in the SAME micro-batch, where
+      // current_timestamp() (the batch timestamp, constant within a
+      // micro-batch) gives them one event time: any positive delay
+      // covers them, and state older than the watermark horizon is
+      // evicted instead of kept for the life of the stream
+      // (Round16OpsSpec drains a two-batch feed and pins the eviction).
+      .withColumn("arrival_ts", current_timestamp())
+      .transform(StreamDedup.dedupWithinWatermark(_, Seq("ni", "ci"),
+        "arrival_ts", "10 seconds"))
+      .drop("arrival_ts")
     val withTb = cand.join(
       corpus.where(col("band") === 0)
         .select(col("i").as("ci"), col("toks").as("tb")), "ci")
@@ -899,6 +920,43 @@ object Replay {
       q.awaitTermination()
     }
     s.read.parquet(s"$base/out")
+  }
+
+  /** one AvailableNow drain pass of a (ni, ci) pair-key feed through
+    * EXACTLY the watermark-bounded dedup construction s14 runs —
+    * exposed for the Round16 spec's bounded-state probe. Subsequent
+    * calls continue the SAME checkpoint (each pass drains the files
+    * that arrived since the previous one, with the watermark restored
+    * from the checkpoint), so a multi-pass drain with real wall-clock
+    * gaps larger than the delay lets the spec observe state EVICTION:
+    * the keys of a pass whose batch timestamp has fallen behind the
+    * watermark horizon leave the state store instead of accumulating
+    * for the life of the stream. Returns (drained distinct pairs so
+    * far, state rows reported by this pass's LAST progress event —
+    * the post-eviction count, unlike [[lastStateRows]]'s peak). */
+  private[graft] def s14DedupDrain(s: SparkSession, feedDir: String,
+                                   base: String): (DataFrame, Long) = {
+    val schema = StructType(Seq(
+      StructField("ni", LongType), StructField("ci", LongType)))
+    val feed = s.readStream.schema(schema).parquet(feedDir)
+      .withColumn("arrival_ts", current_timestamp())
+      .transform(StreamDedup.dedupWithinWatermark(_, Seq("ni", "ci"),
+        "arrival_ts", "10 seconds"))
+      .drop("arrival_ts")
+    var finalState = -1L
+    withReplayPartitions(s) {
+      val q = feed.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      finalState = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal)
+          .map(n => (p.batchId, n)))
+        .sortBy(_._1).lastOption.map(_._2).getOrElse(-1L)
+    }
+    (s.read.parquet(s"$base/out"), finalState)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
