@@ -877,12 +877,19 @@ object Ann {
     * build, so "index as built" can never drift from "index as the
     * serve assumes" across generations. */
   private def buildIvfPqIndexWith(s: SparkSession, d: String,
-      coarseSel: Column, pqSel: Column): DataFrame = {
-    val q = ivfQ(s, d)
+      coarseSel: Column, pqSel: Column): DataFrame =
+    buildIvfPqIndexOver(ivfQ(s, d), coarseSel, pqSel)
+
+  /** the index build over an ARBITRARY quantized relation — factored
+    * (round 16) so the deletion-aware retrain can encode a REDUCED
+    * corpus (live rows only) with the same single definition the
+    * default build uses; drift between "index as built" and "index as
+    * rebuilt after deletion" is thereby structurally excluded. */
+  private def buildIvfPqIndexOver(q: DataFrame,
+      coarseSel: Column, pqSel: Column): DataFrame =
     coarseAssigned(q, coarseSel).select(col("vec_id"), col("cluster"))
       .join(pqCodes(q, pqSel), "vec_id")
       .select(col("vec_id"), col("cluster"), col("sub"), col("code"))
-  }
 
   /** a13: a06's ANN search SERVED FROM THE PUBLISHED INDEX — the
     * production separation every real ANN deployment has and a06 (which
@@ -1405,6 +1412,61 @@ object Ann {
       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist,
       |  CAST(2 AS BIGINT) AS gen
       |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  // ---- a17 ∘ deletion: the retrain a16's anti-join refuses to model ----
+
+  /** the rebuilt index of [[a17RetrainOver]], exposed separately so the
+    * spec can pin the ARTIFACT-level exclusions (no deleted vec_id row,
+    * no deleted id serving as a coarse cluster or PQ code target), not
+    * just the served answer. */
+  private[graft] def a17RetrainIndexOver(s: SparkSession, d: String,
+      tombstones: DataFrame, ids: Seq[Long]): DataFrame =
+    buildIvfPqIndexOver(
+      ivfQ(s, d).join(tombstones.select("vec_id"), Seq("vec_id"), "left_anti"),
+      a17IdsPred(ids), a17IdsPred(ids.take(PqCentroids)))
+
+  /** live codebook ids under a delete set: the first [[IvfCentroids]]
+    * surviving vec_ids — the first-k-rows training convention applied
+    * to the corpus that still legally exists. ≤16 scalars to the
+    * driver (the trained model itself — the adjudicated a17/t12/s07
+    * transfer class). */
+  private[graft] def a17LiveCodebookIds(s: SparkSession, d: String,
+      tombstones: DataFrame): Seq[Long] =
+    embeddings(s, d).select(col("vec_id"))
+      .join(tombstones.select("vec_id"), Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id")).limit(IvfCentroids)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** a17's retrain COMPOSED WITH DELETION (round-15 verdict item 6) —
+    * the one deletion a16's id-only anti-join structurally cannot
+    * absorb is a codebook row (removing it re-encodes every other
+    * vector), and [[a16TombstonePred]] refuses it for exactly that
+    * reason, naming the retrain as the operation that handles it.
+    * This is that operation: codebooks are re-trained on the LIVE
+    * corpus (the first-k convention over ids NOT in the delete set — a
+    * deleted vector can never be selected as a codebook row), the
+    * index is rebuilt over live rows only (a deleted vector's encoding
+    * never enters the artifact), and the serve reads the rebuilt
+    * generation end to end. Contract, spec-pinned (Round16OpsSpec):
+    * bit-identical to the default retrain executed in a world that
+    * never ingested the deleted vectors, for ARBITRARY delete sets
+    * that spare the probe workload (vec_id < 10 — probes are queries,
+    * not corpus rows). A deployment publishes the rebuilt index under
+    * THE default build fingerprint at cutover, exactly like a17's
+    * gen 2 — deletion changes the input fingerprint, so no new
+    * generation flavor is needed. The gate entry a17 is unchanged: the
+    * census world never deletes codebook rows, so its doctrine stays
+    * "full-corpus artifact + deletion at the serve view"
+    * ([[a16ServedIndex]]); this path exists for the delete sets that
+    * doctrine refuses. */
+  private[graft] def a17RetrainOver(s: SparkSession, d: String,
+                                    tombstones: DataFrame): DataFrame = {
+    val ids = a17LiveCodebookIds(s, d, tombstones)
+    serveAdcTop3From(
+      ivfQWhere(s, d, col("vec_id") < 10 || a17IdsPred(ids)),
+      a17RetrainIndexOver(s, d, tombstones, ids),
+      a17IdsPred(ids), a17IdsPred(ids.take(PqCentroids)))
+  }
 
   // ---- a07/a08: k-means clustering + semantic dedup (SemDeDup) ----
 

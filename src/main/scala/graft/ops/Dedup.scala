@@ -96,6 +96,19 @@ object Dedup {
     * events model disjoint rows of the same census. */
   val AppendRem = 9L
 
+  /** the census residue of the DAY-3 arrival batch (d20's chain): a
+    * third disjoint lifecycle slice, graded against the TWICE-appended
+    * chain artifact (standing + day-1 admitted + day-2 admitted). The
+    * chain world's timeline is [[ChainDays]]; its standing corpus
+    * excludes ALL three days (a day's docs must not exist before they
+    * arrive — d16/d18's worlds, which predate the 3-day timeline, keep
+    * their own 1- and 2-day censuses and artifacts unchanged). */
+  val Append2Rem = 5L
+
+  /** the append-chain timeline: day-k arrivals are the k-th residue.
+    * Order matters — it IS the ingestion order the chain folds in. */
+  val ChainDays: Seq[Long] = Seq(IncrementalRem, AppendRem, Append2Rem)
+
   /** rows-per-band of the STALE banding generation d19's refresh
     * retires: 16 seeds / 4 rows = 4 bands — the under-banded tuning
     * whose measured live recall (0.68–0.75 across the gate SFs)
@@ -2533,6 +2546,137 @@ object Dedup {
         .withColumn("band_rows", lit(StaleBandRows.toLong))
   }
 
+  // ---- d20: the MULTI-DAY append chain (round 16, d18 iterated) ----
+
+  /** constant-length key component naming the folded-day prefix: an
+    * MD5 of the ChainDays prefix, NOT the concatenated day list — the
+    * round-15 verdict's key-growth concern (appendedBandFingerprint
+    * spells its census slices into the key; chaining that per day
+    * grows the key string with k). Same-length key at any chain depth;
+    * a different timeline or ingestion ORDER is a different key. */
+  private def chainDaysKey(gen: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(ChainDays.take(gen).mkString(",").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** fingerprint of chain generation k: corpus identity × banding ×
+    * (generation number + folded-day-prefix hash) × code salt. */
+  private[graft] def chainFingerprint(s: SparkSession, d: String, gen: Int): String =
+    graft.core.Materialize.fingerprint(d, "documents",
+      s"minhash-s$MinhashSeeds-r$BandRows-chain-g$gen-${chainDaysKey(gen)}" +
+        s"-m$IncrementalMod-minusdel-t$TombstoneRem",
+      dedupCodeSalt)
+
+  /** the chain world's standing corpus: the live band view minus EVERY
+    * day's residue — on day 0 none of the timeline's arrivals exist
+    * yet. (d16/d18 keep their own 1- and 2-day censuses: their worlds
+    * predate the 3-day timeline and their artifacts are unchanged.) */
+  private[graft] def chainStandingBands(s: SparkSession, d: String): DataFrame =
+    ChainDays.foldLeft(liveBandTable(s, d)) { (b, r) =>
+      b.where(col("i") % IncrementalMod =!= r)
+    }
+
+  private def chainDayBands(s: SparkSession, d: String, day: Long): DataFrame =
+    bandRowsFor(s,
+      documents(s, d).where(col("doc_id") % IncrementalMod === day))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** chain generation k of the band artifact: generation k−1 plus the
+    * band rows of day-k's ADMITTED arrivals, published under the
+    * constant-length chain fingerprint. Generation 0 is the standing
+    * view (derived, not published — it is already a filter of the
+    * published live artifact). The recursion only executes COLD: a
+    * warm generation k is one published-table read, so day-(k+1)
+    * admission never re-signs the standing corpus or any earlier day
+    * (the d18 invariant, by induction — Round16OpsSpec pins
+    * generation k == a rebuild over standing + all admitted through
+    * day k, on random corpora). Because each generation is a FULL
+    * standalone band table, generation k SUPERSEDES k−1: retention
+    * (graft.core.Retention) may sweep earlier generations without
+    * touching any warm serve — the fingerprint keying needs no per-day
+    * growth and the compaction/retention story absorbs the chain. */
+  private[graft] def chainArtifact(s: SparkSession, d: String, gen: Int): DataFrame =
+    if (gen == 0) chainStandingBands(s, d)
+    else graft.core.Materialize.readOrCompute(s, "minhash", chainFingerprint(s, d, gen)) {
+      val day = ChainDays(gen - 1)
+      val admittedIds = chainDayReport(s, d, gen)
+        .where(col("admit") === 1L)
+        .select(col("new_doc_id").as("doc_id"))
+      val admittedDocs = documents(s, d)
+        .where(col("doc_id") % IncrementalMod === day)
+        .join(admittedIds, Seq("doc_id"), "left_semi")
+      // the second chainArtifact(gen-1) read hits the published table
+      // the report's own call just ensured exists — no double compute
+      chainArtifact(s, d, gen - 1).unionByName(bandRowsFor(s, admittedDocs))
+    }
+
+  /** day-`day`'s admission report inside the chain timeline (1-based):
+    * d16's kernel over (day-`day` arrival bands, chain generation
+    * `day`−1) — the one definition the chain's internal folds AND the
+    * d20 gate entry both run, exposed for the induction spec. */
+  private[graft] def chainDayReport(s: SparkSession, d: String, day: Int): DataFrame =
+    admissionReportOver(s, chainDayBands(s, d, ChainDays(day - 1)),
+      chainArtifact(s, d, day - 1))
+
+  /** d20: DAY-3 admission over the TWICE-appended chain artifact — the
+    * multi-day iteration the round-15 verdict ordered (d18 proved ONE
+    * append generation; a real pipeline folds every day's admitted
+    * docs in and grades the next day against the accumulated
+    * artifact). Day-1 and day-2 admissions and their appends run
+    * inside [[chainArtifact]] (cold only — warm, generation 2 is one
+    * published read); day-3 ([[Append2Rem]]) is graded by the
+    * IDENTICAL kernel d16/d18 run ([[admissionReportOver]]). Oracle:
+    * the 3-day timeline stated end to end — the same admission-chain
+    * SQL text instantiated three relations apart, each day's admitted
+    * docs folded into the next day's corpus; an appended generation
+    * that drifted from rebuild-on-(standing + admitted-so-far)
+    * hash-mismatches at the gate.
+    *
+    * Scale shape: day-k admission signs ONLY day-k's arrivals
+    * (arrival-sized); the corpus side is one published artifact scan
+    * at every depth; fingerprint keys are constant-length in k
+    * ([[chainDaysKey]]); superseded generations are retention
+    * candidates, so a year of daily appends holds ONE serving
+    * artifact, not 365. */
+  def d20(s: SparkSession, d: String): DataFrame =
+    chainDayReport(s, d, ChainDays.size)
+
+  /** Oracle: the 3-day census timeline end to end — day-1 admission
+    * against the standing corpus (days 2–3 not yet arrived, tombstones
+    * cut), admitted docs folded in; day-2 against standing+admitted1;
+    * day-3 against standing+admitted1+admitted2. */
+  val d20Sql: String =
+    s"""WITH xdocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % $IncrementalMod = $IncrementalRem),
+      |ydocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % $IncrementalMod NOT IN
+      |    ($IncrementalRem, $AppendRem, $Append2Rem, $TombstoneRem)),
+      |${admissionChainSql("x", "y")},
+      |admitted1 AS (
+      |  SELECT doc_id, text FROM xdocs
+      |  WHERE doc_id NOT IN (SELECT ni FROM xpairs)),
+      |mdocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % $IncrementalMod = $AppendRem),
+      |zdocs AS (
+      |  SELECT doc_id, text FROM ydocs
+      |  UNION ALL SELECT doc_id, text FROM admitted1),
+      |${admissionChainSql("m", "z")},
+      |admitted2 AS (
+      |  SELECT doc_id, text FROM mdocs
+      |  WHERE doc_id NOT IN (SELECT ni FROM mpairs)),
+      |ndocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % $IncrementalMod = $Append2Rem),
+      |vdocs AS (
+      |  SELECT doc_id, text FROM zdocs
+      |  UNION ALL SELECT doc_id, text FROM admitted2),
+      |${admissionChainSql("n", "v")},
+      |${admissionReportSql("n")}""".stripMargin
+
   /** d17's anti-join serve over an ARBITRARY delete set — exposed for
     * the property spec: the "deletion == never ingested" contract is
     * an algebraic claim about pair locality, so it must hold for ANY
@@ -2548,6 +2692,7 @@ object Dedup {
   val d17Sql: String = d02SqlOver(s"doc_id % $IncrementalMod <> $TombstoneRem")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_append_chain" -> d20 _,
     "d19_band_retune_cutover" -> d19 _,
     "d18_incremental_append" -> d18 _,
     "d17_tombstone_neardup" -> d17 _,
@@ -2569,6 +2714,7 @@ object Dedup {
     "d13_canonical_keep" -> d13 _)
 
   val oracle: Map[String, String] = Map(
+    "d20_append_chain" -> d20Sql,
     "d19_band_retune_cutover" -> d19Sql,
     "d18_incremental_append" -> d18Sql,
     "d17_tombstone_neardup" -> d17Sql,

@@ -27,6 +27,207 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  // ---- d20: the multi-day append chain ----
+
+  private def writeDocs(rows: Seq[(Long, String)], tag: String): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-r16-$tag").toString
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("chain induction property: generation k == band rebuild on " +
+    "standing + all admitted through day k, random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1600)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val mod = graft.ops.Dedup.IncrementalMod
+    val days = graft.ops.Dedup.ChainDays
+    for (trial <- 1 to 2) {
+      val nDocs = 24 + rnd.nextInt(12)
+      // contiguous ids populate every census residue: standing, all
+      // three arrival days, tombstones
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong,
+          Array.fill(2 + rnd.nextInt(4))(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val dir = writeDocs(docs, s"chain-prop$trial")
+      // admitted day sets, from the SAME per-day reports the chain folds
+      val admittedByDay = (1 to days.size).map { k =>
+        graft.ops.Dedup.chainDayReport(spark, dir, k)
+          .where(col("admit") === 1L)
+          .collect().map(_.getLong(0)).toSet
+      }
+      for (k <- 1 until days.size) {
+        val got = graft.ops.Dedup.chainArtifact(spark, dir, k)
+          .select(col("i"), col("band"), col("sig"), col("n"),
+            concat_ws(",", col("toks")).as("t"))
+          .collect().map(_.toSeq).toSet
+        // the corpus a never-incremental pipeline would have signed by
+        // the end of day k: standing (no chain day, no tombstone) plus
+        // every admitted arrival through day k
+        val keep = docs.map(_._1).filter { id =>
+          val r = id % mod
+          val dayIx = days.indexOf(r)
+          if (r == graft.ops.Dedup.TombstoneRem) false
+          else if (dayIx < 0) true
+          else dayIx < k && admittedByDay(dayIx).contains(id)
+        }.toSet
+        val rdir = writeDocs(docs.filter(d => keep.contains(d._1)),
+          s"chain-prop$trial-re$k")
+        val rebuilt = graft.ops.Dedup.bandTable(spark, rdir)
+          .select(col("i"), col("band"), col("sig"), col("n"),
+            concat_ws(",", col("toks")).as("t"))
+          .collect().map(_.toSeq).toSet
+        assert(got.nonEmpty && got == rebuilt,
+          s"trial $trial gen $k: chain artifact != rebuild on " +
+            s"standing+admitted(1..$k) (${got.size} vs ${rebuilt.size} rows)")
+      }
+    }
+  }
+
+  test("planted 3-day chain: day-3 vs day-2 admitted/rejected, day-1 " +
+    "admitted, standing, and tombstoned evidence") {
+    // the round-15 append plant extended one day: standing {1,2},
+    // tombstoned {3}, day1 {17 admitted, 27 rejected-dup-of-2},
+    // day2 {19 rejected-dup-of-17, 29 admitted-dup-of-tombstoned,
+    // 39 admitted}, day3 (residue 5) {15 dup of day-2 ADMITTED 39,
+    // 25 dup of day-2 admitted 29, 35 dup of day-1 REJECTED 27 (its
+    // standing near-dup 2 is the evidence instead; also jac-0.5 of 39),
+    // 45 unique}. Band collisions for 35/2 and 35/39 are inherited
+    // from the round-15 plant's offline-verified md5 chain (35 carries
+    // 27's exact text; 27/2 and 27/39 collide).
+    val dir = writeDocs(Seq(
+      1L -> "alpha solo text one",
+      2L -> "apple bran cedar dune",
+      3L -> "tomb gone removed text",
+      17L -> "delta epsilon zeta eta",
+      27L -> "apple bran cedar dune echo fern",
+      19L -> "delta epsilon zeta eta",
+      29L -> "tomb gone removed text",
+      39L -> "cedar dune echo fern grove hazel",
+      15L -> "cedar dune echo fern grove hazel",
+      25L -> "tomb gone removed text",
+      35L -> "apple bran cedar dune echo fern",
+      45L -> "quill rune sable tundra"), "chain-plant")
+    def admittedOn(day: Int): Set[Long] =
+      graft.ops.Dedup.chainDayReport(spark, dir, day)
+        .where(col("admit") === 1L).collect().map(_.getLong(0)).toSet
+    // signal guards: the first two days replay the round-15 plant
+    assert(admittedOn(1) == Set(17L),
+      s"planted day-1 admission drifted: ${admittedOn(1)}")
+    assert(admittedOn(2) == Set(29L, 39L),
+      s"planted day-2 admission drifted: ${admittedOn(2)}")
+    val rows = graft.ops.Dedup.d20(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    // 15 rejected against the day-2 APPENDED doc 39 (generation 2 is
+    // live); 25 rejected against 29 — which itself duplicated a
+    // TOMBSTONED doc and was admitted (takedowns don't block, but the
+    // admitted copy then does); 35 rejected on its STANDING near-dup 2
+    // with n_dups 2 (the 39 pair verifies at jac 0.5) — its day-1
+    // twin 27 was rejected and is NOT evidence; 45 admitted.
+    assert(rows == Seq(
+      (15L, 1L, 39L, 0L),
+      (25L, 1L, 29L, 0L),
+      (35L, 2L, 2L, 0L),
+      (45L, 0L, -1L, 1L)),
+      s"day-3 admission over the chain artifact wrong: $rows")
+  }
+
+  test("warm d20: one published generation-2 scan, day-3 signing only — " +
+    "no earlier-day re-signing, no republish, no LeftAnti") {
+    val sf = "/root/testdata/sf0.001"
+    graft.ops.Dedup.d20(spark, sf).count() // publishes the chain if cold
+    val pub0 = graft.core.Materialize.publishCount
+    val warm = graft.ops.Dedup.d20(spark, sf)
+    warm.count()
+    assert(graft.core.Materialize.publishCount == pub0,
+      "warm d20 must not republish any chain generation")
+    val plan = warm.queryExecution.executedPlan.toString
+    val mod = graft.ops.Dedup.IncrementalMod
+    assert(plan.contains("graft_mat/minhash"),
+      "warm d20 must scan the published chain artifact")
+    assert(!plan.contains(s"% $mod) = ${graft.ops.Dedup.IncrementalRem}"),
+      s"warm d20 re-signed day 1:\n$plan")
+    assert(!plan.contains(s"% $mod) = ${graft.ops.Dedup.AppendRem}"),
+      s"warm d20 re-signed day 2:\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"warm d20 must read the chain artifact, not a live-view anti-join:\n$plan")
+    assert(plan.contains(s"% $mod) = ${graft.ops.Dedup.Append2Rem}"),
+      "warm d20 lost the day-3 arrival pushdown — test lost its signal")
+  }
+
+  // ---- a17 ∘ deletion: retrain on the reduced corpus ----
+
+  /** a world that never ingested the deleted vectors: the embeddings
+    * table rewritten without them, in a temp dir the Tables loader
+    * reads like any corpus. */
+  private def reducedEmbAt(src: String, deleted: Set[Long]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r16-emb").toString
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .where(!col("vec_id").isin(deleted.toSeq: _*))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("a17 ∘ tombstones == retrain on the reduced corpus, for arbitrary " +
+    "delete sets INCLUDING codebook rows; deleted vectors absent from " +
+    "training and the rebuilt index") {
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val allIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val deletable = allIds.filter(_ >= 10) // probes (<10) are the query
+    // workload, not corpus rows — a17RetrainOver's documented premise
+    val rnd = new scala.util.Random(16)
+    val defaultCb = allIds.take(graft.ops.Ann.IvfCentroids)
+    val codebookDel = deletable.take(3).toSet // hits DEFAULT codebook ids
+    assert(codebookDel.exists(defaultCb.contains),
+      "plant drifted: the codebook-deleting set must hit a default codebook row")
+    val sets: Seq[Set[Long]] =
+      codebookDel +: Seq.fill(2)(rnd.shuffle(deletable).take(25).toSet)
+    val none = spark.range(0).select(col("id").as("vec_id"))
+    for (del <- sets) {
+      val tomb = del.toSeq.toDF("vec_id")
+      // training exclusion: no deleted id can be selected as a codebook
+      val ids = graft.ops.Ann.a17LiveCodebookIds(spark, sf, tomb)
+      assert(ids.toSet.intersect(del).isEmpty,
+        s"a deleted vector was selected as a codebook row: $del")
+      // artifact exclusion: no deleted row, no deleted id as a coarse
+      // cluster target, no deleted id as a PQ code target
+      val idx = graft.ops.Ann.a17RetrainIndexOver(spark, sf, tomb, ids).collect()
+      assert(idx.nonEmpty)
+      assert(idx.forall(r => !del.contains(r.getAs[Long]("vec_id"))),
+        "a deleted vector's encoding entered the rebuilt index")
+      assert(idx.map(_.getAs[Long]("cluster")).toSet.subsetOf(ids.toSet),
+        "a cluster target outside the live codebook")
+      val pqIds = ids.take(graft.ops.Ann.PqCentroids).toSet
+      assert(idx.map(_.getAs[Number]("code").longValue).toSet.subsetOf(pqIds),
+        "a PQ code target outside the live PQ codebook")
+      // the served answer == the retrain run in a world that never
+      // ingested the deleted vectors (deletion == never-ingested, the
+      // d17/a16 contract, now closed for the retrain path too)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val got = keyed(graft.ops.Ann.a17RetrainOver(spark, sf, tomb))
+      val reduced = reducedEmbAt(sf, del)
+      val want = keyed(graft.ops.Ann.a17RetrainOver(spark, reduced, none))
+      assert(got == want,
+        s"retrain-after-delete != retrain-on-reduced for delete set of ${del.size}")
+    }
+    // non-vacuity: the codebook-deleting set actually changed the model
+    assert(graft.ops.Ann.a17LiveCodebookIds(spark, sf,
+      codebookDel.toSeq.toDF("vec_id")) != defaultCb,
+      "the codebook-deleting set should force different trained codebooks")
+  }
+
   // ---- s14: pair-key dedup state is watermark-bounded ----
 
   private def writePairFeed(feedDir: String, tag: String,
