@@ -25,7 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `_SUCCESS`-stamped one, never a half-written directory;
   *  - failed writes clean their temp directory (try/finally), and every
   *    publish sweeps stale `.inprogress-*` siblings older than one hour
-  *    — a crashed JVM cannot permanently orphan temp dirs.
+  *    — a crashed JVM cannot permanently orphan temp dirs;
+  *  - generations do NOT accumulate forever: [[retentionSweep]] (round
+  *    16) deletes a family's unpinned generations under structural
+  *    pin-safety guarantees — the lifecycle operators (append/retune/
+  *    compact) mint generations, the retention policy reaps superseded
+  *    ones, and a tombstoned document's rows survive in no retained
+  *    generation (graft.ops.Governance.g01 is the gate-checked report).
   */
 object Materialize {
 
@@ -161,6 +167,87 @@ object Materialize {
       if (!published) fs.delete(tmp, true)
     }
     s.read.parquet(out)
+  }
+
+  /** Complete (`_SUCCESS`-stamped) generation fingerprints currently
+    * published under `<root>/<kind>` — the enumeration a retention
+    * policy decides over. `.inprogress-*` temps (live or crashed
+    * writers — [[sweepStale]]'s jurisdiction, by age) and incomplete
+    * dirs are not generations and are not listed. */
+  def listGenerations(s: SparkSession, kind: String): Seq[String] = {
+    val parent = new org.apache.hadoop.fs.Path(
+      tablePath(s, kind, "x")).getParent
+    val fs = parent.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(parent)) return Seq.empty
+    fs.listStatus(parent).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.contains(".inprogress-"))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName)
+      .sorted
+  }
+
+  /** RETENTION SWEEP (round-16): delete every complete generation of
+    * `kind` that is not pinned. Generations accumulate unboundedly
+    * otherwise — every append folds a new chain generation, every
+    * retune republishes and leaves its stale predecessor, every
+    * compaction leaves the raw artifact behind — and a superseded raw
+    * generation is not just a storage leak: it RETAINS the rows of
+    * legally-deleted documents that compaction removed from the
+    * serving artifact. The policy is the caller's (`pins` names the
+    * currently-serving fingerprint and the rollback generation —
+    * whatever the family's lifecycle designates); the MECHANISM here
+    * guarantees, structurally and by post-assertion:
+    *  - a pinned generation is NEVER deleted, and its files are
+    *    bit-untouched (status-verified before/after — a post-sweep
+    *    serve from a pin is the same bytes);
+    *  - `.inprogress-*` temps are never touched (a live writer's
+    *    publish cannot be swept out from under it; crashed temps age
+    *    out via [[sweepStale]]);
+    *  - incomplete dirs (no `_SUCCESS`) are never touched — anomalous
+    *    state is surfaced to the report, not destroyed;
+    *  - empty `pins` is refused: a sweep with no serving pin would
+    *    delete the whole family.
+    * Returns (retained, swept) fingerprint lists. Pins that are not
+    * currently published are allowed (a pin is an intent, not an
+    * existence claim) and simply don't appear in `retained`. */
+  def retentionSweep(s: SparkSession, kind: String,
+                     pins: Set[String]): (Seq[String], Seq[String]) = {
+    require(pins.nonEmpty,
+      s"retentionSweep($kind): empty pin set — refusing to sweep a whole family")
+    val fs = new org.apache.hadoop.fs.Path(tablePath(s, kind, "x"))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def statusOf(fp: String): Seq[(String, Long, Long)] = {
+      val root = new org.apache.hadoop.fs.Path(tablePath(s, kind, fp))
+      if (!fs.exists(root)) Seq.empty
+      else {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next()
+          buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
+        }
+        buf.sortBy(_._1).toSeq
+      }
+    }
+    val before = listGenerations(s, kind)
+    val pinnedBefore = before.filter(pins.contains)
+    val pinStatus = pinnedBefore.map(fp => fp -> statusOf(fp)).toMap
+    val toSweep = before.filterNot(pins.contains)
+    toSweep.foreach { fp =>
+      fs.delete(new org.apache.hadoop.fs.Path(tablePath(s, kind, fp)), true)
+    }
+    val after = listGenerations(s, kind)
+    // post-assertions: the sweep is only correct if the pins survived
+    // it byte-identically — fail loudly rather than serve a damaged pin
+    pinnedBefore.foreach { fp =>
+      if (!after.contains(fp))
+        throw new IllegalStateException(
+          s"retentionSweep($kind): pinned generation $fp vanished during sweep")
+      if (statusOf(fp) != pinStatus(fp))
+        throw new IllegalStateException(
+          s"retentionSweep($kind): pinned generation $fp changed during sweep")
+    }
+    (after, toSweep)
   }
 
   /** Delete `.inprogress-*` siblings older than one hour — residue of

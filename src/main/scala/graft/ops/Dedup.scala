@@ -293,6 +293,15 @@ object Dedup {
       .toDF("i", "band", "sig", "n", "toks")
   }
 
+  /** [[bandRowsFor]] exposed for the retention demo family
+    * (graft.ops.Governance g01) and its specs: the retention story is
+    * only meaningful over REAL artifacts built by the real signature
+    * kernels — a tombstoned doc's band rows are what a superseded raw
+    * generation illegally retains. */
+  private[graft] def bandRowsForDocs(s: SparkSession, docs: DataFrame,
+                                     bandRows: Int): DataFrame =
+    bandRowsFor(s, docs, bandRows)
+
   /** The published band-signature table — a13's index build/serve
     * separation applied to the dedup suite: built ONCE per corpus
     * fingerprint through [[graft.core.Materialize]], consumed by d02

@@ -7,8 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Ops {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ TextAnalysis.queries ++ Ann.queries ++
-      Multimodal.queries ++ Pipeline.queries ++ AsOfJoin.queries
+      Multimodal.queries ++ Pipeline.queries ++ AsOfJoin.queries ++
+      Governance.queries
   def oracle: Map[String, String] =
     Dedup.oracle ++ TextAnalysis.oracle ++ Ann.oracle ++
-      Multimodal.oracle ++ Pipeline.oracle ++ AsOfJoin.oracle
+      Multimodal.oracle ++ Pipeline.oracle ++ AsOfJoin.oracle ++
+      Governance.oracle
 }

@@ -70,7 +70,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "m03_dhash_neardup" -> "per-blob dHash dispatcher (ImageIO decode / byte-block stub)",
     "m05_patch_extract" -> "per-blob patch dispatcher (ImageIO decode -> luminance tile / char stub)",
     "d16_incremental_neardup" -> "d02's signature + merge-intersect verify kernels over the arrival batch (the corpus side is the published table, kernel-free)",
-    "d18_incremental_append" -> "d16's kernels over the DAY-2 arrival batch (the corpus side is the published APPENDED table, kernel-free)")
+    "d18_incremental_append" -> "d16's kernels over the DAY-2 arrival batch (the corpus side is the published APPENDED table, kernel-free)",
+    "d20_append_chain" -> "d16's kernels over the DAY-3 arrival batch (the corpus side is the published chain generation-2 table, kernel-free)")
   // d17 is deliberately NOT in the object-kernel allow-list: its serve
   // plan is a pure anti-join read of the published pair table — a
   // MapPartitions appearing in it would mean the report regressed to

@@ -27,6 +27,135 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  // ---- retention: the generation sweep (Materialize.retentionSweep) ----
+
+  private def withMatDir[T](body: => T): T = {
+    val mat = java.nio.file.Files.createTempDirectory("graft-r16-mat").toString
+    spark.conf.set("spark.graft.mat.dir", mat)
+    try body finally spark.conf.unset("spark.graft.mat.dir")
+  }
+
+  test("retention sweep on the real minhash family: superseded generations " +
+    "gone, pins survive byte-untouched, post-sweep serves bit-identical and warm") {
+    withMatDir {
+      val sf = "/root/testdata/sf0.001"
+      // stage the family's generations: default (d02's band table),
+      // stale (d19's gen 1), chain generations 1 and 2 (d20)
+      def d02Rows() = graft.ops.Dedup.d02(spark, sf).collect().map(_.toSeq).toSeq
+      def d20Rows() = graft.ops.Dedup.d20(spark, sf).collect().map(_.toSeq).toSeq
+      val d02Before = d02Rows()
+      graft.ops.Dedup.staleBandTable(spark, sf).count()
+      val d20Before = d20Rows()
+      val gens = graft.core.Materialize.listGenerations(spark, "minhash")
+      assert(gens.size >= 4, s"expected >=4 staged generations, got $gens")
+      // the policy: pin the serving generation (the default band table —
+      // every consumer's cutover target) and the rollback (chain gen 2,
+      // d20's serving artifact); age out the stale + chain gen 1
+      val pins = Set(
+        graft.ops.Dedup.minhashFingerprint(spark, sf),
+        graft.ops.Dedup.chainFingerprint(spark, sf, 2))
+      assert(pins.subsetOf(gens.toSet), "pins must be published before the sweep")
+      val (retained, swept) =
+        graft.core.Materialize.retentionSweep(spark, "minhash", pins)
+      assert(retained.toSet == pins,
+        s"retained must be exactly the pins: $retained vs $pins")
+      assert(swept.nonEmpty && swept.toSet.intersect(pins).isEmpty,
+        s"sweep must remove the unpinned generations only: $swept")
+      assert(graft.core.Materialize.listGenerations(spark, "minhash").toSet == pins)
+      // post-sweep serves from the pins: bit-identical AND warm — the
+      // sweep neither touched the pinned bytes nor forced a republish
+      val pub0 = graft.core.Materialize.publishCount
+      assert(d02Rows() == d02Before, "post-sweep d02 serve != pre-sweep")
+      assert(d20Rows() == d20Before, "post-sweep d20 serve != pre-sweep")
+      assert(graft.core.Materialize.publishCount == pub0,
+        "post-sweep serves must stay warm — a republish means a pin was damaged")
+    }
+  }
+
+  test("retention privacy property: zero tombstoned rows on disk in any " +
+    "retained generation after the g01 cycle, random corpora") {
+    val s = spark
+    import s.implicits._
+    withMatDir {
+      val rnd = new scala.util.Random(1601)
+      val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta", "iota", "kappa")
+      val mod = graft.ops.Dedup.IncrementalMod
+      for (trial <- 1 to 3) {
+        val nDocs = 20 + rnd.nextInt(20)
+        val docs = (0 until nDocs).map { i =>
+          (i.toLong,
+            Array.fill(2 + rnd.nextInt(4))(words(rnd.nextInt(words.length))).mkString(" "))
+        }
+        val dir = writeDocs(docs, s"ret-priv$trial")
+        val tombIds = docs.map(_._1)
+          .filter(_ % mod == graft.ops.Dedup.TombstoneRem)
+        val report = graft.ops.Governance.g01(spark, dir).collect()
+          .map(r => r.getString(1) -> (r.getLong(3), r.getLong(5), r.getLong(7)))
+          .toMap // role -> (retained, tomb_before, tomb_after)
+        // the full generations RETAINED deleted docs' rows before the
+        // sweep (the leak the sweep exists to stop) — and are gone after
+        assert(report("superseded-full-8x2") ==
+          ((0L, 8L * tombIds.size, 0L)), s"trial $trial: ${report.toSeq}")
+        assert(report("superseded-full-4x4") ==
+          ((0L, 4L * tombIds.size, 0L)), s"trial $trial: ${report.toSeq}")
+        for (tag <- Seq("full-8x2", "full-4x4"))
+          assert(!graft.core.Materialize.exists(spark,
+            graft.ops.Governance.Kind, graft.ops.Governance.fp(dir, tag)),
+            s"trial $trial: superseded generation $tag still on disk")
+        // the privacy claim verified ON DISK, not from the report: no
+        // retained generation of this corpus holds a tombstoned doc's rows
+        for (tag <- Seq("live-8x2", "live-4x4")) {
+          val t = spark.read.parquet(graft.core.Materialize.tablePath(
+            spark, graft.ops.Governance.Kind, graft.ops.Governance.fp(dir, tag)))
+          val leaked =
+            if (tombIds.isEmpty) 0L
+            else t.where(col("i").isin(tombIds: _*)).count()
+          assert(leaked == 0L,
+            s"trial $trial: $leaked tombstoned rows retained in $tag")
+        }
+      }
+    }
+  }
+
+  test("retention sweep guards: empty pins refused; pins always survive " +
+    "random pin subsets; in-progress temps untouched") {
+    val s = spark
+    import s.implicits._
+    withMatDir {
+      val kind = "guard"
+      val fps = (1 to 5).map(i => s"fp$i")
+      def ensureAll(): Unit = fps.foreach { f =>
+        graft.core.Materialize.readOrCompute(spark, kind, f)(
+          Seq((1L, f)).toDF("k", "v"))
+      }
+      ensureAll()
+      intercept[IllegalArgumentException] {
+        graft.core.Materialize.retentionSweep(spark, kind, Set.empty)
+      }
+      assert(graft.core.Materialize.listGenerations(spark, kind).size == 5,
+        "the refused sweep must not have deleted anything")
+      // a live writer's temp dir must never be touched
+      val inprog = new java.io.File(new java.io.File(
+        graft.core.Materialize.tablePath(spark, kind, "fp1")).getParent,
+        "fp9.inprogress-123-456")
+      inprog.mkdirs()
+      java.nio.file.Files.write(new java.io.File(inprog, "part-0").toPath,
+        "x".getBytes("UTF-8"))
+      val rnd = new scala.util.Random(1602)
+      for (trial <- 1 to 3) {
+        ensureAll()
+        val pins = fps.filter(_ => rnd.nextBoolean()).toSet + fps(rnd.nextInt(5))
+        val (retained, swept) =
+          graft.core.Materialize.retentionSweep(spark, kind, pins)
+        assert(retained.toSet == pins, s"trial $trial: $retained vs $pins")
+        assert(swept.toSet == fps.toSet -- pins, s"trial $trial: $swept")
+        assert(inprog.exists() && new java.io.File(inprog, "part-0").exists(),
+          s"trial $trial: the sweep touched a live writer's temp dir")
+      }
+    }
+  }
+
   // ---- d20: the multi-day append chain ----
 
   private def writeDocs(rows: Seq[(Long, String)], tag: String): String = {
