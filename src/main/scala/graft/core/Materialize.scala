@@ -205,11 +205,19 @@ object Materialize {
     *    out via [[sweepStale]]);
     *  - incomplete dirs (no `_SUCCESS`) are never touched — anomalous
     *    state is surfaced to the report, not destroyed;
-    *  - empty `pins` is refused: a sweep with no serving pin would
-    *    delete the whole family.
-    * Returns (retained, swept) fingerprint lists. Pins that are not
-    * currently published are allowed (a pin is an intent, not an
-    * existence claim) and simply don't appear in `retained`. */
+    *  - empty `pins` is refused, and so is a pin set where NO pin
+    *    matches any published generation while generations exist: both
+    *    would sweep the whole family. The all-stale case is the sharper
+    *    trap — a caller that recomputes pin fingerprints after a corpus
+    *    regeneration or code-salt change (the round-10 class) holds
+    *    syntactically valid pins that name nothing on disk, and an
+    *    unguarded sweep would silently delete the serving artifact with
+    *    `retained` = [].
+    * Returns (retained, swept) fingerprint lists. A MIXED pin set where
+    * some pins are not currently published is allowed (a pin is an
+    * intent, not an existence claim — e.g. a rollback generation never
+    * built at this site); unpublished pins simply don't appear in
+    * `retained`. */
   def retentionSweep(s: SparkSession, kind: String,
                      pins: Set[String]): (Seq[String], Seq[String]) = {
     require(pins.nonEmpty,
@@ -231,6 +239,10 @@ object Materialize {
     }
     val before = listGenerations(s, kind)
     val pinnedBefore = before.filter(pins.contains)
+    require(before.isEmpty || pinnedBefore.nonEmpty,
+      s"retentionSweep($kind): no pin matches any published generation " +
+        s"(published: ${before.mkString(",")}; pins: ${pins.mkString(",")}) — " +
+        "refusing to sweep a whole family under stale pins")
     val pinStatus = pinnedBefore.map(fp => fp -> statusOf(fp)).toMap
     val toSweep = before.filterNot(pins.contains)
     toSweep.foreach { fp =>

@@ -135,6 +135,22 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(graft.core.Materialize.listGenerations(spark, kind).size == 5,
         "the refused sweep must not have deleted anything")
+      // ALL-STALE pins (the round-10 class: fingerprints recomputed
+      // after a corpus regen name nothing on disk) must be refused too
+      // — they are the empty-pin trap in a syntactically-valid coat
+      intercept[IllegalArgumentException] {
+        graft.core.Materialize.retentionSweep(spark, kind,
+          Set("stale-a", "stale-b"))
+      }
+      assert(graft.core.Materialize.listGenerations(spark, kind).size == 5,
+        "the all-stale-pins sweep must not have deleted anything")
+      // a MIXED set (one published pin + stale intents) stays allowed
+      locally {
+        val (retained, swept) = graft.core.Materialize.retentionSweep(
+          spark, kind, Set("fp1", "stale-rollback-intent"))
+        assert(retained == Seq("fp1") && swept.toSet == fps.toSet - "fp1")
+      }
+      ensureAll()
       // a live writer's temp dir must never be touched
       val inprog = new java.io.File(new java.io.File(
         graft.core.Materialize.tablePath(spark, kind, "fp1")).getParent,
