@@ -72,6 +72,51 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("retention sweep on the real ivfpq family: rollback generation aged " +
+    "out, serving pin survives, a13/a16 serves bit-identical and warm, and a " +
+    "post-sweep rollback serve self-heals via readOrCompute") {
+    withMatDir {
+      val sf = "/root/testdata/sf0.001"
+      def a13Rows() = graft.ops.Ann.a13(spark, sf).collect().map(_.toSeq).toSeq
+      def a16Rows() = graft.ops.Ann.a16(spark, sf).collect().map(_.toSeq).toSeq
+      // stage the family's generations: the stale (rollback) index a17's
+      // world leaves behind, and the retrained serving index (a13's
+      // default build fingerprint — a17's cutover target)
+      val staleBefore = graft.ops.Ann.a17StaleServe(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      val a13Before = a13Rows()
+      val a16Before = a16Rows()
+      val servingFp = graft.ops.Ann.ivfpqFingerprint(spark, sf)
+      val staleFp = graft.ops.Ann.a17StaleFingerprint(spark, sf)
+      assert(graft.core.Materialize.listGenerations(spark, "ivfpq").toSet ==
+        Set(servingFp, staleFp), "expected exactly {serving, rollback} staged")
+      // the policy ages the rollback out once its retention window
+      // passes; the serving pin survives
+      val (retained, swept) =
+        graft.core.Materialize.retentionSweep(spark, "ivfpq", Set(servingFp))
+      assert(retained == Seq(servingFp) && swept == Seq(staleFp),
+        s"retained=$retained swept=$swept")
+      // serves over the pinned generation: bit-identical AND warm
+      val pub0 = graft.core.Materialize.publishCount
+      assert(a13Rows() == a13Before, "post-sweep a13 serve != pre-sweep")
+      assert(a16Rows() == a16Before, "post-sweep a16 serve != pre-sweep")
+      assert(graft.core.Materialize.publishCount == pub0,
+        "post-sweep serves must stay warm — a republish means the pin was damaged")
+      // a consumer that reads the SWEPT generation self-heals: the
+      // rollback serve rebuilds it through readOrCompute (one republish,
+      // bit-identical answer) — a sweep can cost a rebuild, never
+      // corruption or an error. (a17's own gate path never reads the
+      // stale generation at census scale: its trigger is a census
+      // count and the census always fires the retrain.)
+      val staleAfter = graft.ops.Ann.a17StaleServe(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(staleAfter == staleBefore,
+        "post-sweep rollback serve != pre-sweep (self-heal rebuilt differently)")
+      assert(graft.core.Materialize.publishCount == pub0 + 1,
+        "the self-heal must be exactly one republish of the swept generation")
+    }
+  }
+
   test("retention privacy property: zero tombstoned rows on disk in any " +
     "retained generation after the g01 cycle, random corpora") {
     val s = spark
