@@ -213,6 +213,13 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(swept.toSet == fps.toSet -- pins, s"trial $trial: $swept")
         assert(inprog.exists() && new java.io.File(inprog, "part-0").exists(),
           s"trial $trial: the sweep touched a live writer's temp dir")
+        // idempotence: re-running the sweep with the same pins is a
+        // no-op (retained unchanged, nothing left to delete) — a retry
+        // after a partial failure or a double-fired retention job is safe
+        val (retained2, swept2) =
+          graft.core.Materialize.retentionSweep(spark, kind, pins)
+        assert(retained2.toSet == pins && swept2.isEmpty,
+          s"trial $trial: re-sweep not a no-op: $retained2 / $swept2")
       }
     }
   }
