@@ -19,12 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the artifact's semantics depend on (the operator object AND its
   *    named dependencies, e.g. the table loaders) — any recompiled
   *    change to those classes invalidates the cache;
-  *  - publication is write-temp-then-rename through the Hadoop
-  *    FileSystem API (works identically on file:, hdfs://, s3a://): a
-  *    concurrent reader sees either no table or a complete
-  *    `_SUCCESS`-stamped one, never a half-written directory;
+  *  - publication is write-temp, rename, then stamp `_SUCCESS` at the
+  *    destination LAST (see [[publish]]): a concurrent reader sees
+  *    either no complete table or a fully-visible one, never a
+  *    half-written directory — including on stores whose directory
+  *    rename is not atomic (s3a, where a rename is a file-by-file
+  *    copy); and a re-publish of a key already holding a complete
+  *    table defers to it rather than replacing identical bytes under
+  *    a live reader;
   *  - failed writes clean their temp directory (try/finally), and every
-  *    publish sweeps stale `.inprogress-*` siblings older than one hour
+  *    publish sweeps stale `.inprogress-*` siblings older than the
+  *    staleness horizon (1 h default, `spark.graft.mat.sweepAgeMs`)
   *    — a crashed JVM cannot permanently orphan temp dirs;
   *  - generations do NOT accumulate forever: [[retentionSweep]] (round
   *    16) deletes a family's unpinned generations under structural
@@ -70,22 +75,61 @@ object Materialize {
     * algorithm descriptor and code salt — pure filesystem metadata, no
     * data read. Listed through the Hadoop FileSystem API so a remote
     * input (hdfs://, s3a://) fingerprints the same way a local one
-    * does. */
+    * does.
+    *
+    * The file listing is cached per (dir, table) with a SHORT TTL
+    * (120 s default; `spark.graft.mat.fingerprintTtlMs`): one query
+    * legitimately fingerprints the same input several times (band table
+    * + live view + compacted/appended/chain keys, all within seconds),
+    * and on an object store each uncached call would be a full
+    * recursive LIST of the input tree — thousands of paginated requests
+    * on a millions-of-files corpus, multiplied per entry. The TTL keeps
+    * the module's staleness guarantee honest: across processes it is
+    * still structurally impossible (the cache dies with the JVM — the
+    * round-10 corpus-regen class is always a new driver session), and
+    * within one process a rewritten-in-place input is re-keyed after at
+    * most the TTL; a caller that rewrites an input and must re-key
+    * IMMEDIATELY calls [[fingerprintCacheClear]]. */
   def fingerprint(dir: String, table: String,
                   algo: String, salt: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val root = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-    val fs = root.getFileSystem(hadoopConf)
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      files += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
-    }
-    files.sorted.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    val ttl = SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.mat.fingerprintTtlMs"))
+      .map(_.toLong).getOrElse(120000L)
+    val key = s"$dir/$table.parquet"
+    val now = System.currentTimeMillis()
+    // the cache holds the SORTED LISTING LINES, not a pre-digest: the
+    // bytes fed to md below are identical to an uncached walk, so a
+    // cached and an uncached call produce the same fingerprint (cached
+    // keys must keep addressing the artifacts published before the
+    // cache existed)
+    val lines = Option(listingCache.get(key))
+      .collect { case (t, ls) if now - t < ttl => ls }
+      .getOrElse {
+        val root = new org.apache.hadoop.fs.Path(key)
+        val fs = root.getFileSystem(hadoopConf)
+        val files = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next()
+          files += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+        }
+        val ls = files.sorted.toSeq
+        listingCache.put(key, (now, ls))
+        ls
+      }
+    lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
     md.update(s"$dir|$algo|$salt".getBytes("UTF-8"))
     hex(md.digest())
   }
+
+  private val listingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
+
+  /** Drop the input-listing cache — for callers that rewrite an input
+    * table in place and must re-key before the TTL lapses (tests do;
+    * no production caller here does — see [[fingerprint]]). */
+  def fingerprintCacheClear(): Unit = listingCache.clear()
 
   /** Root of all materialized tables. Local default for the bench box;
     * a cluster deployment points `spark.graft.mat.dir` at shared storage
@@ -111,13 +155,22 @@ object Materialize {
   def readOrCompute(s: SparkSession, kind: String, fp: String)
                    (compute: => DataFrame): DataFrame = {
     if (exists(s, kind, fp)) s.read.parquet(tablePath(s, kind, fp))
-    else this.synchronized {
+    else keyLock(s"$kind/$fp").synchronized {
       // re-check under the lock: another thread of this JVM may have
-      // published while we waited
+      // published while we waited. The lock is PER KEY — two threads
+      // cold-building unrelated artifacts (say the band table and the
+      // pair table) build concurrently; a JVM-global lock here would
+      // serialize every cold path behind whichever multi-hour build
+      // happened to start first.
       if (exists(s, kind, fp)) s.read.parquet(tablePath(s, kind, fp))
       else publish(s, kind, fp)(compute)
     }
   }
+
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def keyLock(key: String): Object =
+    keyLocks.computeIfAbsent(key, _ => new Object)
 
   /** Count of publish() computations in this JVM. Bench samples it
     * around each timed query and stamps the delta into its diag line:
@@ -129,21 +182,37 @@ object Materialize {
   private val publishCalls = new java.util.concurrent.atomic.AtomicLong(0)
   def publishCount: Long = publishCalls.get
 
-  /** Compute `compute` and PUBLISH it at the key (temp write + atomic
-    * rename), returning a reader of the published table. Used directly
+  /** Compute `compute` and PUBLISH it at the key (temp write + rename +
+    * marker), returning a reader of the published table. Used directly
     * by the entries that ARE the measured kernel (d03, d07, a07): they
     * always compute fresh and leave the table behind for consumers.
     *
-    * If another process publishes the same fingerprint first, we defer
-    * to the winner — its table is identical by construction. The
-    * residual window (delete-then-rename of a re-run is not one atomic
-    * op) is between two re-runs of the SAME input+algorithm, whose
-    * tables are identical. */
+    * Completeness is signalled by a `_SUCCESS` marker written AT THE
+    * DESTINATION, AFTER the rename — not by the marker the committer
+    * left inside the temp dir (that one is deleted before the rename).
+    * On a store where directory rename is not atomic (s3a is a
+    * file-by-file client-side copy, and `_SUCCESS` sorts before
+    * `part-*`), a rename-carried marker could become visible before the
+    * data files, and [[exists]]/[[readOrCompute]] would read a partial
+    * table silently; marker-last makes "_SUCCESS visible ⇒ every data
+    * file visible" hold on any store. A crash between rename and marker
+    * leaves an incomplete destination that [[exists]] refuses and the
+    * next publish of the key replaces.
+    *
+    * If the key already holds a COMPLETE table, we defer to it without
+    * touching its files: same fingerprint = same input identity + same
+    * algorithm + same code bytecode = the same logical content, and
+    * replacing identical bytes would yank the directory out from under
+    * any reader mid-scan — the always-publish kernels would otherwise do
+    * exactly that to their own consumers on every rerun. (The compute
+    * and temp write still happen and are still the measured cost; only
+    * the swap is skipped.) */
   def publish(s: SparkSession, kind: String, fp: String)
              (compute: => DataFrame): DataFrame = {
     publishCalls.incrementAndGet()
     val out = tablePath(s, kind, fp)
     val outPath = new org.apache.hadoop.fs.Path(out)
+    val success = new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")
     val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     sweepStale(fs, outPath.getParent)
     val tmp = new org.apache.hadoop.fs.Path(out +
@@ -151,14 +220,25 @@ object Materialize {
     var published = false
     try {
       compute.write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(outPath)) fs.delete(outPath, true) // re-run: replace
-      if (fs.rename(tmp, outPath)) published = true
-      else {
-        // rename refuses when the destination exists: a concurrent
-        // process published this fingerprint between our delete and
-        // rename — defer to it
-        if (!fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")))
-          throw new IllegalStateException(s"failed to publish $kind table at $out")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+      if (fs.exists(success)) {
+        () // complete table already at the key: defer (content-identical)
+      } else {
+        if (fs.exists(outPath)) fs.delete(outPath, true) // incomplete residue: replace
+        if (fs.rename(tmp, outPath)) {
+          fs.create(success, true).close()
+          published = true
+        } else {
+          // rename refuses when the destination exists: a concurrent
+          // process published this fingerprint between our check and
+          // rename — defer to the winner, allowing for its
+          // rename-to-marker window
+          val deadline = System.currentTimeMillis() + 30000
+          while (!fs.exists(success) && System.currentTimeMillis() < deadline)
+            Thread.sleep(100)
+          if (!fs.exists(success))
+            throw new IllegalStateException(s"failed to publish $kind table at $out")
+        }
       }
     } finally {
       // a throw anywhere above (including mid-write) must not orphan
@@ -217,7 +297,17 @@ object Materialize {
     * some pins are not currently published is allowed (a pin is an
     * intent, not an existence claim — e.g. a rollback generation never
     * built at this site); unpublished pins simply don't appear in
-    * `retained`. */
+    * `retained`.
+    *
+    * Concurrency contract: run the sweep in a maintenance window with
+    * respect to consumers of UNPINNED generations — a job mid-scan of a
+    * generation the policy is about to age out fails with missing-file
+    * errors (never wrong results: the marker is gone first only if the
+    * whole dir is). Consumers of pinned generations are always safe
+    * (pins are bit-untouched), and a concurrent re-publish of a pinned
+    * fingerprint no longer trips the byte-identity post-assertion:
+    * [[publish]] defers to an existing complete table instead of
+    * replacing it. */
   def retentionSweep(s: SparkSession, kind: String,
                      pins: Set[String]): (Seq[String], Seq[String]) = {
     require(pins.nonEmpty,
@@ -262,19 +352,29 @@ object Materialize {
     (after, toSweep)
   }
 
-  /** Delete `.inprogress-*` siblings older than one hour — residue of
-    * crashed JVMs (this sweep is belt-and-braces on top of the
-    * in-process try/finally). Staleness is judged by the NEWEST mtime
-    * anywhere under the temp dir, not the top-level dir's: on HDFS/S3A
-    * the parent's mtime need not advance while Spark writes task files
-    * beneath it, so a top-level check could delete a live >1h publish
-    * out from under its writer. A live writer keeps creating/renaming
-    * task files, so its newest descendant stays fresh. */
+  /** Delete `.inprogress-*` siblings older than the staleness horizon
+    * (default one hour; `spark.graft.mat.sweepAgeMs` overrides) —
+    * residue of crashed JVMs (this sweep is belt-and-braces on top of
+    * the in-process try/finally). Staleness is judged by the NEWEST
+    * mtime anywhere under the temp dir, not the top-level dir's: on
+    * HDFS/S3A the parent's mtime need not advance while Spark writes
+    * task files beneath it, so a top-level check could delete a live
+    * >1h publish out from under its writer. A live writer keeps
+    * creating/renaming task files, so its newest descendant stays fresh
+    * — PROVIDED tasks close files within the horizon. A single file
+    * open longer than the horizon advances nothing (HDFS stamps mtime
+    * at create/close; an in-flight s3a multipart upload lists nothing
+    * at all), so a deployment whose individual task files can take
+    * longer than an hour to write must raise `sweepAgeMs` above its
+    * worst-case single-file write time. */
   private def sweepStale(fs: org.apache.hadoop.fs.FileSystem,
                          parent: org.apache.hadoop.fs.Path): Unit = {
     try {
       if (!fs.exists(parent)) return
-      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      val age = SparkSession.getActiveSession
+        .flatMap(_.conf.getOption("spark.graft.mat.sweepAgeMs"))
+        .map(_.toLong).getOrElse(60L * 60 * 1000)
+      val cutoff = System.currentTimeMillis() - age
       fs.listStatus(parent).foreach { st =>
         if (st.isDirectory && st.getPath.getName.contains(".inprogress-") &&
             newestMtime(fs, st.getPath, st.getModificationTime) < cutoff)

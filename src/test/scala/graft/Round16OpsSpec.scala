@@ -72,6 +72,76 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("publish: re-publishing a complete key defers (files bit-untouched " +
+    "under live readers); incomplete residue is replaced; marker is stamped " +
+    "at the destination") {
+    val s = spark
+    import s.implicits._
+    withMatDir {
+      val kind = "pubguard"
+      def fileStatuses(fp: String) = {
+        val root = new java.io.File(
+          graft.core.Materialize.tablePath(spark, kind, fp))
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(root).map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+      }
+      // first publish: completes with the marker AT the destination
+      val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      graft.core.Materialize.publish(spark, kind, "fpA")(df)
+      assert(graft.core.Materialize.exists(spark, kind, "fpA"))
+      val before = fileStatuses("fpA")
+      assert(before.exists(_._1.endsWith("_SUCCESS")))
+      // re-publish of the same (complete) key: the compute runs, the
+      // swap does not — every file byte-untouched (same paths, lengths,
+      // mtimes), so a reader mid-scan of the key never loses a file
+      val pub0 = graft.core.Materialize.publishCount
+      Thread.sleep(1100) // ensure a swap WOULD move mtimes
+      graft.core.Materialize.publish(spark, kind, "fpA")(df)
+      assert(graft.core.Materialize.publishCount == pub0 + 1,
+        "the deferred publish still counts (its compute ran)")
+      assert(fileStatuses("fpA") == before,
+        "re-publish of a complete key must not touch its files")
+      // incomplete residue (no _SUCCESS — e.g. a crash between rename
+      // and marker) is refused by exists() and REPLACED by publish
+      val resDir = new java.io.File(
+        graft.core.Materialize.tablePath(spark, kind, "fpB"))
+      resDir.mkdirs()
+      java.nio.file.Files.write(new java.io.File(resDir, "junk").toPath,
+        "partial".getBytes("UTF-8"))
+      assert(!graft.core.Materialize.exists(spark, kind, "fpB"))
+      graft.core.Materialize.publish(spark, kind, "fpB")(df)
+      assert(graft.core.Materialize.exists(spark, kind, "fpB"))
+      assert(!new java.io.File(resDir, "junk").exists(),
+        "the incomplete residue must have been replaced wholesale")
+      assert(spark.read.parquet(resDir.getPath).count() == 2L)
+    }
+  }
+
+  test("fingerprint: per-JVM listing cache is stable and byte-compatible; " +
+    "clear() re-reads the tree") {
+    val s = spark
+    import s.implicits._
+    val dir = writeDocs(Seq((1L, "alpha"), (2L, "beta")), "fpcache")
+    val salt = "testsalt"
+    val fp1 = graft.core.Materialize.fingerprint(dir, "documents", "algoX", salt)
+    assert(fp1 == graft.core.Materialize.fingerprint(dir, "documents", "algoX", salt),
+      "same input+algo must fingerprint identically")
+    assert(fp1 != graft.core.Materialize.fingerprint(dir, "documents", "algoY", salt),
+      "the algo descriptor must still enter the key")
+    // the TTL cache makes an in-place rewrite invisible for at most
+    // spark.graft.mat.fingerprintTtlMs (the documented contract: no
+    // production caller rewrites an input in place, and a new JVM
+    // always re-lists); fingerprintCacheClear() re-keys immediately
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(fp1 == graft.core.Materialize.fingerprint(dir, "documents", "algoX", salt),
+      "cached listing must serve until cleared")
+    graft.core.Materialize.fingerprintCacheClear()
+    assert(fp1 != graft.core.Materialize.fingerprint(dir, "documents", "algoX", salt),
+      "after clear() the rewritten tree must re-key")
+  }
+
   test("retention sweep on the real ivfpq family: rollback generation aged " +
     "out, serving pin survives, a13/a16 serves bit-identical and warm, and a " +
     "post-sweep rollback serve self-heals via readOrCompute") {
