@@ -25,11 +25,19 @@ object Dedup {
 
   // ---- d01: exact dedup summary (hash groupBy) ----
 
+  /** The distinct key is the 16-byte MD5 of the text, not the raw
+    * column: countDistinct over full documents shuffles the corpus
+    * text as the grouping key at 100 TB (map-side partial distinct
+    * only removes intra-partition repeats), while the hash key caps
+    * the exchange at 16 bytes/doc under the suite's accepted ~2^-64
+    * collision class (file header). NULL text hashes to NULL and stays
+    * excluded from the distinct count, exactly like the raw column and
+    * the oracle's COUNT(DISTINCT text). */
   def d01(s: SparkSession, d: String): DataFrame =
     documents(s, d).agg(
       big(count(lit(1))).as("total_docs"),
-      big(countDistinct(col("text"))).as("distinct_texts"),
-      big(count(lit(1)) - countDistinct(col("text"))).as("redundant_docs"))
+      big(countDistinct(md5(col("text")))).as("distinct_texts"),
+      big(count(lit(1)) - countDistinct(md5(col("text")))).as("redundant_docs"))
 
   val d01Sql: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
@@ -268,12 +276,21 @@ object Dedup {
     ids
   }
 
-  private def bandRowsFor(s: SparkSession, docs: DataFrame,
+  /** NULL text is cut up front, matching the SQL-expression paths'
+    * semantics (split/explode of NULL emits no rows, so a null-text doc
+    * is simply absent) — without the guard, one malformed row in a
+    * 100 TB corpus would NPE the whole signing job hours in.
+    * private[graft]: the retention demo family (graft.ops.Governance
+    * g01) and its specs build REAL artifacts with this kernel — a
+    * tombstoned doc's band rows are what a superseded raw generation
+    * illegally retains. */
+  private[graft] def bandRowsFor(s: SparkSession, docs: DataFrame,
                           bandRows: Int = BandRows): DataFrame = {
     import s.implicits._
     val numBands = MinhashSeeds / bandRows
     val par = s.sparkContext.defaultParallelism
     docs.select(col("doc_id"), col("text"))
+      .where(col("text").isNotNull)
       .repartition(par, col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -293,15 +310,6 @@ object Dedup {
       .toDF("i", "band", "sig", "n", "toks")
   }
 
-  /** [[bandRowsFor]] exposed for the retention demo family
-    * (graft.ops.Governance g01) and its specs: the retention story is
-    * only meaningful over REAL artifacts built by the real signature
-    * kernels — a tombstoned doc's band rows are what a superseded raw
-    * generation illegally retains. */
-  private[graft] def bandRowsForDocs(s: SparkSession, docs: DataFrame,
-                                     bandRows: Int): DataFrame =
-    bandRowsFor(s, docs, bandRows)
-
   /** The published band-signature table — a13's index build/serve
     * separation applied to the dedup suite: built ONCE per corpus
     * fingerprint through [[graft.core.Materialize]], consumed by d02
@@ -309,9 +317,54 @@ object Dedup {
     * s06's batch reference. A warm consumer never touches raw text;
     * band-key truncation collisions and staleness are covered by the
     * fingerprint key exactly as for a13's PQ codes. */
-  private[graft] def bandTable(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "minhash", minhashFingerprint(s, d))(
+  private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
+    val fp = minhashFingerprint(s, d)
+    val cold = !graft.core.Materialize.exists(s, "minhash", fp)
+    val t = graft.core.Materialize.readOrCompute(s, "minhash", fp)(
       buildBandTable(s, d))
+    // hot-bucket census on the COLD build only (one aggregate over the
+    // just-published slim table, once per corpus fingerprint): an
+    // exact-duplicate mega-cluster — web-crawl boilerplate — shares ALL
+    // band signatures, so its bucket's candidate volume is ~c²/2 pairs
+    // that the size-ratio prune cannot cut (equal sizes). The census is
+    // the tripwire; the mitigation is an exact-dedup collapse (the
+    // d01/q23 class) before near-dup signing.
+    if (cold)
+      hotBucketWarning(t).foreach(m => System.err.println(s"[graft] $m"))
+    t
+  }
+
+  /** docs-per-bucket ceiling before one LSH bucket's candidate volume
+    * (~c²/2 verify pairs) exceeds the suite's shared pair budget
+    * ([[JaccardPairBudget]] — √budget docs ⇒ ~budget/2 pairs). */
+  def hotBucketCapDocs: Long = math.sqrt(JaccardPairBudget.toDouble).toLong
+
+  /** Census check for LSH hot buckets — the d02-family analogue of
+    * [[jaccardCapWarning]]: returns a warning naming the worst
+    * (band, sig) bucket and the over-cap count when any bucket holds
+    * more than [[hotBucketCapDocs]] docs. Aggregate-only (three scalars
+    * reach the driver, never the census rows). Applies equally to the
+    * simhash chunk buckets ([[hammingSelfJoin]]) — identical docs have
+    * identical fingerprints — but runs here, on the declared scale
+    * path's artifact, where every band consumer inherits it. */
+  def hotBucketWarning(bandRows: DataFrame): Option[String] = {
+    val over = bandRows.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > hotBucketCapDocs)
+      .agg(count(lit(1)).as("n"), max(col("c")).as("worst_c"),
+        expr("max_by(sig, c)").as("worst_sig"))
+      .head()
+    if (over.getLong(0) == 0L) None
+    else {
+      val worstC = over.getLong(1)
+      Some(s"minhash band table: ${over.getLong(0)} LSH bucket(s) exceed " +
+        s"$hotBucketCapDocs docs (worst sig ${over.getLong(2)} holds $worstC " +
+        s"docs ≈ ${worstC * worstC / 2} candidate pairs, and equal-size " +
+        "exact duplicates pass the τ size-ratio prune). This corpus has an " +
+        "exact-duplicate mega-cluster — run an exact-dedup collapse " +
+        "(the d01/q23 class) before near-dup signing, or excise the boilerplate.")
+    }
+  }
 
   def d02(s: SparkSession, d: String): DataFrame =
     neardupPairsOver(s, bandTable(s, d))

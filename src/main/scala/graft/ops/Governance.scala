@@ -73,13 +73,13 @@ object Governance {
     val live = docs.where(!Dedup.d17TombstonePred)
     val gens = Seq(
       Gen("superseded-full-8x2", pinned = false, "full-8x2",
-        () => Dedup.bandRowsForDocs(s, docs, Dedup.BandRows)),
+        () => Dedup.bandRowsFor(s, docs, Dedup.BandRows)),
       Gen("superseded-full-4x4", pinned = false, "full-4x4",
-        () => Dedup.bandRowsForDocs(s, docs, Dedup.StaleBandRows)),
+        () => Dedup.bandRowsFor(s, docs, Dedup.StaleBandRows)),
       Gen("serving-live-8x2", pinned = true, "live-8x2",
-        () => Dedup.bandRowsForDocs(s, live, Dedup.BandRows)),
+        () => Dedup.bandRowsFor(s, live, Dedup.BandRows)),
       Gen("rollback-live-4x4", pinned = true, "live-4x4",
-        () => Dedup.bandRowsForDocs(s, live, Dedup.StaleBandRows)))
+        () => Dedup.bandRowsFor(s, live, Dedup.StaleBandRows)))
     // stage the timeline: all four generations published (the unpinned
     // ones were swept by the previous run — rebuild so the sweep is
     // exercised fresh each run; pinned ones read back warm)

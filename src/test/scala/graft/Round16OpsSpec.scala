@@ -548,4 +548,61 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(distinctOut === 460L && out3.count() === distinctOut,
       "bounding the state must not change the drained distinct set")
   }
+
+  // ---- corpus-pathology hardening: hot buckets, null text, d01 key ----
+
+  test("hot-bucket census: an exact-duplicate mega-cluster over the cap " +
+    "fires the warning from real signatures; a distinct corpus stays silent") {
+    import spark.implicits._
+    val cap = graft.ops.Dedup.hotBucketCapDocs
+    assert(cap === 2000L, "cap is sqrt(JaccardPairBudget) = sqrt(4e6)")
+
+    // (cap+1) exact duplicates: identical text => identical MinHash in
+    // EVERY band => all 8 buckets hold cap+1 docs, and the size-ratio
+    // prune is powerless (equal token counts). Plus distinct filler.
+    val boiler = (1L to cap + 1).map(i => (i, "the quick brown fox cookie banner"))
+    val filler = (1L to 20L).map(i => (i + 100000L, s"unique doc $i with words w$i x$i"))
+    val hot = graft.ops.Dedup.bandRowsFor(spark, (boiler ++ filler).toDF("doc_id", "text"))
+    val warn = graft.ops.Dedup.hotBucketWarning(hot)
+    assert(warn.isDefined, "over-cap bucket must warn")
+    assert(warn.get.contains("8 LSH bucket(s)"),
+      s"all 8 bands of the duplicate cluster are hot: ${warn.get}")
+    assert(warn.get.contains(s"holds ${cap + 1} docs"), warn.get)
+
+    // below the cap (exactly cap duplicates): silent — the budget holds.
+    val atCap = graft.ops.Dedup.bandRowsFor(spark,
+      (1L to cap).map(i => (i, "the quick brown fox cookie banner")).toDF("doc_id", "text"))
+    assert(graft.ops.Dedup.hotBucketWarning(atCap).isEmpty,
+      "a bucket at exactly the cap is within the pair budget")
+  }
+
+  test("null-text tolerance: a malformed row is dropped by the signature " +
+    "kernel, not an NPE; remaining docs sign identically") {
+    import spark.implicits._
+    val dirty = Seq((1L, "alpha beta gamma"), (2L, null: String),
+      (3L, "delta epsilon zeta"), (4L, null: String)).toDF("doc_id", "text")
+    val clean = dirty.where(col("text").isNotNull)
+    val fromDirty = graft.ops.Dedup.bandRowsFor(spark, dirty)
+      .select("i", "band", "sig", "n").collect().toSet
+    val fromClean = graft.ops.Dedup.bandRowsFor(spark, clean)
+      .select("i", "band", "sig", "n").collect().toSet
+    assert(fromDirty === fromClean,
+      "null-text rows must vanish; surviving docs' signatures unchanged")
+    assert(!fromDirty.exists(r => r.getLong(0) == 2L || r.getLong(0) == 4L))
+  }
+
+  test("d01 over a 16-byte hash key: duplicates, uniques, and NULL text " +
+    "count exactly as COUNT(DISTINCT text)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-r16-d01").toString
+    Seq((1L, "x", "web"), (2L, "x", "web"), (3L, "y", "web"),
+      (4L, null: String, "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = graft.ops.Dedup.d01(spark, d).head()
+    // COUNT(*) = 4; COUNT(DISTINCT md5(text)) = 2 — NULL hashes to NULL
+    // and stays excluded, exactly like the raw column in the oracle.
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L && r.getLong(2) === 2L,
+      s"got $r")
+  }
 }
