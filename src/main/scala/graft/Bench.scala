@@ -263,9 +263,14 @@ object Bench {
       stageRec.reset()
       val wall0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      // a thrown OFFICIAL sample is flagged in the diag line (mirroring
+      // retry_failed): its short time-to-failure can sit below the 2x
+      // retry trigger and would otherwise read as a healthy fast run
+      val sampleFailed =
+        try { fn(spark, sfDir).count(); false } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); true
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       // wall-clock end captured on the SAME clock as stage
       // submission/completion times (currentTimeMillis) — deriving it
@@ -356,6 +361,7 @@ object Bench {
       val d = s"""{"q":"$name","sec":${math.round(secs * 1000) / 1000.0},""" +
         s""""gc_ms":$gcMs,"blocks_after":$blocksLeft,"shm_mb":${shm >> 20},""" +
         s""""mat_pub":$pubN,"load1m":${math.round(load0 * 100) / 100.0}""" +
+        (if (sampleFailed) ""","failed":true""" else "") +
         retryJson + stagesJson + "}"
       System.err.println(s"[bench-diag] $d")
       diag.append(d).append('\n')

@@ -141,11 +141,36 @@ object Materialize {
     s"$root/$kind/$fp"
   }
 
-  /** True iff a complete (`_SUCCESS`-stamped) table exists at the key. */
+  /** True iff a complete table exists at the key: the `_SUCCESS` marker
+    * is present AND at least one data file sits under the directory.
+    * The data-file check is not paranoia: the pre-round-17 protocol had
+    * a two-process race that could mint a marker-only directory (B
+    * deletes A's just-renamed unmarked table as "incomplete residue";
+    * A's `fs.create(marker)` recreates the directory containing ONLY
+    * the marker — create makes parents), and a marker-only dir served
+    * as "complete" is permanent corruption. Under completeness =
+    * marker + data, such a dir is refused and the next publish replaces
+    * it. (A legitimately EMPTY table still passes: Spark writes at
+    * least one schema-bearing part file for an empty result.) */
   def exists(s: SparkSession, kind: String, fp: String): Boolean = {
-    val success = new org.apache.hadoop.fs.Path(tablePath(s, kind, fp), "_SUCCESS")
-    success.getFileSystem(s.sparkContext.hadoopConfiguration).exists(success)
+    val outPath = new org.apache.hadoop.fs.Path(tablePath(s, kind, fp))
+    isComplete(outPath.getFileSystem(s.sparkContext.hadoopConfiguration), outPath)
   }
+
+  private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
+                         outPath: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")) &&
+      hasDataFiles(fs, outPath)
+
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           outPath: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      val it = fs.listFiles(outPath, true)
+      var found = false
+      while (!found && it.hasNext)
+        if (it.next().getPath.getName != "_SUCCESS") found = true
+      found
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Read the materialized table if this exact (input, algorithm, code)
     * has been computed on this storage, else compute-and-publish. The
@@ -206,48 +231,107 @@ object Materialize {
     * any reader mid-scan — the always-publish kernels would otherwise do
     * exactly that to their own consumers on every rerun. (The compute
     * and temp write still happen and are still the measured cost; only
-    * the swap is skipped.) */
+    * the swap is skipped.)
+    *
+    * The destination swap (residue delete + rename + marker) runs under
+    * a per-key `<out>.lock` file claimed with create-if-absent
+    * (round 17): the pre-lock protocol's unguarded check-then-delete
+    * window let a second publisher delete the winner's just-renamed
+    * unmarked table, after which the winner's marker-create minted a
+    * permanently-"complete" MARKER-ONLY directory. With the lock, at
+    * most one process is inside the swap window; everyone else waits
+    * for completeness. A crashed lock holder is recovered by age — a
+    * waiter breaks locks older than `spark.graft.mat.lockStaleMs`
+    * (default 10 min; must exceed the store's worst-case
+    * delete+rename+marker time, which on a rename-by-copy store scales
+    * with table size) and retries with its OWN still-present temp (the
+    * temp is only cleaned after the publish resolves), so a winner
+    * crash no longer strands the key unpublished. In-JVM callers are
+    * additionally serialized on [[keyLock]] (reentrant from
+    * [[readOrCompute]]), closing the same race between threads without
+    * filesystem round-trips. On a store whose create-if-absent is not
+    * atomic the lock degrades to advisory; completeness is still
+    * marker+data ([[exists]]), so the residual worst case is a wasted
+    * duplicate publish of identical bytes, never a partial or
+    * marker-only read. */
   def publish(s: SparkSession, kind: String, fp: String)
              (compute: => DataFrame): DataFrame = {
     publishCalls.incrementAndGet()
     val out = tablePath(s, kind, fp)
     val outPath = new org.apache.hadoop.fs.Path(out)
     val success = new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")
+    val lock = new org.apache.hadoop.fs.Path(out + ".lock")
     val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def confMs(key: String, dflt: Long): Long =
+      s.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val lockStaleMs = confMs("spark.graft.mat.lockStaleMs", 10L * 60 * 1000)
+    val waitMs = confMs("spark.graft.mat.publishWaitMs", 30L * 60 * 1000)
     sweepStale(fs, outPath.getParent)
     val tmp = new org.apache.hadoop.fs.Path(out +
       s".inprogress-${java.lang.ProcessHandle.current.pid}-${System.nanoTime}")
-    var published = false
     try {
       compute.write.mode("overwrite").parquet(tmp.toString)
       fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-      if (fs.exists(success)) {
-        () // complete table already at the key: defer (content-identical)
-      } else {
-        if (fs.exists(outPath)) fs.delete(outPath, true) // incomplete residue: replace
-        if (fs.rename(tmp, outPath)) {
-          fs.create(success, true).close()
-          published = true
-        } else {
-          // rename refuses when the destination exists: a concurrent
-          // process published this fingerprint between our check and
-          // rename — defer to the winner, allowing for its
-          // rename-to-marker window
-          val deadline = System.currentTimeMillis() + 30000
-          while (!fs.exists(success) && System.currentTimeMillis() < deadline)
-            Thread.sleep(100)
-          if (!fs.exists(success))
-            throw new IllegalStateException(s"failed to publish $kind table at $out")
+      keyLock(s"$kind/$fp").synchronized {
+        val deadline = System.currentTimeMillis() + waitMs
+        var done = false
+        while (!done) {
+          if (isComplete(fs, outPath)) {
+            done = true // defer to the complete winner (content-identical)
+          } else if (tryLock(fs, lock)) {
+            try {
+              // re-check under the lock: the winner may have completed
+              // between our check and the lock grant
+              if (isComplete(fs, outPath)) { done = true }
+              else {
+                // anything at the destination now is residue (a crashed
+                // rename-without-marker, or a marker-only dir from the
+                // pre-lock protocol) — no live publisher can be
+                // mid-swap while we hold the lock
+                if (fs.exists(outPath)) fs.delete(outPath, true)
+                if (fs.rename(tmp, outPath)) {
+                  fs.create(success, true).close()
+                  if (!isComplete(fs, outPath))
+                    throw new IllegalStateException(
+                      s"publish($kind/$fp): marker created but no data files at $out")
+                  done = true
+                }
+                // rename refused with the lock held: a non-locking
+                // writer (advisory-lock store) swapped in between —
+                // loop and defer to its completeness
+              }
+            } finally fs.delete(lock, false)
+          } else if (lockMtime(fs, lock).exists(
+              _ < System.currentTimeMillis() - lockStaleMs)) {
+            fs.delete(lock, false) // crashed holder: break and retry
+          } else if (System.currentTimeMillis() > deadline) {
+            throw new IllegalStateException(
+              s"publish($kind/$fp): timed out after ${waitMs}ms waiting on $lock")
+          } else Thread.sleep(100)
         }
       }
     } finally {
-      // a throw anywhere above (including mid-write) must not orphan
-      // the temp dir; after a successful rename the path is gone and
-      // delete is a cheap no-op
-      if (!published) fs.delete(tmp, true)
+      // the temp survives until the publish RESOLVES (we renamed it, or
+      // deferred to a complete table, or threw): a waiter that breaks a
+      // crashed winner's stale lock re-publishes from this temp instead
+      // of burning its wait and stranding the key. After a successful
+      // rename the path is gone and delete is a cheap no-op.
+      fs.delete(tmp, true)
     }
     s.read.parquet(out)
   }
+
+  /** Claim `<out>.lock` with create-if-absent — atomic on HDFS and
+    * local FS (modulo the documented advisory degradation elsewhere). */
+  private def tryLock(fs: org.apache.hadoop.fs.FileSystem,
+                      lock: org.apache.hadoop.fs.Path): Boolean =
+    try { fs.create(lock, false).close(); true }
+    catch { case _: java.io.IOException => false }
+
+  private def lockMtime(fs: org.apache.hadoop.fs.FileSystem,
+                        lock: org.apache.hadoop.fs.Path): Option[Long] =
+    try Some(fs.getFileStatus(lock).getModificationTime)
+    catch { case _: java.io.IOException => None } // vanished: holder finished
 
   /** Complete (`_SUCCESS`-stamped) generation fingerprints currently
     * published under `<root>/<kind>` — the enumeration a retention
@@ -261,7 +345,7 @@ object Materialize {
     if (!fs.exists(parent)) return Seq.empty
     fs.listStatus(parent).toSeq
       .filter(st => st.isDirectory && !st.getPath.getName.contains(".inprogress-"))
-      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .filter(st => isComplete(fs, st.getPath)) // same definition as exists()
       .map(_.getPath.getName)
       .sorted
   }
@@ -350,6 +434,37 @@ object Materialize {
           s"retentionSweep($kind): pinned generation $fp changed during sweep")
     }
     (after, toSweep)
+  }
+
+  /** Retention POLICY hook for lifecycle publishers (round 17): right
+    * after a cutover/append/compaction publish, the publisher calls
+    * this with the generation fingerprints its lifecycle line still
+    * designates (serving + rollback) and every other complete
+    * generation of the kind is reaped — superseded cutover sources,
+    * and the prior-code/prior-corpus residue every recompiled round
+    * used to leave behind forever. The mechanism (and every structural
+    * guarantee — pins byte-untouched, temps and incomplete dirs never
+    * touched, whole-family sweeps refused) is [[retentionSweep]]; this
+    * wrapper is the fire-and-forget policy form: pins that are merely
+    * intents (a rollback generation never built at this site) are
+    * fine, and the swept list is logged rather than returned. Each
+    * lifecycle LINE must own its kind namespace — a sweep pins only
+    * its own line's generations, so two lines sharing a kind would
+    * reap each other's serving artifacts (the reason the chain/append/
+    * compaction artifacts live under `minhash-chain`/`minhash-append`/
+    * `minhash-live`, not `minhash`). */
+  def sweepKeep(s: SparkSession, kind: String, pins: Set[String]): Unit = {
+    // the all-stale case [[retentionSweep]] hard-refuses is, for the
+    // POLICY caller, simply "this line's current generation isn't
+    // published yet" (a sibling kind sharing the fingerprint, not yet
+    // built this session) — defer the sweep to a later publish rather
+    // than failing the operator that got here first
+    val gens = listGenerations(s, kind)
+    if (gens.isEmpty || !gens.exists(pins.contains)) return
+    val (_, swept) = retentionSweep(s, kind, pins)
+    if (swept.nonEmpty)
+      System.err.println(s"[graft] retention: swept ${swept.size} superseded " +
+        s"generation(s) of $kind: ${swept.mkString(",")}")
   }
 
   /** Delete `.inprogress-*` siblings older than the staleness horizon
