@@ -1207,10 +1207,20 @@ object Ann {
 
   /** COMPACTION: rewrite the published 4-int index without the deleted
     * rows, under its own fingerprint — reads the PUBLISHED index, never
-    * the embeddings (d17's compaction contract applied to vectors). */
-  private[graft] def compactedIndex(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "ivfpq", compactedIndexFingerprint(s, d))(
+    * the embeddings (d17's compaction contract applied to vectors).
+    * Its own lifecycle line (kind "ivfpq-live", round 17): the
+    * compacted rewrite is the serving index's live companion, not a
+    * superseded generation — housing it under "ivfpq" would put it in
+    * the blast radius of a17's cutover sweep. The line serves exactly
+    * one generation; prior-corpus/prior-code residue is reaped at
+    * publish. */
+  private[graft] def compactedIndex(s: SparkSession, d: String): DataFrame = {
+    val fp = compactedIndexFingerprint(s, d)
+    val t = graft.core.Materialize.readOrCompute(s, "ivfpq-live", fp)(
       liveIndex(s, d))
+    graft.core.Materialize.sweepKeep(s, "ivfpq-live", Set(fp))
+    t
+  }
 
   /** a16: SERVE AFTER DELETE — the deletion half of the index
     * lifecycle (a15 covered append): vectors leave the corpus
@@ -1398,10 +1408,21 @@ object Ann {
       sum(when(a17ArrivalPred, lit(1L)).otherwise(lit(0L))).as("na")).head()
     val n = t.getLong(0)
     val na = if (t.isNullAt(1)) 0L else t.getLong(1)
-    if (n > 0 && na.toDouble / n > RetrainAppendThreshold)
-      serveAdcTop3(s, d, publishedIndex(s, d)).withColumn("gen", lit(2L))
-    else
-      a17StaleServe(s, d).withColumn("gen", lit(1L))
+    val out =
+      if (n > 0 && na.toDouble / n > RetrainAppendThreshold)
+        serveAdcTop3(s, d, publishedIndex(s, d)).withColumn("gen", lit(2L))
+      else
+        a17StaleServe(s, d).withColumn("gen", lit(1L))
+    // retention AT the cutover (round 17, the d19 policy on the ANN
+    // side): the index line designates {serving, rollback} = {the
+    // retrained default-fingerprint generation, the stale pre-retrain
+    // one}; anything else in the line — older codebook generations,
+    // prior-round residue — is reaped here. Pins are intents: on the
+    // no-retrain branch only the stale generation exists (and only it
+    // is retained); the retrained pin names nothing yet.
+    graft.core.Materialize.sweepKeep(s, "ivfpq",
+      Set(ivfpqFingerprint(s, d), a17StaleFingerprint(s, d)))
+    out
   }
 
   /** the oracle is the retrained serve: a06's chain with the served
@@ -1603,9 +1624,16 @@ object Ann {
     * job that IS the measured Lloyd training. Publishes the full
     * assignment (vec_id, q, cluster, dist) so downstream consumers
     * (a08's semantic dedup) never re-train. */
-  private def publishAssignment(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.publish(s, "kmeans", kmeansFingerprint(s, d))(
-      kmeansFinal(s, d))
+  private def publishAssignment(s: SparkSession, d: String): DataFrame = {
+    val fp = kmeansFingerprint(s, d)
+    val t = graft.core.Materialize.publish(s, "kmeans", fp)(kmeansFinal(s, d))
+    // retention at the training publish (round 17): one live generation
+    // per line — reap prior-corpus/prior-code residue of both the
+    // assignment and the model table (same fingerprint, two kinds)
+    graft.core.Materialize.sweepKeep(s, "kmeans", Set(fp))
+    graft.core.Materialize.sweepKeep(s, "kmeansmodel", Set(fp))
+    t
+  }
 
   /** The materialized assignment if this exact corpus+algorithm has
     * been trained on this storage, else compute-and-publish — the

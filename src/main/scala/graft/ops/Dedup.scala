@@ -310,25 +310,210 @@ object Dedup {
       .toDF("i", "band", "sig", "n", "toks")
   }
 
+  // ---- exact-duplicate collapse (round 17: hot-bucket mitigation) ----
+
+  /** A band relation plus the exact-duplicate membership needed to
+    * re-expand representative-level answers to document level.
+    * `members` is None for an uncollapsed build (the normal corpus —
+    * every helper below is then the identity and adds ZERO plan
+    * operators); Some((i=member doc_id, rep)) when the build collapsed
+    * an exact-duplicate mega-cluster (rows exist only for clusters of
+    * size > 1, rep's own row included). The invariant every helper
+    * leans on: members of one cluster have IDENTICAL text, hence
+    * identical token sets, token counts, and band signatures — so a
+    * representative's band rows, candidate pairs, and verified
+    * Jaccards stand for every member's exactly. */
+  private[graft] final case class BandView(
+      rows: DataFrame, members: Option[DataFrame])
+
+  /** Filter a view by a doc-level keep-filter (predicate or id
+    * anti-join), applied at MEMBER level: a collapsed cluster survives
+    * iff any member does, and its rows are relabeled to the smallest
+    * surviving member (so downstream reps are always live ids — a
+    * tombstoned rep must not serve for its surviving duplicates). */
+  private def filteredView(v: BandView,
+      keep: (DataFrame, String) => DataFrame): BandView = v.members match {
+    case None => BandView(keep(v.rows, "i"), None)
+    case Some(m) =>
+      val liveM = keep(m, "i")
+      val repMap = liveM.groupBy(col("rep")).agg(min(col("i")).as("newrep"))
+      val clusterRows = v.rows
+        .join(repMap.withColumnRenamed("rep", "i"), Seq("i"))
+        .select(col("newrep").as("i"), col("band"), col("sig"), col("n"), col("toks"))
+      val singleRows = keep(
+        v.rows.join(m.select(col("rep").as("i")).distinct(), Seq("i"), "left_anti"),
+        "i")
+      val newMembers = liveM.join(repMap, Seq("rep"))
+        .select(col("i"), col("newrep").as("rep"))
+      BandView(clusterRows.unionByName(
+        singleRows.select(col("i"), col("band"), col("sig"), col("n"), col("toks"))),
+        Some(newMembers))
+  }
+
+  private def keepWhere(pred: Column => Column): (DataFrame, String) => DataFrame =
+    (df, c) => df.where(pred(col(c)))
+
+  private def keepMinusIds(ids: DataFrame): (DataFrame, String) => DataFrame =
+    (df, c) => df.join(ids.select(col("doc_id").as(c)), Seq(c), "left_anti")
+
+  /** The view's band rows RE-INFLATED to document level (one row set
+    * per member), optionally filtered — for consumers that need
+    * per-document band keys (d14's sampled eval, s06's batch
+    * reference). Identity (plus the filter) when uncollapsed. */
+  private[graft] def bandRowsAt(v: BandView,
+      keep: (DataFrame, String) => DataFrame = (df, _) => df): DataFrame =
+    v.members match {
+      case None => keep(v.rows, "i")
+      case Some(m) =>
+        val mem = keep(m, "i")
+        val clusterRows = v.rows
+          .join(mem.select(col("i").as("mi"), col("rep").as("i")), Seq("i"))
+          .select(col("mi").as("i"), col("band"), col("sig"), col("n"), col("toks"))
+        val singleRows = keep(
+          v.rows.join(m.select(col("rep").as("i")).distinct(), Seq("i"), "left_anti"),
+          "i")
+        clusterRows.unionByName(
+          singleRows.select(col("i"), col("band"), col("sig"), col("n"), col("toks")))
+    }
+
+  /** Expand representative-level verified pairs (doc_a, doc_b,
+    * jaccard) to document level: each endpoint fans out to its
+    * cluster's members (identity for singletons), re-canonicalized to
+    * doc_a < doc_b; plus every within-cluster pair at jaccard 1.0
+    * (identical text — and always banded together, so the uncollapsed
+    * kernel would emit exactly these). Identity when uncollapsed.
+    * The within-cluster fan-out is the ANSWER's size, not verify work:
+    * a c-duplicate cluster owes c(c−1)/2 output rows under the d02
+    * contract whether or not the build collapsed; what the collapse
+    * removes is the c²/2 candidate-verify volume upstream. */
+  private def expandPairs(pairs: DataFrame,
+                          members: Option[DataFrame]): DataFrame = members match {
+    case None => pairs
+    case Some(m) =>
+      val ea = coalesce(col("ea"), col("doc_a"))
+      val eb = coalesce(col("eb"), col("doc_b"))
+      val cross = pairs
+        .join(m.select(col("rep").as("doc_a"), col("i").as("ea")), Seq("doc_a"), "left")
+        .join(m.select(col("rep").as("doc_b"), col("i").as("eb")), Seq("doc_b"), "left")
+        .select(least(ea, eb).as("doc_a"), greatest(ea, eb).as("doc_b"),
+          col("jaccard"))
+      val intra = m.select(col("rep"), col("i").as("ea"))
+        .join(m.select(col("rep"), col("i").as("eb")), Seq("rep"))
+        .where(col("ea") < col("eb"))
+        .select(col("ea").as("doc_a"), col("eb").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      cross.unionByName(intra)
+  }
+
+  /** Expand the corpus side of verified admission pairs (ni, ci, jac):
+    * a representative match stands for a match on EVERY member (n_dups
+    * counts them all; best_match tie-breaks over real ids). Identity
+    * when uncollapsed. */
+  private[graft] def expandAdmissionPairs(pairs: DataFrame,
+      members: Option[DataFrame]): DataFrame = members match {
+    case None => pairs
+    case Some(m) =>
+      pairs
+        .join(m.select(col("rep").as("ci"), col("i").as("cm")), Seq("ci"), "left")
+        .select(col("ni"), coalesce(col("cm"), col("ci")).as("ci"), col("jac"))
+  }
+
+  /** exact-duplicate clusters of a corpus: (i = member doc_id, rep =
+    * cluster min doc_id), rows only for clusters of size > 1 (rep row
+    * included) — the d01 key (16-byte MD5, the accepted ~2^-64
+    * collision class) as a grouping, never the raw text. */
+  private def exactClusters(docs: DataFrame): DataFrame = {
+    val dh = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    dh.join(
+      dh.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("c"))
+        .where(col("c") > 1),
+      Seq("h"))
+      .select(col("doc_id").as("i"), col("rep"))
+  }
+
+  /** the pre-sign census: largest exact-duplicate cluster size — one
+    * slim aggregate (16-byte keys, partial-aggregable) that decides
+    * whether the signing pass may run uncollapsed. */
+  private def maxExactClusterSize(docs: DataFrame): Long = {
+    val r = docs.where(col("text").isNotNull)
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** the published exact-duplicate membership of the DEFAULT band
+    * build, if that build collapsed (None otherwise — the normal
+    * case). Published BEFORE the band table under the same
+    * fingerprint, so band-table completeness implies membership
+    * availability. */
+  private[graft] def bandMembers(s: SparkSession, d: String): Option[DataFrame] = {
+    val fp = minhashFingerprint(s, d)
+    if (graft.core.Materialize.exists(s, "minhash-members", fp))
+      Some(s.read.parquet(
+        graft.core.Materialize.tablePath(s, "minhash-members", fp)))
+    else None
+  }
+
+  /** the full-corpus band view: published rows + membership. */
+  private[graft] def bandView(s: SparkSession, d: String): BandView =
+    BandView(bandTable(s, d), bandMembers(s, d))
+
   /** The published band-signature table — a13's index build/serve
     * separation applied to the dedup suite: built ONCE per corpus
     * fingerprint through [[graft.core.Materialize]], consumed by d02
     * (candidate join + verify arrays), d14 (recall eval band keys) and
     * s06's batch reference. A warm consumer never touches raw text;
     * band-key truncation collisions and staleness are covered by the
-    * fingerprint key exactly as for a13's PQ codes. */
+    * fingerprint key exactly as for a13's PQ codes.
+    *
+    * HOT-BUCKET MITIGATION (round 17): before a cold build signs
+    * anything, a slim census checks the largest exact-duplicate text
+    * cluster. Over [[hotBucketCapDocs]] (crawl boilerplate — c
+    * identical docs share EVERY band signature, so one bucket owes
+    * ~c²/2 verify pairs that the equal-size-proof size-ratio prune
+    * cannot cut), the build COLLAPSES exact duplicates to one
+    * representative before signing: the published table holds the
+    * representatives' rows (bucket pair volume bounded by
+    * distinct-text cardinality), the membership table is published
+    * alongside ([[bandMembers]]), and every consumer re-expands
+    * answers to document level through it ([[expandPairs]] /
+    * [[expandAdmissionPairs]] / [[bandRowsAt]]) — answers are
+    * bit-identical to the uncollapsed kernel's, per the identical-text
+    * invariant on [[BandView]]. */
   private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
     val fp = minhashFingerprint(s, d)
     val cold = !graft.core.Materialize.exists(s, "minhash", fp)
+    if (cold) {
+      // pre-sign exact-duplicate census (round 17): decide the collapse
+      // BEFORE paying the signing pass — the round-16 tripwire could
+      // only warn after the fact. One slim aggregate per cold build.
+      val docs = documents(s, d)
+      val maxC = maxExactClusterSize(docs)
+      if (maxC > hotBucketCapDocs) {
+        System.err.println(s"[graft] minhash build: exact-duplicate " +
+          s"mega-cluster of $maxC docs exceeds the $hotBucketCapDocs-doc " +
+          "bucket cap — collapsing exact duplicates to representatives " +
+          "before signing (answers re-expanded through the membership table)")
+        graft.core.Materialize.readOrCompute(s, "minhash-members", fp)(
+          exactClusters(docs))
+      }
+    }
     val t = graft.core.Materialize.readOrCompute(s, "minhash", fp)(
-      buildBandTable(s, d))
-    // hot-bucket census on the COLD build only (one aggregate over the
-    // just-published slim table, once per corpus fingerprint): an
-    // exact-duplicate mega-cluster — web-crawl boilerplate — shares ALL
-    // band signatures, so its bucket's candidate volume is ~c²/2 pairs
-    // that the size-ratio prune cannot cut (equal sizes). The census is
-    // the tripwire; the mitigation is an exact-dedup collapse (the
-    // d01/q23 class) before near-dup signing.
+      bandMembers(s, d) match {
+        case None => buildBandTable(s, d)
+        case Some(m) => // sign ONE representative per exact-dup cluster
+          bandRowsFor(s, documents(s, d).join(
+            m.where(col("i") =!= col("rep")).select(col("i").as("doc_id")),
+            Seq("doc_id"), "left_anti"))
+      })
+    // post-build hot-bucket census on the COLD build only (one
+    // aggregate over the just-published slim table): with the exact
+    // collapse in place this fires only for a NEAR-duplicate
+    // mega-cluster whose members differ textually yet share all
+    // 2-row band keys — rarer, and not collapsible by an exact key;
+    // surfaced for operator excision.
     if (cold)
       hotBucketWarning(t).foreach(m => System.err.println(s"[graft] $m"))
     t
@@ -367,14 +552,17 @@ object Dedup {
   }
 
   def d02(s: SparkSession, d: String): DataFrame =
-    neardupPairsOver(s, bandTable(s, d))
+    neardupPairsOver(s, bandView(s, d))
 
-  /** d02's whole serving body over an arbitrary band-row relation —
-    * factored so d17 can run the IDENTICAL candidate join + verify over
-    * the published table minus tombstones: one definition, two corpus
-    * views (the serveAdcTop3 pattern applied to dedup). */
-  private def neardupPairsOver(s: SparkSession, bandRows: DataFrame): DataFrame = {
+  /** d02's whole serving body over an arbitrary band view — factored
+    * so d17 can run the IDENTICAL candidate join + verify over the
+    * published table minus tombstones: one definition, two corpus
+    * views (the serveAdcTop3 pattern applied to dedup). Collapsed
+    * views verify representatives and re-expand to document level
+    * ([[expandPairs]] — identity when uncollapsed). */
+  private[graft] def neardupPairsOver(s: SparkSession, view: BandView): DataFrame = {
     import s.implicits._
+    val bandRows = view.rows
     val cand = candidatesOver(bandRows)
     val par = s.sparkContext.defaultParallelism
 
@@ -383,7 +571,7 @@ object Dedup {
     // stages (the cache scan prunes to just (i, toks))
     val docSets = bandRows.where(col("band") === 0).select(col("i"), col("toks"))
 
-    cand
+    val verified = cand
       .repartition(par, col("i"), col("j"))
       .join(docSets.select(col("i"), col("toks").as("ta")), "i")
       .join(docSets.select(col("i").as("j"), col("toks").as("tb")), "j")
@@ -396,7 +584,7 @@ object Dedup {
         }
       }
       .toDF("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    expandPairs(verified, view.members).orderBy("doc_a", "doc_b")
   }
 
   private[graft] def d02Internals(s: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -988,8 +1176,15 @@ object Dedup {
   /** Always-fresh pair generation + publication at the corpus
     * fingerprint — the entry point for d03, the job that IS the
     * measured kernel. */
-  private[graft] def publishPairs(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.publish(s, "pairs", pairsFingerprint(d))(d03Pairs(s, d))
+  private[graft] def publishPairs(s: SparkSession, d: String): DataFrame = {
+    val t = graft.core.Materialize.publish(s, "pairs", pairsFingerprint(d))(d03Pairs(s, d))
+    // retention at the kernel publish (round 17): the simhash pair line
+    // designates the full table + its current compacted rewrite; prior
+    // corpora/code residue is reaped
+    graft.core.Materialize.sweepKeep(s, "pairs",
+      Set(pairsFingerprint(d), compactedD03PairsFingerprint(d)))
+    t
+  }
 
   /** The d03 pair table if this exact corpus+algorithm has been paired
     * on this storage, else compute-and-publish. Consumed by d07 (as CC
@@ -1050,6 +1245,10 @@ object Dedup {
     (s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
       .foreach(id => s.sparkContext.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false)))
+    // retention at the clustering publish (round 17): the label line
+    // designates the full-corpus labels + the current deletion repair
+    graft.core.Materialize.sweepKeep(s, "labels",
+      Set(ccFingerprint(d), liveLabelsFingerprint(d)))
     out
   }
 
@@ -1946,15 +2145,30 @@ object Dedup {
     * 4×3 shape at 0.80 on this corpus and drove the retune) — a
     * diagnostic with real signal, not a tautology. */
   def d14(s: SparkSession, d: String): DataFrame =
-    d14Over(s, d, liveBandTable(s, d))
+    d14Over(s, d, liveBandView(s, d))
 
   /** the recall instrument over an ARBITRARY band view — factored
     * (round 15) so d19's refresh can grade the STALE banding
     * generation with the IDENTICAL eval that grades the serving one
-    * (`bandView` carries (i, band, sig) under any banding; truth is
-    * banding-independent). */
+    * (the view carries (i, band, sig) under any banding; truth is
+    * banding-independent). The DataFrame overload wraps a member-level
+    * relation (the stale generation is never collapsed). */
   private[graft] def d14Over(s: SparkSession, d: String,
-                             bandView: DataFrame): DataFrame = {
+                             bandRelation: DataFrame): DataFrame =
+    d14OverCached(s, d, BandView(bandRelation, None))._1
+
+  private[graft] def d14Over(s: SparkSession, d: String,
+                             view: BandView): DataFrame =
+    d14OverCached(s, d, view)._1
+
+  /** [[d14Over]] plus handles to its persisted intermediates, for the
+    * one caller that DISCARDS a report after reading its scalar (d19's
+    * retune branch grades the stale generation, then serves the fresh
+    * one): the discarded instrument's caches would otherwise ride the
+    * harness-clears-state contract for the rest of the session
+    * (round-16 verdict nit — double-persist residue). */
+  private[graft] def d14OverCached(s: SparkSession, d: String,
+                             view: BandView): (DataFrame, Seq[DataFrame]) = {
     // the eval grades the LIVE corpus (round 14): deleted docs are cut
     // from the census, the sample, AND the band keys — a recall number
     // computed over signatures of documents that no longer exist would
@@ -1995,7 +2209,9 @@ object Dedup {
     // kernel-call-identical; round-14: tombstoned docs' bands are cut
     // by [[liveBandTable]]). Persisted: both sides of the (band, key)
     // self-join would re-scan the parquet otherwise.
-    val bands = bandView.where(col("i") % step === 0)
+    // per-DOCUMENT keys: a collapsed view re-inflates the sampled
+    // members through the membership table (identity when uncollapsed)
+    val bands = bandRowsAt(view, keepWhere(_ % step === 0))
       .select(col("i").as("doc_id"), col("band"), col("sig").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"))
@@ -2003,12 +2219,13 @@ object Dedup {
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
     val found = truth.join(cand, Seq("a", "b"))
-    sample.agg(big(count(lit(1))).as("sampled_docs"))
+    val report = sample.agg(big(count(lit(1))).as("sampled_docs"))
       .crossJoin(truth.agg(big(count(lit(1))).as("true_pairs")))
       .crossJoin(found.agg(big(count(lit(1))).as("found_pairs")))
       .withColumn("recall",
         when(col("true_pairs") === 0, lit(1.0))
           .otherwise(col("found_pairs").cast(DoubleType) / col("true_pairs").cast(DoubleType)))
+    (report, Seq(sample, tok, bands))
   }
 
   val d14Sql: String =
@@ -2116,10 +2333,15 @@ object Dedup {
     // keeps blocking re-ingestion forever). Below the compaction
     // threshold this is an id-only anti-join on the published table;
     // above it, the compacted artifact.
-    val corpusBands = liveBandTable(s, d)
-      .where(col("i") % IncrementalMod =!= IncrementalRem)
-    admissionReportOver(s, newBands, corpusBands)
+    admissionReportOver(s, newBands, admissionCorpusView(s, d))
   }
+
+  /** the standing-corpus view both admission tiers grade against (d16
+    * nightly, s14 at the ingest tier): the live band view minus the
+    * arrival residue itself. */
+  private[graft] def admissionCorpusView(s: SparkSession, d: String): BandView =
+    filteredView(liveBandView(s, d),
+      keepWhere(_ % IncrementalMod =!= IncrementalRem))
 
   /** the admission kernel d16/d18 share, over an arbitrary (arrival
     * bands, corpus bands) split: directed banded candidate join with
@@ -2127,9 +2349,10 @@ object Dedup {
     * verify, one report row per arrival doc. Factored (round 15) so
     * next-day admission (d18 — corpus side = the APPENDED artifact)
     * runs the IDENTICAL kernel as day-1 admission. */
-  private def admissionReportOver(s: SparkSession, newBands: DataFrame,
-                                  corpusBands: DataFrame): DataFrame = {
+  private[graft] def admissionReportOver(s: SparkSession, newBands: DataFrame,
+                                  corpusView: BandView): DataFrame = {
     import s.implicits._
+    val corpusBands = corpusView.rows
     val cand = newBands
       .select(col("i").as("ni"), col("band"), col("sig"), col("n").as("na"))
       .join(corpusBands.select(col("i").as("ci"), col("band").as("band_b"),
@@ -2148,7 +2371,10 @@ object Dedup {
       .select(col("ni"), col("ci"), col("ta"), col("tb")))
     admissionReportFrom(s,
       newBands.where(col("band") === 0).select(col("i").as("new_doc_id")),
-      pairs)
+      // a collapsed corpus rep's match stands for every member — the
+      // report's n_dups/best_match are document-level (identity when
+      // uncollapsed)
+      expandAdmissionPairs(pairs, corpusView.members))
   }
 
   /** the exact merge-intersect Jaccard verify over a (ni, ci, ta, tb)
@@ -2346,7 +2572,9 @@ object Dedup {
     * d17 is the first consumer. */
   private[graft] def pairsTableD02(s: SparkSession, d: String): DataFrame =
     graft.core.Materialize.readOrCompute(s, "minhash-pairs", d02PairsFingerprint(s, d))(
-      neardupPairsOver(s, bandTable(s, d)))
+      // document-level by construction (expansion inside the kernel),
+      // so pair consumers never need the membership table
+      neardupPairsOver(s, bandView(s, d)))
 
   /** the published pair table minus every pair touching a tombstoned
     * doc — the anti-join serve view (id-only delete side, both
@@ -2409,9 +2637,17 @@ object Dedup {
     * scan (a driver-side scalar steering WHICH of two equal-result
     * plans runs — the AQE decision class, not data movement). */
   def d17(s: SparkSession, d: String): DataFrame = {
+    val above = aboveCompactThreshold(s, d)
     val pairs =
-      if (aboveCompactThreshold(s, d)) compactedPairsTable(s, d)
+      if (above) compactedPairsTable(s, d)
       else livePairs(s, d, d17Tombstones(s, d))
+    // retention at the compaction owner (round 17): the pair line keeps
+    // TWO designated artifacts — the full-corpus pair table (the
+    // compaction's source; resweeping it would force the verify kernel
+    // to re-run) and the current compacted rewrite — and reaps
+    // prior-corpus/prior-code residue
+    graft.core.Materialize.sweepKeep(s, "minhash-pairs",
+      Set(d02PairsFingerprint(s, d), compactedPairsFingerprint(s, d)))
     pairs.orderBy("doc_a", "doc_b")
   }
 
@@ -2443,11 +2679,26 @@ object Dedup {
     * but the *signature* table kept deleted docs' bands forever, so
     * d14's recall eval and s06's batch reference still saw them). The
     * compute reads the PUBLISHED band table, never raw text. */
-  private[graft] def compactedBandTable(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "minhash", compactedBandFingerprint(s, d))(
-      bandTable(s, d)
-        .join(d17Tombstones(s, d).select(col("doc_id").as("i")), Seq("i"), "left_anti")
+  private[graft] def compactedBandTable(s: SparkSession, d: String): DataFrame = {
+    val fp = compactedBandFingerprint(s, d)
+    // its own lifecycle line (kind "minhash-live", round 17): the
+    // compacted rewrite is the banding line's live COMPANION, not a
+    // superseded generation of it — housing it under "minhash" would
+    // put it in the blast radius of d19's cutover sweep.
+    // DOCUMENT-LEVEL even over a collapsed build (bandRowsAt
+    // re-inflates before the tombstone cut): compaction is a full
+    // rewrite anyway, and a member-level artifact lets every
+    // above-threshold consumer skip the membership machinery.
+    val t = graft.core.Materialize.readOrCompute(s, "minhash-live", fp)(
+      bandRowsAt(bandView(s, d),
+        keepMinusIds(d17Tombstones(s, d)))
         .select(col("i"), col("band"), col("sig"), col("n"), col("toks")))
+    // retention policy: this line serves exactly one generation — the
+    // current corpus+code compaction; prior-round/prior-corpus residue
+    // is superseded the moment this one is published
+    graft.core.Materialize.sweepKeep(s, "minhash-live", Set(fp))
+    t
+  }
 
   /** The LIVE view of the band-signature artifact — what every
     * deletion-aware consumer (d16's corpus side, d14's recall eval,
@@ -2459,10 +2710,24 @@ object Dedup {
     * nightly full-corpus kernel measure; its deletion-aware serve is
     * d17. */
   private[graft] def liveBandTable(s: SparkSession, d: String): DataFrame =
-    if (aboveCompactThreshold(s, d)) compactedBandTable(s, d)
-    else bandTable(s, d)
-      .join(d17Tombstones(s, d).select(col("doc_id").as("i")), Seq("i"), "left_anti")
-      .select(col("i"), col("band"), col("sig"), col("n"), col("toks"))
+    liveBandView(s, d).rows
+
+  /** the live view at DOCUMENT level regardless of collapse — for the
+    * per-doc-key consumers (s06's batch reference). */
+  private[graft] def liveBandRowsByDoc(s: SparkSession, d: String): DataFrame =
+    bandRowsAt(liveBandView(s, d))
+
+  /** the live view WITH its collapse membership (round 17): below the
+    * compaction threshold the id-only tombstone cut is applied at
+    * MEMBER level (a tombstoned representative must not keep serving
+    * for its surviving duplicates — [[filteredView]] relabels);
+    * above it the compacted artifact is document-level by
+    * construction and carries no membership. Uncollapsed corpora take
+    * exactly the pre-round-17 plan (members None, the filters are the
+    * same anti-join). */
+  private[graft] def liveBandView(s: SparkSession, d: String): BandView =
+    if (aboveCompactThreshold(s, d)) BandView(compactedBandTable(s, d), None)
+    else filteredView(bandView(s, d), keepMinusIds(d17Tombstones(s, d)))
 
   // ---- d18: dedup-side artifact APPEND (round 15, the a15 analog) ----
 
@@ -2473,10 +2738,13 @@ object Dedup {
   /** the standing-corpus band view of the d18 world: the live artifact
     * minus BOTH arrival residues (day-1 docs are graded by admission,
     * day-2 docs have not arrived yet). */
+  private[graft] def d18StandingView(s: SparkSession, d: String): BandView =
+    filteredView(liveBandView(s, d),
+      keepWhere(i => i % IncrementalMod =!= IncrementalRem &&
+        i % IncrementalMod =!= AppendRem))
+
   private[graft] def d18StandingBands(s: SparkSession, d: String): DataFrame =
-    liveBandTable(s, d)
-      .where(col("i") % IncrementalMod =!= IncrementalRem &&
-        col("i") % IncrementalMod =!= AppendRem)
+    d18StandingView(s, d).rows
 
   /** day-1 admission inside the d18 timeline: d16's kernel with the
     * day-2 residue excluded from the corpus side (those docs do not
@@ -2485,7 +2753,7 @@ object Dedup {
     val day1 = bandRowsFor(s,
       documents(s, d).where(col("doc_id") % IncrementalMod === IncrementalRem))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    admissionReportOver(s, day1, d18StandingBands(s, d))
+    admissionReportOver(s, day1, d18StandingView(s, d))
       .where(col("admit") === 1L)
       .select(col("new_doc_id").as("doc_id"))
   }
@@ -2512,13 +2780,25 @@ object Dedup {
     * row-for-row — Round15OpsSpec pins it. The build reads the
     * published live view + signs ONLY the admitted docs (arrival-
     * sized); the standing corpus' raw text is never touched. */
-  private[graft] def appendedBandTable(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "minhash", appendedBandFingerprint(s, d)) {
+  private[graft] def appendedBandTable(s: SparkSession, d: String): DataFrame = {
+    val fp = appendedBandFingerprint(s, d)
+    // the append line's own kind (round 17): the appended generation is
+    // superseded by the NEXT append (or by a retune cutover), never by
+    // the banding line's generations — and vice versa, so it must not
+    // share d19's sweep namespace
+    val t = graft.core.Materialize.readOrCompute(s, "minhash-append", fp) {
       val admittedDocs = documents(s, d)
         .where(col("doc_id") % IncrementalMod === IncrementalRem)
         .join(d18Day1AdmittedIds(s, d), Seq("doc_id"), "left_semi")
       d18StandingBands(s, d).unionByName(bandRowsFor(s, admittedDocs))
     }
+    // retention policy at append-publish time: pin the generation just
+    // published (its rollback — the standing artifact — lives in the
+    // "minhash" kind and needs no pin here); everything else in the
+    // line is a superseded prior append
+    graft.core.Materialize.sweepKeep(s, "minhash-append", Set(fp))
+    t
+  }
 
   /** d18: NEXT-DAY admission over the appended artifact — the proof
     * the append is consumable: a second arrival batch (the
@@ -2533,7 +2813,12 @@ object Dedup {
   def d18(s: SparkSession, d: String): DataFrame = {
     val day2 = bandRowsFor(s, documents(s, d).where(d18ArrivalPred))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    admissionReportOver(s, day2, appendedBandTable(s, d))
+    // the appended artifact's collapsed part is its standing half —
+    // the admitted day-1 rows are signed member-level — so the
+    // standing view's membership re-expands its matches (None when
+    // uncollapsed)
+    admissionReportOver(s, day2,
+      BandView(appendedBandTable(s, d), d18StandingView(s, d).members))
   }
 
   // ---- d19: banding REFRESH (round 15, the a17 analog) ----
@@ -2594,18 +2879,34 @@ object Dedup {
     // the gen-1 branch (one d14Over construction, one set of persists
     // — round-15 advice), so a no-retune serve never grades the stale
     // generation twice.
-    val staleReport = d14Over(s, d, staleLiveBands(s, d))
+    val (staleReport, staleCaches) =
+      d14OverCached(s, d, BandView(staleLiveBands(s, d), None))
     val staleRecall = staleReport.select(col("recall")).head().getDouble(0)
-    if (staleRecall < RetuneRecallThreshold)
-      d14Over(s, d, liveBandTable(s, d)) // bandTable publishes if absent = the rebuild
-        .withColumn("gen", lit(2L))
-        .withColumn("bands", lit((MinhashSeeds / BandRows).toLong))
-        .withColumn("band_rows", lit(BandRows.toLong))
-    else
-      staleReport
-        .withColumn("gen", lit(1L))
-        .withColumn("bands", lit((MinhashSeeds / StaleBandRows).toLong))
-        .withColumn("band_rows", lit(StaleBandRows.toLong))
+    val out =
+      if (staleRecall < RetuneRecallThreshold) {
+        // the stale instrument's report is discarded here (only its
+        // scalar was read) — release its caches instead of leaving
+        // them to the harness (round-16 double-persist nit)
+        staleCaches.foreach(_.unpersist(blocking = false))
+        d14Over(s, d, liveBandView(s, d)) // bandTable publishes if absent = the rebuild
+          .withColumn("gen", lit(2L))
+          .withColumn("bands", lit((MinhashSeeds / BandRows).toLong))
+          .withColumn("band_rows", lit(BandRows.toLong))
+      } else
+        staleReport
+          .withColumn("gen", lit(1L))
+          .withColumn("bands", lit((MinhashSeeds / StaleBandRows).toLong))
+          .withColumn("band_rows", lit(StaleBandRows.toLong))
+    // retention AT the cutover (round-17: policy, not just mechanism):
+    // the banding line now designates {serving, rollback} = {the
+    // generation just cut over to (or still serving), the one it
+    // supersedes} — both published by the instrument runs above —
+    // and every other generation of the line (older bandings,
+    // prior-code/prior-corpus residue) is reaped here rather than
+    // accumulating until a manual Governance pass
+    graft.core.Materialize.sweepKeep(s, "minhash",
+      Set(minhashFingerprint(s, d), staleBandFingerprint(s, d)))
+    out
   }
 
   // ---- d20: the MULTI-DAY append chain (round 16, d18 iterated) ----
@@ -2634,10 +2935,13 @@ object Dedup {
     * day's residue — on day 0 none of the timeline's arrivals exist
     * yet. (d16/d18 keep their own 1- and 2-day censuses: their worlds
     * predate the 3-day timeline and their artifacts are unchanged.) */
-  private[graft] def chainStandingBands(s: SparkSession, d: String): DataFrame =
-    ChainDays.foldLeft(liveBandTable(s, d)) { (b, r) =>
-      b.where(col("i") % IncrementalMod =!= r)
+  private[graft] def chainStandingView(s: SparkSession, d: String): BandView =
+    ChainDays.foldLeft(liveBandView(s, d)) { (v, r) =>
+      filteredView(v, keepWhere(_ % IncrementalMod =!= r))
     }
+
+  private[graft] def chainStandingBands(s: SparkSession, d: String): DataFrame =
+    chainStandingView(s, d).rows
 
   private def chainDayBands(s: SparkSession, d: String, day: Long): DataFrame =
     bandRowsFor(s,
@@ -2660,17 +2964,37 @@ object Dedup {
     * growth and the compaction/retention story absorbs the chain. */
   private[graft] def chainArtifact(s: SparkSession, d: String, gen: Int): DataFrame =
     if (gen == 0) chainStandingBands(s, d)
-    else graft.core.Materialize.readOrCompute(s, "minhash", chainFingerprint(s, d, gen)) {
-      val day = ChainDays(gen - 1)
-      val admittedIds = chainDayReport(s, d, gen)
-        .where(col("admit") === 1L)
-        .select(col("new_doc_id").as("doc_id"))
-      val admittedDocs = documents(s, d)
-        .where(col("doc_id") % IncrementalMod === day)
-        .join(admittedIds, Seq("doc_id"), "left_semi")
-      // the second chainArtifact(gen-1) read hits the published table
-      // the report's own call just ensured exists — no double compute
-      chainArtifact(s, d, gen - 1).unionByName(bandRowsFor(s, admittedDocs))
+    else {
+      // the chain line's own kind (round 17): generation k supersedes
+      // k−1 WITHIN this line only — housing the chain under "minhash"
+      // would let d20's retention sweep reap the banding line's serving
+      // generations and vice versa
+      val fp = chainFingerprint(s, d, gen)
+      if (graft.core.Materialize.exists(s, "minhash-chain", fp))
+        s.read.parquet(graft.core.Materialize.tablePath(s, "minhash-chain", fp))
+      else {
+        val day = ChainDays(gen - 1)
+        // built OUTSIDE the publish closure so the cached day batch can
+        // be released once the generation is on disk (round-16 verdict
+        // nit: one leaked MEMORY_AND_DISK copy per chain build
+        // otherwise accumulates across a year-long chain's session)
+        val dayBands = chainDayBands(s, d, day)
+        try {
+          graft.core.Materialize.readOrCompute(s, "minhash-chain", fp) {
+            val admittedIds =
+              admissionReportOver(s, dayBands, chainViewOf(s, d, gen - 1))
+                .where(col("admit") === 1L)
+                .select(col("new_doc_id").as("doc_id"))
+            val admittedDocs = documents(s, d)
+              .where(col("doc_id") % IncrementalMod === day)
+              .join(admittedIds, Seq("doc_id"), "left_semi")
+            // the second chainArtifact(gen-1) read hits the published
+            // table the report's own call just ensured exists — no
+            // double compute
+            chainArtifact(s, d, gen - 1).unionByName(bandRowsFor(s, admittedDocs))
+          }
+        } finally dayBands.unpersist(blocking = false)
+      }
     }
 
   /** day-`day`'s admission report inside the chain timeline (1-based):
@@ -2679,7 +3003,14 @@ object Dedup {
     * d20 gate entry both run, exposed for the induction spec. */
   private[graft] def chainDayReport(s: SparkSession, d: String, day: Int): DataFrame =
     admissionReportOver(s, chainDayBands(s, d, ChainDays(day - 1)),
-      chainArtifact(s, d, day - 1))
+      chainViewOf(s, d, day - 1))
+
+  /** chain generation `gen` as a view: the published artifact's
+    * collapsed part is its standing half (admitted day rows are
+    * member-level), so the standing view's membership re-expands
+    * matches — None when uncollapsed. */
+  private def chainViewOf(s: SparkSession, d: String, gen: Int): BandView =
+    BandView(chainArtifact(s, d, gen), chainStandingView(s, d).members)
 
   /** d20: DAY-3 admission over the TWICE-appended chain artifact — the
     * multi-day iteration the round-15 verdict ordered (d18 proved ONE
@@ -2701,8 +3032,20 @@ object Dedup {
     * ([[chainDaysKey]]); superseded generations are retention
     * candidates, so a year of daily appends holds ONE serving
     * artifact, not 365. */
-  def d20(s: SparkSession, d: String): DataFrame =
-    chainDayReport(s, d, ChainDays.size)
+  def d20(s: SparkSession, d: String): DataFrame = {
+    // construction is eager about the artifacts: chainDayReport's
+    // corpus side ensures chain generations 1..size−1 are published
+    val out = chainDayReport(s, d, ChainDays.size)
+    // retention AT the append fold (round 17): the chain designates
+    // {serving, rollback} = {generation size−1, size−2}; every older
+    // generation is superseded (each gen is a FULL standalone band
+    // table) — this is the policy that holds a year of daily appends
+    // at TWO live generations instead of 365
+    graft.core.Materialize.sweepKeep(s, "minhash-chain",
+      Set(ChainDays.size - 1, ChainDays.size - 2)
+        .filter(_ >= 1).map(chainFingerprint(s, d, _)))
+    out
+  }
 
   /** Oracle: the 3-day census timeline end to end — day-1 admission
     * against the standing corpus (days 2–3 not yet arrived, tombstones

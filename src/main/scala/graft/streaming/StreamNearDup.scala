@@ -78,7 +78,10 @@ object StreamNearDup {
     * computes keys on arrival ([[bandRows]]) over the live replay, and
     * the equivalence spec pins the two kernels to each other. */
   def batchFlags(s: SparkSession, dir: String): DataFrame = {
-    val rows = Dedup.liveBandTable(s, dir)
+    // per-DOCUMENT keys (the streaming side signs every arrival, so the
+    // batch reference must re-inflate a collapsed view's members —
+    // identity on a normal corpus)
+    val rows = Dedup.liveBandRowsByDoc(s, dir)
       .select(col("i").as("doc_id"), col("band"), col("sig").as("key"))
     val firsts = rows.groupBy("band", "key").agg(min("doc_id").as("dup_of"))
     rows.join(firsts, Seq("band", "key"))

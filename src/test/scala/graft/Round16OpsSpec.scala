@@ -35,35 +35,39 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     try body finally spark.conf.unset("spark.graft.mat.dir")
   }
 
-  test("retention sweep on the real minhash family: superseded generations " +
-    "gone, pins survive byte-untouched, post-sweep serves bit-identical and warm") {
+  test("retention sweep on the real minhash families: the kind-per-line " +
+    "layout holds, a manual sweep ages out the chain rollback, pins survive " +
+    "byte-untouched, post-sweep serves bit-identical and warm") {
     withMatDir {
       val sf = "/root/testdata/sf0.001"
-      // stage the family's generations: default (d02's band table),
-      // stale (d19's gen 1), chain generations 1 and 2 (d20)
+      // stage the lines: default (d02's band table) + stale (d19's
+      // gen 1) in the banding line, chain generations 1 and 2 (d20) in
+      // the chain line
       def d02Rows() = graft.ops.Dedup.d02(spark, sf).collect().map(_.toSeq).toSeq
       def d20Rows() = graft.ops.Dedup.d20(spark, sf).collect().map(_.toSeq).toSeq
       val d02Before = d02Rows()
       graft.ops.Dedup.staleBandTable(spark, sf).count()
       val d20Before = d20Rows()
-      val gens = graft.core.Materialize.listGenerations(spark, "minhash")
-      assert(gens.size >= 4, s"expected >=4 staged generations, got $gens")
-      // the policy: pin the serving generation (the default band table —
-      // every consumer's cutover target) and the rollback (chain gen 2,
-      // d20's serving artifact); age out the stale + chain gen 1
-      val pins = Set(
-        graft.ops.Dedup.minhashFingerprint(spark, sf),
-        graft.ops.Dedup.chainFingerprint(spark, sf, 2))
-      assert(pins.subsetOf(gens.toSet), "pins must be published before the sweep")
+      // the round-17 layout: each lifecycle line owns its kind, so a
+      // line's sweep can never reap another line's serving artifact
+      assert(graft.core.Materialize.listGenerations(spark, "minhash").toSet ==
+        Set(graft.ops.Dedup.minhashFingerprint(spark, sf),
+          graft.ops.Dedup.staleBandFingerprint(spark, sf)),
+        "the banding line must hold exactly {serving, rollback}")
+      val chain1 = graft.ops.Dedup.chainFingerprint(spark, sf, 1)
+      val chain2 = graft.ops.Dedup.chainFingerprint(spark, sf, 2)
+      assert(graft.core.Materialize.listGenerations(spark, "minhash-chain").toSet ==
+        Set(chain1, chain2),
+        "the chain line must hold exactly {serving, rollback} after d20's own sweep")
+      // a manual policy decision on top: the chain rollback's retention
+      // window lapses — age it out, pin the serving generation
       val (retained, swept) =
-        graft.core.Materialize.retentionSweep(spark, "minhash", pins)
-      assert(retained.toSet == pins,
-        s"retained must be exactly the pins: $retained vs $pins")
-      assert(swept.nonEmpty && swept.toSet.intersect(pins).isEmpty,
-        s"sweep must remove the unpinned generations only: $swept")
-      assert(graft.core.Materialize.listGenerations(spark, "minhash").toSet == pins)
+        graft.core.Materialize.retentionSweep(spark, "minhash-chain", Set(chain2))
+      assert(retained == Seq(chain2) && swept == Seq(chain1),
+        s"retained=$retained swept=$swept")
       // post-sweep serves from the pins: bit-identical AND warm — the
       // sweep neither touched the pinned bytes nor forced a republish
+      // (d20's warm serve reads ONLY the serving chain generation)
       val pub0 = graft.core.Materialize.publishCount
       assert(d02Rows() == d02Before, "post-sweep d02 serve != pre-sweep")
       assert(d20Rows() == d20Before, "post-sweep d20 serve != pre-sweep")

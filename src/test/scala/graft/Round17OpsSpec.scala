@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Round-17 operational-hardening invariants (the round-16 verdict's
+  * orders):
+  *  - retention is a POLICY, not just a mechanism: every lifecycle
+  *    cutover/append/compaction publish reaps its own line's
+  *    superseded generations (pins {serving, rollback}) — a year of
+  *    daily appends holds 2 generations, and prior-round residue is
+  *    swept the first time a line publishes after a code change;
+  *  - further round-17 tests land with their operators.
+  */
+class Round17OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-round17-ops-spec")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withMatDir[T](body: => T): T = {
+    val mat = java.nio.file.Files.createTempDirectory("graft-r17-mat").toString
+    spark.conf.set("spark.graft.mat.dir", mat)
+    try body finally spark.conf.unset("spark.graft.mat.dir")
+  }
+
+  test("lifecycle retention policy: d17/d18/d19/d20/a17 reap their own " +
+    "lines at cutover/append time — families hold {serving, rollback}, " +
+    "fabricated prior-round residue is swept, re-serves bit-identical and warm") {
+    withMatDir {
+      val sf = "/root/testdata/sf0.001"
+      val D = graft.ops.Dedup
+      val A = graft.ops.Ann
+      val M = graft.core.Materialize
+      def rows(df: => org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.collect().map(_.toSeq).toSeq
+      // first pass: the lifecycle surface end to end
+      val d17B = rows(D.d17(spark, sf))
+      val d18B = rows(D.d18(spark, sf))
+      val d19B = rows(D.d19(spark, sf))
+      val d20B = rows(D.d20(spark, sf))
+      val a17B = rows(A.a17(spark, sf))
+      // the policy invariant the round-16 verdict ordered: ≤2 live
+      // generations per family, and they are exactly the line's
+      // {serving, rollback} designations
+      val expect = Map(
+        "minhash" -> Set(D.minhashFingerprint(spark, sf),
+          D.staleBandFingerprint(spark, sf)),
+        "minhash-append" -> Set(D.appendedBandFingerprint(spark, sf)),
+        "minhash-chain" -> Set(D.chainFingerprint(spark, sf, 1),
+          D.chainFingerprint(spark, sf, 2)),
+        // below the compaction threshold (census: 10% < 25%) the pair
+        // line serves by anti-join: only the full table is published
+        "minhash-pairs" -> Set(D.d02PairsFingerprint(spark, sf)),
+        "ivfpq" -> Set(A.ivfpqFingerprint(spark, sf)))
+      expect.foreach { case (kind, fps) =>
+        assert(fps.size <= 2)
+        assert(M.listGenerations(spark, kind).toSet == fps,
+          s"family $kind after first pass")
+      }
+      // fabricate superseded residue in every family — the
+      // prior-corpus/prior-code-salt class every recompiled round used
+      // to leave on disk forever
+      val s2 = spark
+      import s2.implicits._
+      expect.keys.foreach { kind =>
+        Seq((1L, "stale")).toDF("k", "v").coalesce(1)
+          .write.parquet(M.tablePath(spark, kind, "00residue"))
+        assert(M.listGenerations(spark, kind).contains("00residue"),
+          s"staged residue must register as a complete generation in $kind")
+      }
+      // second pass: each lifecycle owner reaps its own line at
+      // publish/cutover time, serves stay bit-identical AND warm
+      val pub0 = M.publishCount
+      assert(rows(D.d17(spark, sf)) == d17B, "d17 re-serve != first pass")
+      assert(rows(D.d18(spark, sf)) == d18B, "d18 re-serve != first pass")
+      assert(rows(D.d19(spark, sf)) == d19B, "d19 re-serve != first pass")
+      assert(rows(D.d20(spark, sf)) == d20B, "d20 re-serve != first pass")
+      assert(rows(A.a17(spark, sf)) == a17B, "a17 re-serve != first pass")
+      assert(M.publishCount == pub0,
+        "the residue-reaping pass must serve warm — no republish")
+      expect.foreach { case (kind, fps) =>
+        assert(M.listGenerations(spark, kind).toSet == fps,
+          s"family $kind must be back to its designated set (residue reaped)")
+      }
+    }
+  }
+
+  // ---- hot-bucket mitigation: exact-duplicate collapse (order 2) ----
+
+  /** the round-16 census spec's corpus, promoted to a full pipeline
+    * input: an exact-duplicate mega-cluster one past the bucket cap
+    * (ids cover every census residue — arrivals, tombstones, appends),
+    * a small tombstone-rep cluster (exercises the live relabel: the
+    * cluster's min id is deleted, survivors must keep matching), and
+    * distinct filler with one near-dup pair. */
+  private def plantedMegaCorpus(): (String, Long) = {
+    val s = spark
+    import s.implicits._
+    val cap = graft.ops.Dedup.hotBucketCapDocs
+    val boiler = (1L to cap + 1).map(i => (i, "the quick brown fox cookie banner"))
+    val tombCluster = Seq(3000003L, 3000013L, 3000023L, 3000033L)
+      .map(i => (i, "terms of service apply to everything"))
+    val filler = (1L to 20L).map(i => (i + 100000L, s"unique doc $i with words w$i x$i"))
+    val nearDup = Seq(
+      (4000001L, "alpha beta gamma delta epsilon zeta"),
+      (4000011L, "alpha beta gamma delta epsilon theta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-r17-mega").toString
+    (boiler ++ tombCluster ++ filler ++ nearDup).toDF("doc_id", "text")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (dir, cap)
+  }
+
+  test("exact-collapse pre-pass: a mega-cluster build collapses to " +
+    "representatives — candidate volume ~c not c²/2, census silent, " +
+    "d02 bit-identical to the uncollapsed kernel") {
+    val s = spark
+    import s.implicits._
+    withMatDir {
+      val (dir, cap) = plantedMegaCorpus()
+      val D = graft.ops.Dedup
+      // the cold build must have collapsed: membership published,
+      // published rows are representative-level
+      val view = D.bandView(spark, dir)
+      assert(view.members.isDefined, "census must trip the collapse")
+      val m = view.members.get
+      // cap+1 boilerplate members + 4 tombCluster members, reps 1 and 3000003
+      assert(m.count() == cap + 1 + 4)
+      assert(m.select(col("rep")).distinct().collect().map(_.getLong(0)).toSet ==
+        Set(1L, 3000003L))
+      // table is rep-level: (2 reps + 20 filler + 2 near-dups) × 8 bands
+      assert(view.rows.count() == (2 + 20 + 2) * 8L)
+      // candidate volume collapsed: ~tens, not c²/2 ≈ 2M
+      val (_, cand) = D.d02Internals(spark, dir)
+      val nCand = cand.count()
+      assert(nCand < 100, s"collapsed candidate volume must be tiny, got $nCand")
+      // the round-16 tripwire stays SILENT on the collapsed build
+      assert(D.hotBucketWarning(view.rows).isEmpty,
+        "no hot bucket may survive the collapse")
+      // d02 == the uncollapsed kernel, bit for bit (including the
+      // c(c−1)/2 within-cluster pairs at jaccard 1.0)
+      val collapsed = D.d02(spark, dir)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val reference = D.neardupPairsOver(spark,
+        D.BandView(D.bandRowsFor(spark, docs), None))
+      assert(collapsed.count() == (cap + 1) * cap / 2 + 4 * 3 / 2 + 1,
+        "cluster pairs + tomb-cluster pairs + one filler near-dup pair")
+      assert(collapsed.exceptAll(reference).count() == 0L &&
+        reference.exceptAll(collapsed).count() == 0L,
+        "collapsed d02 must equal the uncollapsed kernel exactly")
+    }
+  }
+
+  test("exact-collapse: d16 batch admission and s14 streaming admission " +
+    "over the collapsed corpus equal the uncollapsed kernel (tombstoned " +
+    "rep relabeled to a surviving member)") {
+    val s = spark
+    import s.implicits._
+    withMatDir {
+      val (dir, _) = plantedMegaCorpus()
+      val D = graft.ops.Dedup
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val mod = D.IncrementalMod
+      // reference: the admission kernel over an UNCOLLAPSED member-level
+      // corpus view (live minus the arrival residue), fresh-signed
+      val arrivals = docs.where(col("doc_id") % mod === D.IncrementalRem)
+      val corpusDocs = docs.where(col("doc_id") % mod =!= D.IncrementalRem &&
+        col("doc_id") % mod =!= D.TombstoneRem)
+      val reference = D.admissionReportOver(spark,
+        D.bandRowsFor(spark, arrivals),
+        D.BandView(D.bandRowsFor(spark, corpusDocs), None))
+      val refRows = reference.collect().map(_.toSeq).toSeq
+      assert(refRows.nonEmpty)
+      // the boilerplate arrivals must be rejected with n_dups = the
+      // LIVE member count of their cluster — the tombstoned members
+      // must not count, and (in the collapsed run) the tombstoned REP
+      // of the small cluster must have been relabeled, not dropped
+      val got = D.d16(spark, dir).collect().map(_.toSeq).toSeq
+      assert(got == refRows, "collapsed d16 must equal the uncollapsed kernel")
+      // the streaming admission tier: same answer through the real
+      // engine (rep-level pair-key dedup state, expansion at read-back)
+      val s14Rows = graft.streaming.Replay.s14(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(s14Rows == refRows, "collapsed s14 must equal the uncollapsed kernel")
+    }
+  }
+
+  // ---- s14 delivery contract: read-back idempotence (order 6) ----
+
+  test("s14 report read-back is idempotent on the pair key: at-least-once " +
+    "redelivery of a drained pair cannot inflate n_dups") {
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // arrival ids exist in the census residue; the drained relation is
+    // what an at-least-once source would leave after a cross-batch
+    // redelivery: the same verified pair landed twice
+    val pairs = Seq((7L, 2L, 0.8), (17L, 2L, 0.8), (17L, 4L, 0.6))
+      .toDF("ni", "ci", "jac")
+    val once = graft.streaming.Replay.s14Report(spark, sf, pairs, None)
+      .collect().map(_.toSeq).toSeq
+    val redelivered = graft.streaming.Replay
+      .s14Report(spark, sf, pairs.unionAll(pairs), None)
+      .collect().map(_.toSeq).toSeq
+    assert(once == redelivered,
+      "duplicated drained pairs must not change the admission report")
+    // and the n_dups the report carries is the DISTINCT pair count
+    val n17 = once.find(_.head == 17L).get
+    assert(n17(1) == 2L, s"n_dups must be 2 for doc 17, got $n17")
+  }
+}
