@@ -194,6 +194,83 @@ class Round17OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact-collapse through the lifecycle: d14 recall, d17 deletion " +
+    "serve, d18 append admission and d20 chain admission on the collapsed " +
+    "corpus all equal the uncollapsed kernels") {
+    val s = spark
+    import s.implicits._
+    withMatDir {
+      val (dir, _) = plantedMegaCorpus()
+      val D = graft.ops.Dedup
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.collect().map(_.toSeq).toSeq
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val mod = D.IncrementalMod
+      val live = docs.where(col("doc_id") % mod =!= D.TombstoneRem)
+      def memberView(ds: org.apache.spark.sql.DataFrame): D.BandView =
+        D.BandView(D.bandRowsFor(spark, ds), None)
+      assert(D.bandView(spark, dir).members.isDefined, "census must trip")
+
+      // d14: the recall instrument grades the collapsed live view through
+      // the membership re-inflation — same report as over member-level rows
+      assert(rows(D.d14(spark, dir)) ==
+        rows(D.d14Over(spark, dir, D.bandRowsFor(spark, live))),
+        "collapsed d14 != uncollapsed instrument")
+
+      // d17: deletion serve == d02 on the reduced corpus (the pair table
+      // was published document-level by the collapsed kernel)
+      val d17Ref = D.neardupPairsOver(spark, memberView(live))
+        .orderBy("doc_a", "doc_b")
+      val d17Got = D.d17(spark, dir)
+      assert(d17Got.exceptAll(d17Ref).count() == 0L &&
+        d17Ref.exceptAll(d17Got).count() == 0L,
+        "collapsed d17 != d02 over the reduced corpus")
+
+      // d18: day-2 admission over the appended artifact == the kernel over
+      // an uncollapsed rebuild of standing + day-1 admitted
+      val standingDocs = live.where(col("doc_id") % mod =!= D.IncrementalRem &&
+        col("doc_id") % mod =!= D.AppendRem)
+      val day1Docs = docs.where(col("doc_id") % mod === D.IncrementalRem)
+      val admitted1 = day1Docs.join(
+        D.admissionReportOver(spark, D.bandRowsFor(spark, day1Docs),
+            memberView(standingDocs))
+          .where(col("admit") === 1L).select(col("new_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val day2Docs = docs.where(col("doc_id") % mod === D.AppendRem)
+      val d18Ref = D.admissionReportOver(spark, D.bandRowsFor(spark, day2Docs),
+        memberView(standingDocs.unionByName(admitted1)))
+      assert(rows(D.d18(spark, dir)) == rows(d18Ref),
+        "collapsed d18 != uncollapsed append-rebuild admission")
+
+      // d20: day-3 admission over the twice-appended chain == the kernel
+      // over an uncollapsed rebuild of the 3-day timeline
+      val chainStanding = D.ChainDays.foldLeft(live) { (ds, r) =>
+        ds.where(col("doc_id") % mod =!= r)
+      }
+      val folded = D.ChainDays.dropRight(1).foldLeft(chainStanding) { (corpus, day) =>
+        val dayDocs = docs.where(col("doc_id") % mod === day)
+        corpus.unionByName(dayDocs.join(
+          D.admissionReportOver(spark, D.bandRowsFor(spark, dayDocs),
+              memberView(corpus))
+            .where(col("admit") === 1L).select(col("new_doc_id").as("doc_id")),
+          Seq("doc_id"), "left_semi"))
+      }
+      val day3Docs = docs.where(col("doc_id") % mod === D.ChainDays.last)
+      val d20Ref = D.admissionReportOver(spark,
+        D.bandRowsFor(spark, day3Docs), memberView(folded))
+      assert(rows(D.d20(spark, dir)) == rows(d20Ref),
+        "collapsed d20 != uncollapsed chain-rebuild admission")
+
+      // and the retention layout holds on the pathological corpus too:
+      // the collapsed families still end at their designated sets
+      assert(graft.core.Materialize.listGenerations(spark, "minhash-chain")
+        .toSet == Set(D.chainFingerprint(spark, dir, 1),
+          D.chainFingerprint(spark, dir, 2)))
+      assert(graft.core.Materialize.listGenerations(spark, "minhash-members") ==
+        Seq(D.minhashFingerprint(spark, dir)))
+    }
+  }
+
   // ---- s14 delivery contract: read-back idempotence (order 6) ----
 
   test("s14 report read-back is idempotent on the pair key: at-least-once " +
