@@ -521,8 +521,19 @@ object Dedup {
 
   /** docs-per-bucket ceiling before one LSH bucket's candidate volume
     * (~c²/2 verify pairs) exceeds the suite's shared pair budget
-    * ([[JaccardPairBudget]] — √budget docs ⇒ ~budget/2 pairs). */
-  def hotBucketCapDocs: Long = math.sqrt(JaccardPairBudget.toDouble).toLong
+    * ([[JaccardPairBudget]] — √budget docs ⇒ ~budget/2 pairs).
+    * `spark.graft.dedup.hotBucketCapDocs` overrides — an operator
+    * tuning the collapse trigger to a deployment's verify budget (and
+    * the randomized property spec exercising the collapse at small
+    * corpus scale). NOTE the cap is deliberately NOT part of the
+    * artifact fingerprint: both build modes produce answer-identical
+    * consumers, so a cap change re-keys nothing — it only steers which
+    * representation the next COLD build publishes. */
+  def hotBucketCapDocs: Long =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.dedup.hotBucketCapDocs"))
+      .map(_.toLong)
+      .getOrElse(math.sqrt(JaccardPairBudget.toDouble).toLong)
 
   /** Census check for LSH hot buckets — the d02-family analogue of
     * [[jaccardCapWarning]]: returns a warning naming the worst
@@ -2906,6 +2917,13 @@ object Dedup {
     // accumulating until a manual Governance pass
     graft.core.Materialize.sweepKeep(s, "minhash",
       Set(minhashFingerprint(s, d), staleBandFingerprint(s, d)))
+    // the collapse membership line rides the banding line's lifecycle:
+    // when the current build is collapsed this reaps prior-fingerprint
+    // membership residue; when it is uncollapsed the pin names nothing
+    // and sweepKeep defers (stale membership is fingerprint-addressed
+    // and never read, so deferring is harmless)
+    graft.core.Materialize.sweepKeep(s, "minhash-members",
+      Set(minhashFingerprint(s, d)))
     out
   }
 
