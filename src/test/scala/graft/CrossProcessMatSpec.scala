@@ -234,6 +234,49 @@ class CrossProcessMatSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("retention sweep races a publisher in ANOTHER JVM: the child's " +
+    "in-progress temp survives the sweep, its publish lands complete") {
+    val s = spark
+    import s.implicits._
+    withMatDir { mat =>
+      val kind = "xsweep"
+      graft.core.Materialize.readOrCompute(spark, kind, "pin")((1 to 4).toDF("k"))
+      graft.core.Materialize.readOrCompute(spark, kind, "old")((1 to 6).toDF("k"))
+      val ready = Paths.get(mat, "sweepchild.ready")
+      val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      // the child's parquet write sleeps 5 s per partition, holding its
+      // .inprogress window open while this JVM sweeps the family
+      val child = new ProcessBuilder(javaBin, "-Xmx1g", "-cp", childClasspath,
+        "graft.tools.CrossProcessMaterializer", mat, kind, "fresh", "0",
+        ready.toString, "5000")
+        .redirectErrorStream(true).start()
+      try {
+        val kindDir = new java.io.File(mat, kind)
+        val deadline = System.currentTimeMillis() + 120000
+        def temps() = Option(kindDir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .map(_.getName).filter(_.contains(".inprogress-"))
+        while (temps().isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(temps().nonEmpty, "never observed the child's in-progress temp")
+        // sweep the family mid-write from THIS process: the live temp is
+        // structurally out of jurisdiction, the unpinned generation goes
+        val (retained, swept) =
+          graft.core.Materialize.retentionSweep(spark, kind, Set("pin"))
+        assert(retained == Seq("pin") && swept == Seq("old"))
+        val out = new String(child.getInputStream.readAllBytes, "UTF-8")
+        assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+          s"child hung; output: $out")
+        assert(child.exitValue() == 0, s"child failed under the sweep: $out")
+        assert(out.contains("CHILD_DONE rows=1000"), out)
+      } finally child.destroyForcibly()
+      assert(graft.core.Materialize.listGenerations(spark, kind).toSet ==
+        Set("pin", "fresh"), "the child's racing publish must land complete")
+      assert(spark.read.parquet(
+        graft.core.Materialize.tablePath(spark, kind, "fresh")).count() == 1000L)
+      assert(residue(mat, kind).isEmpty, s"residue: ${residue(mat, kind)}")
+    }
+  }
+
   test("property: threads hammering readOrCompute AND direct publish on one " +
     "key — always one complete correct table, no residue") {
     val s = spark

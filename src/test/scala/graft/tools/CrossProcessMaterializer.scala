@@ -15,14 +15,24 @@ import org.apache.spark.sql.SparkSession
 object CrossProcessMaterializer {
 
   /** the deterministic table BOTH processes compute for a fingerprint —
-    * same fp must mean same logical content, per the publish contract */
-  def tableFor(s: SparkSession, fp: String): org.apache.spark.sql.DataFrame = {
+    * same fp must mean same logical content, per the publish contract.
+    * `rowSleepMs` > 0 stretches the parquet WRITE (one sleep per
+    * partition inside the scan) so the `.inprogress-*` window stays
+    * open long enough for the parent to race a retention sweep
+    * against it. */
+  def tableFor(s: SparkSession, fp: String,
+               rowSleepMs: Long = 0L): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    (1 to 1000).map(i => (i.toLong, s"$fp-$i")).toDF("id", "v")
+    val base = (1 to 1000).map(i => (i.toLong, s"$fp-$i")).toDF("id", "v")
+    if (rowSleepMs <= 0) base
+    else base.as[(Long, String)].mapPartitions { it =>
+      Thread.sleep(rowSleepMs); it
+    }.toDF("id", "v")
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(matRoot, kind, fp, sleepMs, readyFile) = args
+    val Array(matRoot, kind, fp, sleepMs, readyFile) = args.take(5)
+    val writeSlowMs = if (args.length > 5) args(5).toLong else 0L
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-xproc-mat-child")
@@ -37,7 +47,7 @@ object CrossProcessMaterializer {
       val pub0 = graft.core.Materialize.publishCount
       val df = graft.core.Materialize.readOrCompute(spark, kind, fp) {
         Thread.sleep(sleepMs.toLong)
-        tableFor(spark, fp)
+        tableFor(spark, fp, writeSlowMs)
       }
       val n = df.count()
       println(s"CHILD_DONE rows=$n pub=${graft.core.Materialize.publishCount - pub0}")
