@@ -271,6 +271,47 @@ class Round17OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact-collapse at the flagging tier: s06's streaming flags over " +
+    "the collapsed corpus equal the batch reference (which re-inflates " +
+    "members), across a micro-batch split") {
+    import graft.streaming.StreamNearDup
+    import graft.streaming.StreamNearDup.DocIn
+    val s = spark
+    import s.implicits._
+    implicit val sq = spark.sqlContext
+    withMatDir {
+      val (dir, _) = plantedMegaCorpus()
+      val D = graft.ops.Dedup
+      assert(D.bandView(spark, dir).members.isDefined, "census must trip")
+      // the streaming tier signs every LIVE arrival individually — the
+      // batch reference reads the collapsed artifact and must re-inflate
+      val docs = graft.core.Tables.documents(spark, dir)
+        .where(col("doc_id") % D.IncrementalMod =!= D.TombstoneRem)
+        .select(col("doc_id"), col("text")).as[DocIn]
+        .collect().sortBy(_.doc_id)
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+      val qName = s"r17s6_${System.nanoTime()}"
+      val q = StreamNearDup.flags(stream.toDS()).toDF()
+        .writeStream.format("memory").queryName(qName)
+        .outputMode("append").start()
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(qName)
+        .select("doc_id", "band", "dup_of")
+        .collect().map(_.toString).sorted
+      val batch = StreamNearDup.batchFlags(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty && streamed.length == batch.length,
+        s"flag counts differ: streamed ${streamed.length} batch ${batch.length}")
+      assert(streamed.sameElements(batch),
+        "collapsed batch reference != streaming flags")
+    }
+  }
+
   test("property: random duplicate-cluster corpora under a tiny collapse " +
     "cap — d02 and d16 on the collapsed build equal the uncollapsed " +
     "kernels, across seeds") {
