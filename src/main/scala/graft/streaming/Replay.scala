@@ -849,7 +849,18 @@ object Replay {
     * never raw corpus text; dedup state is pair KEYS only AND bounded
     * by the watermark horizon (a continuous deployment's state volume
     * tracks its in-flight arrival window, not its uptime); per-pair
-    * verify cost is d02's audited kernel. */
+    * verify cost is d02's audited kernel. Within the in-flight window
+    * the state is PAIR-VOLUME-sized (round-17 sweep: 1.6M / 6.5M /
+    * 40.7M keys at 1x/2x/5x on the id-offset dup worst case — each
+    * arrival matches every standing copy), so a dup-heavy deployment
+    * pairs this entry with the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass): the default
+    * in-memory HDFS provider holds each partition's full key map on
+    * heap and OOMs at the 40M-key point where disk-backed RocksDB
+    * completes (measured, BASELINE.md round-17 s-sweep). A collapsed
+    * corpus build shrinks the same state k-fold for exact-dup mass:
+    * candidate keys are per REPRESENTATIVE, expansion happens at
+    * read-back. */
   def s14(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val mod = graft.ops.Dedup.IncrementalMod

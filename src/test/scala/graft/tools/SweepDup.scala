@@ -26,11 +26,22 @@ object SweepDup {
   def dirFor(k: Int): String = s"/tmp/graft_sweep/x$k"
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val b = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // SWEEP_STATE_PROVIDER=rocksdb switches streaming state to the
+    // disk-backed RocksDB provider — the deployment answer once an
+    // entry's in-flight state outgrows executor heap (the s14 x5
+    // point: ~40M pair keys OOM the default in-memory HDFS provider
+    // in this harness JVM; RocksDB is bounded-memory by design)
+    val spark = (sys.env.get("SWEEP_STATE_PROVIDER") match {
+      case Some("rocksdb") => b.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => b
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.headOption match {
       case Some("build") => build(spark)
