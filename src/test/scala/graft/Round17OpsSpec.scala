@@ -191,6 +191,13 @@ class Round17OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val s14Rows = graft.streaming.Replay.s14(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(s14Rows == refRows, "collapsed s14 must equal the uncollapsed kernel")
+      // the scale claim, quantified: the in-stream dedup state holds
+      // REPRESENTATIVE-level pair keys — ~1 per (arrival, cluster),
+      // not ~|live members| per arrival (the ~200 boilerplate arrivals
+      // would hold ~320k member-level keys; rep-level is ~220)
+      val state = graft.streaming.Replay.lastStateRows
+      assert(state > 0 && state < 5000,
+        s"collapsed s14 state must be representative-level, got $state keys")
     }
   }
 
