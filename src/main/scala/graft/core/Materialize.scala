@@ -131,6 +131,27 @@ object Materialize {
     * no production caller here does — see [[fingerprint]]). */
   def fingerprintCacheClear(): Unit = listingCache.clear()
 
+  /** 8-hex-char tag of a corpus directory PATH (not its contents) —
+    * the family-scoping component of [[scopedKind]]. Path, not
+    * contents, deliberately: generations of an EVOLVING corpus dir
+    * (appends, retunes, regenerations in place) share one family and
+    * supersede each other, which is exactly what retention reaps;
+    * distinct dirs (the gate's sf0.01 vs sf0.1, sweep corpora) are
+    * independent lineages that must never reap each other. */
+  def dirTag(dir: String): String =
+    hex(java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))).take(8)
+
+  /** Kind namespace scoped to one corpus directory (round 17): a
+    * shared materialization root holds several corpora, and a
+    * retention sweep pinned by ONE corpus's fingerprints must never
+    * reap another's serving generations — so each lifecycle line's
+    * kind carries the corpus tag, making families per-corpus lineages
+    * and [[sweepKeep]]/[[listGenerations]] corpus-local by
+    * construction. */
+  def scopedKind(base: String, dir: String): String =
+    base + "-" + dirTag(dir)
+
   /** Root of all materialized tables. Local default for the bench box;
     * a cluster deployment points `spark.graft.mat.dir` at shared storage
     * (the tables are read by every downstream report job, so they must

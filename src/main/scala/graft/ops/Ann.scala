@@ -916,7 +916,7 @@ object Ann {
   /** The published index, persisted for the serve paths (consumed for
     * assignment + codes). */
   private def publishedIndex(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "ivfpq", ivfpqFingerprint(s, d))(
+    graft.core.Materialize.readOrCompute(s, sk("ivfpq", d), ivfpqFingerprint(s, d))(
         buildIvfPqIndex(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -1216,9 +1216,9 @@ object Ann {
     * publish. */
   private[graft] def compactedIndex(s: SparkSession, d: String): DataFrame = {
     val fp = compactedIndexFingerprint(s, d)
-    val t = graft.core.Materialize.readOrCompute(s, "ivfpq-live", fp)(
+    val t = graft.core.Materialize.readOrCompute(s, sk("ivfpq-live", d), fp)(
       liveIndex(s, d))
-    graft.core.Materialize.sweepKeep(s, "ivfpq-live", Set(fp))
+    graft.core.Materialize.sweepKeep(s, sk("ivfpq-live", d), Set(fp))
     t
   }
 
@@ -1358,7 +1358,7 @@ object Ann {
     * scan-sort-limit job twice per gen-1 serve (round-14 review). */
   private def a17StaleIndexFor(s: SparkSession, d: String,
                                ids: Seq[Long]): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "ivfpq", a17StaleFingerprint(s, d))(
+    graft.core.Materialize.readOrCompute(s, sk("ivfpq", d), a17StaleFingerprint(s, d))(
       buildIvfPqIndexWith(s, d,
         a17IdsPred(ids), a17IdsPred(ids.take(PqCentroids))))
 
@@ -1420,7 +1420,7 @@ object Ann {
     // prior-round residue — is reaped here. Pins are intents: on the
     // no-retrain branch only the stale generation exists (and only it
     // is retained); the retrained pin names nothing yet.
-    graft.core.Materialize.sweepKeep(s, "ivfpq",
+    graft.core.Materialize.sweepKeep(s, sk("ivfpq", d),
       Set(ivfpqFingerprint(s, d), a17StaleFingerprint(s, d)))
     out
   }
@@ -1594,7 +1594,7 @@ object Ann {
     * training happens once per corpus fingerprint, exactly the
     * Materialize contract the other kernels follow. */
   private[graft] def kmeansModelTable(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "kmeansmodel", kmeansFingerprint(s, d))(
+    graft.core.Materialize.readOrCompute(s, sk("kmeansmodel", d), kmeansFingerprint(s, d))(
       kmeansModel(s, d))
 
   /** the trained model collapsed to ONE broadcastable row
@@ -1613,6 +1613,11 @@ object Ann {
   private lazy val annCodeSalt: String =
     graft.core.Materialize.codeSalt(Ann.getClass, graft.core.Tables.getClass)
 
+  /** per-corpus kind namespace — see graft.ops.Dedup.sk and
+    * [[graft.core.Materialize.scopedKind]]. */
+  private def sk(base: String, d: String): String =
+    graft.core.Materialize.scopedKind(base, d)
+
   /** Fingerprint key of the materialized k-means assignment: input file
     * identity + the DERIVED K (so a corpus crossing a K(N) boundary
     * re-trains) + iteration count + code salt. */
@@ -1626,12 +1631,12 @@ object Ann {
     * (a08's semantic dedup) never re-train. */
   private def publishAssignment(s: SparkSession, d: String): DataFrame = {
     val fp = kmeansFingerprint(s, d)
-    val t = graft.core.Materialize.publish(s, "kmeans", fp)(kmeansFinal(s, d))
+    val t = graft.core.Materialize.publish(s, sk("kmeans", d), fp)(kmeansFinal(s, d))
     // retention at the training publish (round 17): one live generation
     // per line — reap prior-corpus/prior-code residue of both the
     // assignment and the model table (same fingerprint, two kinds)
-    graft.core.Materialize.sweepKeep(s, "kmeans", Set(fp))
-    graft.core.Materialize.sweepKeep(s, "kmeansmodel", Set(fp))
+    graft.core.Materialize.sweepKeep(s, sk("kmeans", d), Set(fp))
+    graft.core.Materialize.sweepKeep(s, sk("kmeansmodel", d), Set(fp))
     t
   }
 
@@ -1640,7 +1645,7 @@ object Ann {
     * production contract: training runs ONCE (a07); reports consume
     * its output table. */
   private[graft] def assignmentTable(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "kmeans", kmeansFingerprint(s, d))(
+    graft.core.Materialize.readOrCompute(s, sk("kmeans", d), kmeansFingerprint(s, d))(
       kmeansFinal(s, d))
 
   /** quantized embedding table, exposed for the spec's brute-force

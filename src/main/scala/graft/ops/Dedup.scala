@@ -450,9 +450,9 @@ object Dedup {
     * availability. */
   private[graft] def bandMembers(s: SparkSession, d: String): Option[DataFrame] = {
     val fp = minhashFingerprint(s, d)
-    if (graft.core.Materialize.exists(s, "minhash-members", fp))
+    if (graft.core.Materialize.exists(s, sk("minhash-members", d), fp))
       Some(s.read.parquet(
-        graft.core.Materialize.tablePath(s, "minhash-members", fp)))
+        graft.core.Materialize.tablePath(s, sk("minhash-members", d), fp)))
     else None
   }
 
@@ -484,7 +484,7 @@ object Dedup {
     * invariant on [[BandView]]. */
   private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
     val fp = minhashFingerprint(s, d)
-    val cold = !graft.core.Materialize.exists(s, "minhash", fp)
+    val cold = !graft.core.Materialize.exists(s, sk("minhash", d), fp)
     if (cold) {
       // pre-sign exact-duplicate census (round 17): decide the collapse
       // BEFORE paying the signing pass — the round-16 tripwire could
@@ -496,11 +496,11 @@ object Dedup {
           s"mega-cluster of $maxC docs exceeds the $hotBucketCapDocs-doc " +
           "bucket cap — collapsing exact duplicates to representatives " +
           "before signing (answers re-expanded through the membership table)")
-        graft.core.Materialize.readOrCompute(s, "minhash-members", fp)(
+        graft.core.Materialize.readOrCompute(s, sk("minhash-members", d), fp)(
           exactClusters(docs))
       }
     }
-    val t = graft.core.Materialize.readOrCompute(s, "minhash", fp)(
+    val t = graft.core.Materialize.readOrCompute(s, sk("minhash", d), fp)(
       bandMembers(s, d) match {
         case None => buildBandTable(s, d)
         case Some(m) => // sign ONE representative per exact-dup cluster
@@ -1175,6 +1175,13 @@ object Dedup {
   private lazy val dedupCodeSalt: String =
     graft.core.Materialize.codeSalt(Dedup.getClass, graft.core.Tables.getClass)
 
+  /** per-corpus kind namespace (see
+    * [[graft.core.Materialize.scopedKind]]): retention families are
+    * corpus lineages — the sf0.01 gate, the sf0.1 bench and the sweep
+    * corpora share one root and must never reap each other. */
+  private def sk(base: String, d: String): String =
+    graft.core.Materialize.scopedKind(base, d)
+
   /** Fingerprint key of the materialized cluster-label table. */
   private[graft] def ccFingerprint(d: String): String =
     graft.core.Materialize.fingerprint(d, "documents", "cc-minlabel", dedupCodeSalt)
@@ -1188,11 +1195,11 @@ object Dedup {
     * fingerprint — the entry point for d03, the job that IS the
     * measured kernel. */
   private[graft] def publishPairs(s: SparkSession, d: String): DataFrame = {
-    val t = graft.core.Materialize.publish(s, "pairs", pairsFingerprint(d))(d03Pairs(s, d))
+    val t = graft.core.Materialize.publish(s, sk("pairs", d), pairsFingerprint(d))(d03Pairs(s, d))
     // retention at the kernel publish (round 17): the simhash pair line
     // designates the full table + its current compacted rewrite; prior
     // corpora/code residue is reaped
-    graft.core.Materialize.sweepKeep(s, "pairs",
+    graft.core.Materialize.sweepKeep(s, sk("pairs", d),
       Set(pairsFingerprint(d), compactedD03PairsFingerprint(d)))
     t
   }
@@ -1202,7 +1209,7 @@ object Dedup {
     * input) and d10 (leakage matrix) — at 100 TB pair generation
     * dominates those jobs, and it runs ONCE per corpus fingerprint. */
   private[graft] def pairsTable(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "pairs", pairsFingerprint(d))(d03Pairs(s, d))
+    graft.core.Materialize.readOrCompute(s, sk("pairs", d), pairsFingerprint(d))(d03Pairs(s, d))
 
   /** the published d03 pair table minus every pair touching a doc of an
     * ARBITRARY delete set — exact, because d03 pair membership (two
@@ -1226,7 +1233,7 @@ object Dedup {
     * d17 contract applied to the simhash pair family. Reads the
     * PUBLISHED table, never raw text, never the pigeonhole kernel. */
   private[graft] def compactedD03PairsTable(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "pairs", compactedD03PairsFingerprint(d))(
+    graft.core.Materialize.readOrCompute(s, sk("pairs", d), compactedD03PairsFingerprint(d))(
       liveD03PairsOver(s, d, d17Tombstones(s, d)))
 
   /** The LIVE view of the d03 pair artifact — what every report built
@@ -1247,7 +1254,7 @@ object Dedup {
     * consumes. Pair generation itself comes from [[pairsTable]]. */
   private def computeAndMaterializeLabels(s: SparkSession, d: String): DataFrame = {
     val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-    val out = graft.core.Materialize.publish(s, "labels", ccFingerprint(d))(
+    val out = graft.core.Materialize.publish(s, sk("labels", d), ccFingerprint(d))(
       connectedComponents(s,
         documents(s, d).select(col("doc_id")),
         pairsTable(s, d).select(col("doc_a"), col("doc_b"))))
@@ -1258,7 +1265,7 @@ object Dedup {
         .foreach(_.unpersist(blocking = false)))
     // retention at the clustering publish (round 17): the label line
     // designates the full-corpus labels + the current deletion repair
-    graft.core.Materialize.sweepKeep(s, "labels",
+    graft.core.Materialize.sweepKeep(s, sk("labels", d),
       Set(ccFingerprint(d), liveLabelsFingerprint(d)))
     out
   }
@@ -1273,8 +1280,8 @@ object Dedup {
     * fallback keeps every entry runnable in isolation. */
   private def ccLabels(s: SparkSession, d: String): DataFrame = {
     val fp = ccFingerprint(d)
-    if (graft.core.Materialize.exists(s, "labels", fp))
-      s.read.parquet(graft.core.Materialize.tablePath(s, "labels", fp))
+    if (graft.core.Materialize.exists(s, sk("labels", d), fp))
+      s.read.parquet(graft.core.Materialize.tablePath(s, sk("labels", d), fp))
     else this.synchronized { computeAndMaterializeLabels(s, d) }
   }
 
@@ -1330,7 +1337,7 @@ object Dedup {
     * parquet table is the materialization. */
   private def computeAndMaterializeLiveLabels(s: SparkSession, d: String): DataFrame = {
     val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-    val out = graft.core.Materialize.publish(s, "labels", liveLabelsFingerprint(d))(
+    val out = graft.core.Materialize.publish(s, sk("labels", d), liveLabelsFingerprint(d))(
       liveLabelsOver(s, d, d17Tombstones(s, d), liveD03Pairs(s, d)))
     (s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
       .foreach(id => s.sparkContext.getPersistentRDDs.get(id)
@@ -1352,8 +1359,8 @@ object Dedup {
     * unconditionally right here). */
   private[graft] def liveCcLabels(s: SparkSession, d: String): DataFrame = {
     val fp = liveLabelsFingerprint(d)
-    if (graft.core.Materialize.exists(s, "labels", fp))
-      s.read.parquet(graft.core.Materialize.tablePath(s, "labels", fp))
+    if (graft.core.Materialize.exists(s, sk("labels", d), fp))
+      s.read.parquet(graft.core.Materialize.tablePath(s, sk("labels", d), fp))
     else this.synchronized { computeAndMaterializeLiveLabels(s, d) }
   }
 
@@ -2582,7 +2589,7 @@ object Dedup {
     * the pair set consumes the slim (doc_a, doc_b, jaccard) artifact.
     * d17 is the first consumer. */
   private[graft] def pairsTableD02(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "minhash-pairs", d02PairsFingerprint(s, d))(
+    graft.core.Materialize.readOrCompute(s, sk("minhash-pairs", d), d02PairsFingerprint(s, d))(
       // document-level by construction (expansion inside the kernel),
       // so pair consumers never need the membership table
       neardupPairsOver(s, bandView(s, d)))
@@ -2615,7 +2622,7 @@ object Dedup {
     * verify kernel — a compaction that re-verified the corpus would
     * defeat the reason the artifact exists. */
   private[graft] def compactedPairsTable(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "minhash-pairs", compactedPairsFingerprint(s, d))(
+    graft.core.Materialize.readOrCompute(s, sk("minhash-pairs", d), compactedPairsFingerprint(s, d))(
       livePairs(s, d, d17Tombstones(s, d)))
 
   /** d17: DELETION-AWARE near-dup serve — the other half of the
@@ -2657,7 +2664,7 @@ object Dedup {
     // compaction's source; resweeping it would force the verify kernel
     // to re-run) and the current compacted rewrite — and reaps
     // prior-corpus/prior-code residue
-    graft.core.Materialize.sweepKeep(s, "minhash-pairs",
+    graft.core.Materialize.sweepKeep(s, sk("minhash-pairs", d),
       Set(d02PairsFingerprint(s, d), compactedPairsFingerprint(s, d)))
     pairs.orderBy("doc_a", "doc_b")
   }
@@ -2700,14 +2707,14 @@ object Dedup {
     // re-inflates before the tombstone cut): compaction is a full
     // rewrite anyway, and a member-level artifact lets every
     // above-threshold consumer skip the membership machinery.
-    val t = graft.core.Materialize.readOrCompute(s, "minhash-live", fp)(
+    val t = graft.core.Materialize.readOrCompute(s, sk("minhash-live", d), fp)(
       bandRowsAt(bandView(s, d),
         keepMinusIds(d17Tombstones(s, d)))
         .select(col("i"), col("band"), col("sig"), col("n"), col("toks")))
     // retention policy: this line serves exactly one generation — the
     // current corpus+code compaction; prior-round/prior-corpus residue
     // is superseded the moment this one is published
-    graft.core.Materialize.sweepKeep(s, "minhash-live", Set(fp))
+    graft.core.Materialize.sweepKeep(s, sk("minhash-live", d), Set(fp))
     t
   }
 
@@ -2797,7 +2804,7 @@ object Dedup {
     // superseded by the NEXT append (or by a retune cutover), never by
     // the banding line's generations — and vice versa, so it must not
     // share d19's sweep namespace
-    val t = graft.core.Materialize.readOrCompute(s, "minhash-append", fp) {
+    val t = graft.core.Materialize.readOrCompute(s, sk("minhash-append", d), fp) {
       val admittedDocs = documents(s, d)
         .where(col("doc_id") % IncrementalMod === IncrementalRem)
         .join(d18Day1AdmittedIds(s, d), Seq("doc_id"), "left_semi")
@@ -2807,7 +2814,7 @@ object Dedup {
     // published (its rollback — the standing artifact — lives in the
     // "minhash" kind and needs no pin here); everything else in the
     // line is a superseded prior append
-    graft.core.Materialize.sweepKeep(s, "minhash-append", Set(fp))
+    graft.core.Materialize.sweepKeep(s, sk("minhash-append", d), Set(fp))
     t
   }
 
@@ -2843,7 +2850,7 @@ object Dedup {
       s"minhash-s$MinhashSeeds-r$StaleBandRows-stalegen", dedupCodeSalt)
 
   private[graft] def staleBandTable(s: SparkSession, d: String): DataFrame =
-    graft.core.Materialize.readOrCompute(s, "minhash", staleBandFingerprint(s, d))(
+    graft.core.Materialize.readOrCompute(s, sk("minhash", d), staleBandFingerprint(s, d))(
       bandRowsFor(s, documents(s, d), StaleBandRows))
 
   /** the stale generation's live view: tombstones cut by id-only
@@ -2915,14 +2922,14 @@ object Dedup {
     // and every other generation of the line (older bandings,
     // prior-code/prior-corpus residue) is reaped here rather than
     // accumulating until a manual Governance pass
-    graft.core.Materialize.sweepKeep(s, "minhash",
+    graft.core.Materialize.sweepKeep(s, sk("minhash", d),
       Set(minhashFingerprint(s, d), staleBandFingerprint(s, d)))
     // the collapse membership line rides the banding line's lifecycle:
     // when the current build is collapsed this reaps prior-fingerprint
     // membership residue; when it is uncollapsed the pin names nothing
     // and sweepKeep defers (stale membership is fingerprint-addressed
     // and never read, so deferring is harmless)
-    graft.core.Materialize.sweepKeep(s, "minhash-members",
+    graft.core.Materialize.sweepKeep(s, sk("minhash-members", d),
       Set(minhashFingerprint(s, d)))
     out
   }
@@ -2988,8 +2995,8 @@ object Dedup {
       // would let d20's retention sweep reap the banding line's serving
       // generations and vice versa
       val fp = chainFingerprint(s, d, gen)
-      if (graft.core.Materialize.exists(s, "minhash-chain", fp))
-        s.read.parquet(graft.core.Materialize.tablePath(s, "minhash-chain", fp))
+      if (graft.core.Materialize.exists(s, sk("minhash-chain", d), fp))
+        s.read.parquet(graft.core.Materialize.tablePath(s, sk("minhash-chain", d), fp))
       else {
         val day = ChainDays(gen - 1)
         // built OUTSIDE the publish closure so the cached day batch can
@@ -2998,7 +3005,7 @@ object Dedup {
         // otherwise accumulates across a year-long chain's session)
         val dayBands = chainDayBands(s, d, day)
         try {
-          graft.core.Materialize.readOrCompute(s, "minhash-chain", fp) {
+          graft.core.Materialize.readOrCompute(s, sk("minhash-chain", d), fp) {
             val admittedIds =
               admissionReportOver(s, dayBands, chainViewOf(s, d, gen - 1))
                 .where(col("admit") === 1L)
@@ -3059,7 +3066,7 @@ object Dedup {
     // generation is superseded (each gen is a FULL standalone band
     // table) — this is the policy that holds a year of daily appends
     // at TWO live generations instead of 365
-    graft.core.Materialize.sweepKeep(s, "minhash-chain",
+    graft.core.Materialize.sweepKeep(s, sk("minhash-chain", d),
       Set(ChainDays.size - 1, ChainDays.size - 2)
         .filter(_ >= 1).map(chainFingerprint(s, d, _)))
     out

@@ -84,25 +84,25 @@ object Governance {
     // ones were swept by the previous run — rebuild so the sweep is
     // exercised fresh each run; pinned ones read back warm)
     gens.foreach(g =>
-      graft.core.Materialize.readOrCompute(s, Kind, fp(d, g.tag))(g.build()))
+      graft.core.Materialize.readOrCompute(s, graft.core.Materialize.scopedKind(Kind, d), fp(d, g.tag))(g.build()))
     // per-generation (rows, tombstoned rows) — footer-count scans of
     // the slim artifacts; the governance report is O(#generations)
     def counts(g: Gen): (Long, Long) =
-      if (!graft.core.Materialize.exists(s, Kind, fp(d, g.tag))) (0L, 0L)
+      if (!graft.core.Materialize.exists(s, graft.core.Materialize.scopedKind(Kind, d), fp(d, g.tag))) (0L, 0L)
       else {
         val r = s.read
-          .parquet(graft.core.Materialize.tablePath(s, Kind, fp(d, g.tag)))
+          .parquet(graft.core.Materialize.tablePath(s, graft.core.Materialize.scopedKind(Kind, d), fp(d, g.tag)))
           .agg(count(lit(1)).as("n"),
             sum(when(col("i") % Dedup.IncrementalMod === Dedup.TombstoneRem,
               lit(1L)).otherwise(lit(0L))).as("nt")).head()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
     val before = gens.map(g => g.role -> counts(g)).toMap
-    graft.core.Materialize.retentionSweep(s, Kind,
+    graft.core.Materialize.retentionSweep(s, graft.core.Materialize.scopedKind(Kind, d),
       gens.filter(_.pinned).map(g => fp(d, g.tag)).toSet)
     val rows = gens.map { g =>
       val (rb, tb) = before(g.role)
-      val retained = graft.core.Materialize.exists(s, Kind, fp(d, g.tag))
+      val retained = graft.core.Materialize.exists(s, graft.core.Materialize.scopedKind(Kind, d), fp(d, g.tag))
       val (ra, ta) = counts(g)
       ("minhash-bands", g.role, if (g.pinned) 1L else 0L,
         if (retained) 1L else 0L, rb, tb, ra, ta)

@@ -210,7 +210,7 @@ class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fromAppend = graft.ops.Ann.a15ShardRows(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
     graft.ops.Ann.a13(spark, sf).count() // ensure the rebuild is published
-    val full = graft.core.Materialize.readOrCompute(spark, "ivfpq",
+    val full = graft.core.Materialize.readOrCompute(spark, graft.core.Materialize.scopedKind("ivfpq", sf),
       graft.ops.Ann.ivfpqFingerprint(spark, sf))(
       fail("published by the a13 call above — compute must not run"))
     val shardOfFull = full.where(graft.ops.Ann.a15ShardPred).collect()

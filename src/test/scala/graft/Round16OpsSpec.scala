@@ -50,19 +50,19 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val d20Before = d20Rows()
       // the round-17 layout: each lifecycle line owns its kind, so a
       // line's sweep can never reap another line's serving artifact
-      assert(graft.core.Materialize.listGenerations(spark, "minhash").toSet ==
+      assert(graft.core.Materialize.listGenerations(spark, graft.core.Materialize.scopedKind("minhash", sf)).toSet ==
         Set(graft.ops.Dedup.minhashFingerprint(spark, sf),
           graft.ops.Dedup.staleBandFingerprint(spark, sf)),
         "the banding line must hold exactly {serving, rollback}")
       val chain1 = graft.ops.Dedup.chainFingerprint(spark, sf, 1)
       val chain2 = graft.ops.Dedup.chainFingerprint(spark, sf, 2)
-      assert(graft.core.Materialize.listGenerations(spark, "minhash-chain").toSet ==
+      assert(graft.core.Materialize.listGenerations(spark, graft.core.Materialize.scopedKind("minhash-chain", sf)).toSet ==
         Set(chain1, chain2),
         "the chain line must hold exactly {serving, rollback} after d20's own sweep")
       // a manual policy decision on top: the chain rollback's retention
       // window lapses — age it out, pin the serving generation
       val (retained, swept) =
-        graft.core.Materialize.retentionSweep(spark, "minhash-chain", Set(chain2))
+        graft.core.Materialize.retentionSweep(spark, graft.core.Materialize.scopedKind("minhash-chain", sf), Set(chain2))
       assert(retained == Seq(chain2) && swept == Seq(chain1),
         s"retained=$retained swept=$swept")
       // post-sweep serves from the pins: bit-identical AND warm — the
@@ -162,12 +162,12 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val a16Before = a16Rows()
       val servingFp = graft.ops.Ann.ivfpqFingerprint(spark, sf)
       val staleFp = graft.ops.Ann.a17StaleFingerprint(spark, sf)
-      assert(graft.core.Materialize.listGenerations(spark, "ivfpq").toSet ==
+      assert(graft.core.Materialize.listGenerations(spark, graft.core.Materialize.scopedKind("ivfpq", sf)).toSet ==
         Set(servingFp, staleFp), "expected exactly {serving, rollback} staged")
       // the policy ages the rollback out once its retention window
       // passes; the serving pin survives
       val (retained, swept) =
-        graft.core.Materialize.retentionSweep(spark, "ivfpq", Set(servingFp))
+        graft.core.Materialize.retentionSweep(spark, graft.core.Materialize.scopedKind("ivfpq", sf), Set(servingFp))
       assert(retained == Seq(servingFp) && swept == Seq(staleFp),
         s"retained=$retained swept=$swept")
       // serves over the pinned generation: bit-identical AND warm
@@ -220,13 +220,13 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           ((0L, 4L * tombIds.size, 0L)), s"trial $trial: ${report.toSeq}")
         for (tag <- Seq("full-8x2", "full-4x4"))
           assert(!graft.core.Materialize.exists(spark,
-            graft.ops.Governance.Kind, graft.ops.Governance.fp(dir, tag)),
+            graft.core.Materialize.scopedKind(graft.ops.Governance.Kind, dir), graft.ops.Governance.fp(dir, tag)),
             s"trial $trial: superseded generation $tag still on disk")
         // the privacy claim verified ON DISK, not from the report: no
         // retained generation of this corpus holds a tombstoned doc's rows
         for (tag <- Seq("live-8x2", "live-4x4")) {
           val t = spark.read.parquet(graft.core.Materialize.tablePath(
-            spark, graft.ops.Governance.Kind, graft.ops.Governance.fp(dir, tag)))
+            spark, graft.core.Materialize.scopedKind(graft.ops.Governance.Kind, dir), graft.ops.Governance.fp(dir, tag)))
           val leaked =
             if (tombIds.isEmpty) 0L
             else t.where(col("i").isin(tombIds: _*)).count()

@@ -53,15 +53,15 @@ class Round17OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // generations per family, and they are exactly the line's
       // {serving, rollback} designations
       val expect = Map(
-        "minhash" -> Set(D.minhashFingerprint(spark, sf),
+        graft.core.Materialize.scopedKind("minhash", sf) -> Set(D.minhashFingerprint(spark, sf),
           D.staleBandFingerprint(spark, sf)),
-        "minhash-append" -> Set(D.appendedBandFingerprint(spark, sf)),
-        "minhash-chain" -> Set(D.chainFingerprint(spark, sf, 1),
+        graft.core.Materialize.scopedKind("minhash-append", sf) -> Set(D.appendedBandFingerprint(spark, sf)),
+        graft.core.Materialize.scopedKind("minhash-chain", sf) -> Set(D.chainFingerprint(spark, sf, 1),
           D.chainFingerprint(spark, sf, 2)),
         // below the compaction threshold (census: 10% < 25%) the pair
         // line serves by anti-join: only the full table is published
-        "minhash-pairs" -> Set(D.d02PairsFingerprint(spark, sf)),
-        "ivfpq" -> Set(A.ivfpqFingerprint(spark, sf)))
+        graft.core.Materialize.scopedKind("minhash-pairs", sf) -> Set(D.d02PairsFingerprint(spark, sf)),
+        graft.core.Materialize.scopedKind("ivfpq", sf) -> Set(A.ivfpqFingerprint(spark, sf)))
       expect.foreach { case (kind, fps) =>
         assert(fps.size <= 2)
         assert(M.listGenerations(spark, kind).toSet == fps,
@@ -92,6 +92,50 @@ class Round17OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(M.listGenerations(spark, kind).toSet == fps,
           s"family $kind must be back to its designated set (residue reaped)")
       }
+    }
+  }
+
+  test("retention is corpus-local: two corpora share one root and " +
+    "interleaved lifecycle runs never reap each other — the first corpus " +
+    "re-serves warm after the second's cutovers swept its own families") {
+    withMatDir {
+      val M = graft.core.Materialize
+      val D = graft.ops.Dedup
+      val a = "/root/testdata/sf0.001"
+      // corpus B: the same tables under a DIFFERENT path — a distinct
+      // lineage (the sf0.01-vs-sf0.1 gate situation in miniature)
+      val b = java.nio.file.Files.createTempDirectory("graft-r17-corpusB").toString
+      for (t <- Seq("documents", "embeddings")) {
+        val src = java.nio.file.Paths.get(a, s"$t.parquet")
+        val dst = java.nio.file.Paths.get(b, s"$t.parquet")
+        java.nio.file.Files.walk(src).forEach { p =>
+          val q = dst.resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
+          else java.nio.file.Files.copy(p, q)
+        }
+      }
+      def rows(df: => org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.collect().map(_.toSeq).toSeq
+      // lifecycle on A (publishes + sweeps A's families)
+      val a17B = rows(graft.ops.Ann.a17(spark, a))
+      val d20A = rows(D.d20(spark, a))
+      val d19A = rows(D.d19(spark, a))
+      // lifecycle on B: every cutover/append sweep runs again, now
+      // pinned by B's fingerprints — pre-round-17 kind sharing would
+      // reap A's serving generations right here
+      rows(D.d19(spark, b)); rows(D.d20(spark, b)); rows(graft.ops.Ann.a17(spark, b))
+      // A re-serves BIT-IDENTICAL and WARM: zero republishes
+      val pub0 = M.publishCount
+      assert(rows(D.d19(spark, a)) == d19A, "corpus A d19 changed after B's runs")
+      assert(rows(D.d20(spark, a)) == d20A, "corpus A d20 changed after B's runs")
+      assert(rows(graft.ops.Ann.a17(spark, a)) == a17B, "corpus A a17 changed")
+      assert(M.publishCount == pub0,
+        "corpus B's retention sweeps must not have reaped corpus A's " +
+          "serving generations (cross-corpus reaping)")
+      // and the families really are disjoint namespaces
+      assert(M.scopedKind("minhash", a) != M.scopedKind("minhash", b))
+      assert(M.listGenerations(spark, M.scopedKind("minhash", a)).nonEmpty)
+      assert(M.listGenerations(spark, M.scopedKind("minhash", b)).nonEmpty)
     }
   }
 
@@ -270,10 +314,10 @@ class Round17OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       // and the retention layout holds on the pathological corpus too:
       // the collapsed families still end at their designated sets
-      assert(graft.core.Materialize.listGenerations(spark, "minhash-chain")
+      assert(graft.core.Materialize.listGenerations(spark, graft.core.Materialize.scopedKind("minhash-chain", dir))
         .toSet == Set(D.chainFingerprint(spark, dir, 1),
           D.chainFingerprint(spark, dir, 2)))
-      assert(graft.core.Materialize.listGenerations(spark, "minhash-members") ==
+      assert(graft.core.Materialize.listGenerations(spark, graft.core.Materialize.scopedKind("minhash-members", dir)) ==
         Seq(D.minhashFingerprint(spark, dir)))
     }
   }

@@ -78,7 +78,7 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       // d03 IS the kernel: running it publishes the pair table
       val nPairs = Dedup.d03(spark, sf).count()
-      assert(Materialized.exists(spark, "pairs", Dedup.pairsFingerprint(sf)))
+      assert(Materialized.exists(spark, graft.core.Materialize.scopedKind("pairs", sf), Dedup.pairsFingerprint(sf)))
       // d10 (a report) plans a SCAN of the published table — no second
       // simhash/pair job in its plan
       def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -91,22 +91,22 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
             }
         }.flatten
       val d10 = Dedup.d10(spark, sf)
-      assert(scanPaths(d10).exists(_.contains(s"pairs/${Dedup.pairsFingerprint(sf)}")),
+      assert(scanPaths(d10).exists(_.contains(s"${graft.core.Materialize.scopedKind("pairs", sf)}/${Dedup.pairsFingerprint(sf)}")),
         s"d10 must read the materialized pair table; scans: ${scanPaths(d10)}")
       assert(!d10.queryExecution.analyzed.toString.toLowerCase.contains("md5"),
         "d10 must not recompute simhash fingerprints")
       // published table == a fresh kernel run, row for row
       val published = spark.read.parquet(
-        graft.core.Materialize.tablePath(spark, "pairs", Dedup.pairsFingerprint(sf)))
+        graft.core.Materialize.tablePath(spark, graft.core.Materialize.scopedKind("pairs", sf), Dedup.pairsFingerprint(sf)))
       assert(published.count() == nPairs)
       assert(Dedup.d03Pairs(spark, sf).exceptAll(published).count() == 0)
 
       // a07 IS the trainer: running it publishes the assignment; a08
       // (the report) plans a scan of it
       Ann.a07(spark, sf).count()
-      assert(Materialized.exists(spark, "kmeans", Ann.kmeansFingerprint(spark, sf)))
+      assert(Materialized.exists(spark, graft.core.Materialize.scopedKind("kmeans", sf), Ann.kmeansFingerprint(spark, sf)))
       val a08 = Ann.a08(spark, sf)
-      assert(scanPaths(a08).exists(_.contains(s"kmeans/${Ann.kmeansFingerprint(spark, sf)}")),
+      assert(scanPaths(a08).exists(_.contains(s"${graft.core.Materialize.scopedKind("kmeans", sf)}/${Ann.kmeansFingerprint(spark, sf)}")),
         s"a08 must read the materialized assignment; scans: ${scanPaths(a08)}")
     } finally spark.conf.unset("spark.graft.mat.dir")
   }

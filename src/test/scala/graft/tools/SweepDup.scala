@@ -130,7 +130,7 @@ object SweepDup {
       println(s"[sweep]   a06 candidate volume @ $dir: " +
         s"${graft.ops.Ann.a06CandidateVolume(spark, dir)} ADC scorings")
     if ((n.startsWith("a07") || n.startsWith("a08")) &&
-        graft.core.Materialize.exists(spark, "kmeans",
+        graft.core.Materialize.exists(spark, graft.core.Materialize.scopedKind("kmeans", dir),
           graft.ops.Ann.kmeansFingerprint(spark, dir))) {
       // READ the published assignment table (guarded on it existing:
       // a07 in the timed list publishes it, so readOrCompute is a
