@@ -84,7 +84,10 @@ object Main {
         .selectExpr("CAST(concat(CAST(window.start AS STRING), '=', cnt) AS BINARY) AS value")
       val q = src.writeStream.format("kinesis-emu")
         .option("stream", "pipeline").option("partitionKey", "windows")
-        .option("checkpointLocation", s"/tmp/graft_stream_${System.nanoTime()}")
+        // under the swept replay root (round 18): run-dir retention
+        // reaps finished CLI checkpoints by age like every replay's
+        .option("checkpointLocation",
+          s"/tmp/graft_replay/cli-stream-${System.nanoTime()}")
         .outputMode("append").start()
       Thread.sleep(seconds * 1000L)
       q.stop()

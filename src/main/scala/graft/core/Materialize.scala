@@ -83,13 +83,25 @@ object Materialize {
     * + live view + compacted/appended/chain keys, all within seconds),
     * and on an object store each uncached call would be a full
     * recursive LIST of the input tree — thousands of paginated requests
-    * on a millions-of-files corpus, multiplied per entry. The TTL keeps
-    * the module's staleness guarantee honest: across processes it is
-    * still structurally impossible (the cache dies with the JVM — the
-    * round-10 corpus-regen class is always a new driver session), and
-    * within one process a rewritten-in-place input is re-keyed after at
-    * most the TTL; a caller that rewrites an input and must re-key
-    * IMMEDIATELY calls [[fingerprintCacheClear]]. */
+    * on a millions-of-files corpus, multiplied per entry.
+    *
+    * Cache hits are guarded by a FRESHNESS PROBE (round 18, closing the
+    * documented silent-stale window): one `getFileStatus` on the table
+    * root per call, compared against the signature recorded when the
+    * listing was cached. Every real rewrite moves that signature — a
+    * Spark `overwrite` of a directory table deletes and recreates the
+    * directory (new mtime), a single-file table rewrite/touch/append
+    * stamps the file's (len, mtime) — so an input rewritten in place is
+    * re-keyed IMMEDIATELY, not after the TTL, and lifecycle operators
+    * that follow an upstream rewrite need no manual
+    * [[fingerprintCacheClear]]. The probe costs one metadata HEAD
+    * against the thousands-of-LIST-pages walk the cache avoids. The TTL
+    * stays as the backstop for the one shape the probe cannot see: a
+    * store whose directory mtime does not advance on child changes
+    * (s3a's synthetic dirs) combined with a writer that mutates files
+    * inside the directory without adding or removing any — no Spark
+    * writer does that, and across processes staleness remains
+    * structurally impossible (the cache dies with the JVM). */
   def fingerprint(dir: String, table: String,
                   algo: String, salt: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -98,16 +110,24 @@ object Materialize {
       .map(_.toLong).getOrElse(120000L)
     val key = s"$dir/$table.parquet"
     val now = System.currentTimeMillis()
+    val root = new org.apache.hadoop.fs.Path(key)
+    val fs = root.getFileSystem(hadoopConf)
+    // root signature for the freshness probe: (isDir, len, mtime). A
+    // missing root signs uniquely per call so a vanished-then-rewritten
+    // input can never be served its pre-deletion listing.
+    val rootSig =
+      try {
+        val st = fs.getFileStatus(root)
+        s"${st.isDirectory}|${st.getLen}|${st.getModificationTime}"
+      } catch { case scala.util.control.NonFatal(_) => s"missing|${System.nanoTime}" }
     // the cache holds the SORTED LISTING LINES, not a pre-digest: the
     // bytes fed to md below are identical to an uncached walk, so a
     // cached and an uncached call produce the same fingerprint (cached
     // keys must keep addressing the artifacts published before the
     // cache existed)
     val lines = Option(listingCache.get(key))
-      .collect { case (t, ls) if now - t < ttl => ls }
+      .collect { case (t, sig, ls) if now - t < ttl && sig == rootSig => ls }
       .getOrElse {
-        val root = new org.apache.hadoop.fs.Path(key)
-        val fs = root.getFileSystem(hadoopConf)
         val files = scala.collection.mutable.ArrayBuffer.empty[String]
         val it = fs.listFiles(root, true)
         while (it.hasNext) {
@@ -115,7 +135,7 @@ object Materialize {
           files += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
         }
         val ls = files.sorted.toSeq
-        listingCache.put(key, (now, ls))
+        listingCache.put(key, (now, rootSig, ls))
         ls
       }
     lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
@@ -124,11 +144,11 @@ object Materialize {
   }
 
   private val listingCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String, Seq[String])]()
 
-  /** Drop the input-listing cache — for callers that rewrite an input
-    * table in place and must re-key before the TTL lapses (tests do;
-    * no production caller here does — see [[fingerprint]]). */
+  /** Drop the input-listing cache. Since the round-18 freshness probe
+    * an in-place rewrite re-keys on its own; this remains for belt and
+    * braces (and for tests pinning the uncached walk). */
   def fingerprintCacheClear(): Unit = listingCache.clear()
 
   /** 8-hex-char tag of a corpus directory PATH (not its contents) —
@@ -137,10 +157,33 @@ object Materialize {
     * (appends, retunes, regenerations in place) share one family and
     * supersede each other, which is exactly what retention reaps;
     * distinct dirs (the gate's sf0.01 vs sf0.1, sweep corpora) are
-    * independent lineages that must never reap each other. */
+    * independent lineages that must never reap each other.
+    *
+    * The tag hashes a NORMALIZED spelling ([[normalizedDir]], round
+    * 18): the same directory spelled with a trailing slash, doubled
+    * separators, or relatively must map to ONE family — a second
+    * spelling would miss every warm artifact, rebuild cold under a
+    * parallel tag, and orphan the first family's generations forever
+    * (no future sweep addresses a kind nobody computes anymore). */
   def dirTag(dir: String): String =
     hex(java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))).take(8)
+      .digest(normalizedDir(dir).getBytes("UTF-8"))).take(8)
+
+  /** Pure-string path normalization for [[dirTag]]: absolutize
+    * scheme-less relative paths against the working directory, then
+    * Hadoop-Path-normalize (strips trailing/duplicate separators).
+    * Deliberately NOT symlink resolution — that needs filesystem calls
+    * and would re-key every existing family on a box where the
+    * canonical spelling differs; the map must leave already-clean
+    * absolute paths (hence every family tag minted before round 18)
+    * byte-identical. */
+  private[graft] def normalizedDir(dir: String): String = {
+    val hasScheme = dir.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
+    val abs =
+      if (hasScheme || dir.startsWith("/")) dir
+      else new java.io.File(dir).getAbsolutePath
+    new org.apache.hadoop.fs.Path(abs).toString
+  }
 
   /** Kind namespace scoped to one corpus directory (round 17): a
     * shared materialization root holds several corpora, and a
@@ -278,6 +321,7 @@ object Materialize {
   def publish(s: SparkSession, kind: String, fp: String)
              (compute: => DataFrame): DataFrame = {
     publishCalls.incrementAndGet()
+    jvmPublished.add(s"$kind/$fp") // lifecycle ownership marker for sweepKeep
     val out = tablePath(s, kind, fp)
     val outPath = new org.apache.hadoop.fs.Path(out)
     val success = new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")
@@ -324,7 +368,7 @@ object Materialize {
             } finally fs.delete(lock, false)
           } else if (lockMtime(fs, lock).exists(
               _ < System.currentTimeMillis() - lockStaleMs)) {
-            fs.delete(lock, false) // crashed holder: break and retry
+            breakStaleLock(fs, out, lock) // crashed holder: break and retry
           } else if (System.currentTimeMillis() > deadline) {
             throw new IllegalStateException(
               s"publish($kind/$fp): timed out after ${waitMs}ms waiting on $lock")
@@ -348,6 +392,32 @@ object Materialize {
                       lock: org.apache.hadoop.fs.Path): Boolean =
     try { fs.create(lock, false).close(); true }
     catch { case _: java.io.IOException => false }
+
+  /** ATOMICALLY break a stale lock (round 18, closing the round-17
+    * check-then-delete race): the stale lock is RENAMED to a
+    * breaker-owned unique name, and only then deleted. Rename is
+    * atomic on HDFS/local FS and fails if the source is gone — so when
+    * two waiters both read the old lock's mtime as stale, exactly ONE
+    * rename succeeds; the loser's rename fails instead of deleting the
+    * FRESH lock the winner may already have re-acquired, which under
+    * the old unguarded `delete(lock)` let a third publisher into the
+    * swap window concurrently (and the loser could then delete the
+    * winner's just-renamed unmarked table pre-marker, failing an
+    * otherwise-healthy publish with "marker created but no data
+    * files"). Returns true iff THIS caller broke the lock. A crash
+    * between rename and delete leaves a `.lockbreak-*` file that
+    * blocks nobody (locks are claimed at the `.lock` name) and is aged
+    * out by [[sweepStale]]. */
+  private[graft] def breakStaleLock(fs: org.apache.hadoop.fs.FileSystem,
+                                    out: String,
+                                    lock: org.apache.hadoop.fs.Path): Boolean = {
+    val broken = new org.apache.hadoop.fs.Path(out +
+      s".lockbreak-${java.lang.ProcessHandle.current.pid}-${System.nanoTime}")
+    val won = try fs.rename(lock, broken)
+      catch { case _: java.io.IOException => false }
+    if (won) fs.delete(broken, false)
+    won
+  }
 
   private def lockMtime(fs: org.apache.hadoop.fs.FileSystem,
                         lock: org.apache.hadoop.fs.Path): Option[Long] =
@@ -482,10 +552,111 @@ object Materialize {
     // than failing the operator that got here first
     val gens = listGenerations(s, kind)
     if (gens.isEmpty || !gens.exists(pins.contains)) return
-    val (_, swept) = retentionSweep(s, kind, pins)
+    // FOREIGN-YOUNG guard (round 18, ADVICE medium): two sessions
+    // sharing one mat root but running different bytecode pin DIFFERENT
+    // fingerprints, so an automatic policy sweep here could reap the
+    // generation the OTHER session just published and is still serving
+    // reads from. A generation this sweep does not pin is therefore
+    // deferred (added to the pin set for this pass only) when it is
+    // both FOREIGN — not published by this JVM, whose own lifecycle
+    // lines are free to reap their superseded generations immediately,
+    // exactly as before — and YOUNG (dir mtime within
+    // `spark.graft.mat.sweepMinAgeMs`, default 10 min — the marker is
+    // created last, so the mtime is the publish completion time). A
+    // foreign generation simply ages into eligibility: the leak-closing
+    // property is preserved, delayed by at most the horizon.
+    val minAgeMs = s.conf.getOption("spark.graft.mat.sweepMinAgeMs")
+      .map(_.toLong).getOrElse(10L * 60 * 1000)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val fs = new org.apache.hadoop.fs.Path(tablePath(s, kind, "x"))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val deferred = gens.filterNot(pins.contains).filter { fp =>
+      !jvmPublished.contains(s"$kind/$fp") &&
+        (try fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          tablePath(s, kind, fp))).getModificationTime >= cutoff
+         catch { case scala.util.control.NonFatal(_) => true }) // vanished/unreadable: not ours to reap
+    }
+    if (deferred.nonEmpty)
+      System.err.println(s"[graft] retention: deferring ${deferred.size} " +
+        s"foreign generation(s) of $kind younger than ${minAgeMs}ms: " +
+        deferred.mkString(","))
+    val (_, swept) = retentionSweep(s, kind, pins ++ deferred)
     if (swept.nonEmpty)
       System.err.println(s"[graft] retention: swept ${swept.size} superseded " +
         s"generation(s) of $kind: ${swept.mkString(",")}")
+  }
+
+  /** keys (`kind/fp`) this JVM has published (or attempted to —
+    * deferring to a concurrent complete winner counts: the content is
+    * identical and the lifecycle is ours). [[sweepKeep]]'s
+    * foreign-young guard consults it; tests may clear it to simulate a
+    * foreign session. */
+  private[graft] val jvmPublished =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** RUN-DIR RETENTION (round 18): the [[retentionSweep]] discipline
+    * applied OUTSIDE the materialization root — streaming run dirs
+    * (each replay/deployment run leaves a sink + checkpoint directory),
+    * per-run emu stores, and any other one-directory-per-run layout.
+    * Before this, those accumulated forever: every s-entry leaves one
+    * per run, and a year of nightly admission runs leaves 365
+    * checkpoint trees the g01 story never touched. Deletes every
+    * direct child directory of `root` that is
+    *  - NOT pinned (`pins` = names of live/resumable runs — a paused
+    *    resumable query's checkpoint must survive BYTE-UNTOUCHED at any
+    *    age, post-asserted exactly as a retention pin is), and
+    *  - older than `ageMs` by NEWEST DESCENDANT mtime — the
+    *    in-progress guard: a live query keeps committing offset/sink
+    *    files, so its newest descendant stays fresh regardless of how
+    *    long the run has been up (the pre-round-18 top-level-mtime
+    *    sweep could reap a >6h-running query out from under itself).
+    * Unlike a generation family, an empty pin set is legitimate here —
+    * a run root with nothing live is the normal end-of-day state — so
+    * there is no all-stale refusal; safety comes from pins + the age
+    * guard. Returns (retained, swept) child names. */
+  def sweepRunRoot(root: String, pins: Set[String],
+                   ageMs: Long): (Seq[String], Seq[String]) = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hadoopConf)
+    if (!fs.exists(rootPath)) return (Seq.empty, Seq.empty)
+    def statusOf(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
+      }
+      buf.sortBy(_._1).toSeq
+    }
+    val cutoff = System.currentTimeMillis() - ageMs
+    val kids = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
+    val (pinned, candidates) = kids.partition(st => pins.contains(st.getPath.getName))
+    val pinStatus = pinned.map(st => st.getPath.getName -> statusOf(st.getPath)).toMap
+    // the descendant walk runs ONLY for dirs whose top-level mtime is
+    // already past the cutoff: a fresh top mtime alone proves recent
+    // activity (retain without walking — on a root holding hundreds of
+    // recent runs the indiscriminate walk was a measurable per-call
+    // tax), while the old-top case still needs the newest-descendant
+    // check because a live query's task files advance nothing at the
+    // top level
+    val swept = candidates.filter(st =>
+      st.getModificationTime < cutoff &&
+        newestMtime(fs, st.getPath, st.getModificationTime) < cutoff)
+    swept.foreach(st => fs.delete(st.getPath, true))
+    // pins byte-untouched, same post-assertion as the generation sweep:
+    // a damaged resumable checkpoint must fail loudly here, not as a
+    // corrupt restart three days later
+    pinned.foreach { st =>
+      val name = st.getPath.getName
+      if (!fs.exists(st.getPath))
+        throw new IllegalStateException(
+          s"sweepRunRoot($root): pinned run $name vanished during sweep")
+      if (statusOf(st.getPath) != pinStatus(name))
+        throw new IllegalStateException(
+          s"sweepRunRoot($root): pinned run $name changed during sweep")
+    }
+    val sweptNames = swept.map(_.getPath.getName)
+    (kids.map(_.getPath.getName).filterNot(sweptNames.contains), sweptNames)
   }
 
   /** Delete `.inprogress-*` siblings older than the staleness horizon
@@ -515,6 +686,12 @@ object Materialize {
         if (st.isDirectory && st.getPath.getName.contains(".inprogress-") &&
             newestMtime(fs, st.getPath, st.getModificationTime) < cutoff)
           fs.delete(st.getPath, true)
+        // a breaker that crashed between rename and delete leaves a
+        // .lockbreak-* FILE ([[breakStaleLock]]) — blocks nothing, aged
+        // out here alongside the temp dirs
+        if (st.isFile && st.getPath.getName.contains(".lockbreak-") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false)
       }
     } catch { case scala.util.control.NonFatal(_) => () } // sweep is best-effort
   }

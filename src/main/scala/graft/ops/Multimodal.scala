@@ -387,6 +387,106 @@ object Multimodal {
       |WHERE bit_count(xor(a.dhash0, b.dhash0)) + bit_count(xor(a.dhash1, b.dhash1)) <= $M03HammingMax
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- m03b: planted real-image near-dups through the dHash gate ----
+
+  /** Number of corpus docs that plant image pairs for [[m03b]]. */
+  val M03bDocs = 12
+
+  /** Deterministic block values for one planted image: [[DhashCells]]
+    * EVEN luminances in [0, 254] from a splitmix-style hash of
+    * (seed, cell). Even-valued deliberately: the variant's 255/256
+    * brightness map (v -> floor(v*255/256)) is then STRICTLY monotone
+    * on the occurring values (distinct evens map to distinct values),
+    * so every adjacent-cell comparison — hence the whole dHash — is
+    * provably preserved, for any seed. */
+  private[graft] def plantedBlockValues(seed: Long): Array[Int] = {
+    val v = new Array[Int](DhashCells)
+    var i = 0
+    while (i < DhashCells) {
+      var z = seed * 0x9E3779B97F4A7C15L + (i + 1) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      v(i) = (((z & 0x7fffffffL) % 128L) * 2L).toInt
+      i += 1
+    }
+    v
+  }
+
+  /** Deterministic planted PNG: a (11*blockPx) x (12*blockPx) grayscale
+    * image of constant-luminance blocks ALIGNED with the 12x11 dHash
+    * sample grid (x0 = c*w/11 = c*blockPx exactly, same for rows), so
+    * each dHash cell mean is EXACTLY the block value — the pair
+    * geometry below is arithmetic, not an empirical calibration.
+    * `dim` applies the monotone 255/256 brightness map. */
+  private[graft] def plantedPng(values: Array[Int], blockPx: Int,
+                                dim: Boolean): Array[Byte] = {
+    val cols = DhashCols + 1
+    val img = new java.awt.image.BufferedImage(cols * blockPx,
+      DhashRows * blockPx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < DhashRows) {
+      var c = 0
+      while (c < cols) {
+        val v = values(r * cols + c)
+        val lum = if (dim) v * 255 / 256 else v
+        val rgb = (lum << 16) | (lum << 8) | lum
+        var y = r * blockPx
+        while (y < (r + 1) * blockPx) {
+          var x = c * blockPx
+          while (x < (c + 1) * blockPx) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** m03b: PLANTED real-image near-dup pairs through the SAME dHash
+    * kernel + pigeonhole hamming join as [[m03]] — the perceptual
+    * path's POSITIVE gate row (round-17 verdict item 4). m03's sf0.01
+    * answer is truthfully EMPTY (the 120-bit hash killed the 60-bit
+    * birthday artifacts), so the gate hash exercised zero dHash pairs
+    * and a kernel regression could pass silently. Here the lowest
+    * [[M03bDocs]] doc_ids each plant TWO decodable PNGs — a block
+    * image keyed by the doc_id, and its half-resolution
+    * brightness-scaled re-encode — constructed so the variant's dHash
+    * is PROVABLY identical (grid-aligned blocks + a strictly monotone
+    * brightness map; see [[plantedBlockValues]]), while unrelated
+    * plants sit ~60 of 120 bits apart (independent uniform blocks:
+    * P(<=14) < 1e-17 per pair). The expected pair set is therefore
+    * exactly (2*doc_id, 2*doc_id+1) per planted doc — derivable from
+    * the documents table by the oracle — while the Spark side must
+    * earn it through the REAL path: ImageIO decode -> block-average
+    * dHash -> pigeonhole equi-join. Output is the pair ids only; the
+    * hamming distance is a property of the images, not SQL-derivable,
+    * and is pinned (== 0 for planted pairs) in Round18OpsSpec. */
+  def m03b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = documents(s, d).select(col("doc_id"))
+      .orderBy("doc_id").limit(M03bDocs).as[Long]
+    val fps = ids.flatMap { id =>
+      val v = plantedBlockValues(id)
+      Seq((id * 2, plantedPng(v, 6, dim = false)),
+          (id * 2 + 1, plantedPng(v, 3, dim = true)))
+    }.map { case (pid, blob) =>
+      val fp = dhashMedia(blob); (pid, fp._1, fp._2)
+    }.toDF("id", "fp0", "fp1")
+    Dedup.hammingSelfJoinWide(fps, Seq(DhashWordBits, DhashWordBits), M03HammingMax)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val m03bSql: String =
+    s"""SELECT CAST(doc_id * 2 AS BIGINT) AS doc_a,
+      |  CAST(doc_id * 2 + 1 AS BIGINT) AS doc_b
+      |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $M03bDocs)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- m04: audio-leg plumbing — PCM framing, energy, silence trim ----
 
   /** Frame size in samples for [[m04]] (a real pipeline uses 10–25 ms
@@ -656,6 +756,7 @@ object Multimodal {
     "m01_multimodal_decode" -> m01 _,
     "m02_frame_sample" -> m02 _,
     "m03_dhash_neardup" -> m03 _,
+    "m03b_dhash_planted" -> m03b _,
     "m04_audio_frames" -> m04 _,
     "m05_patch_extract" -> m05 _)
 
@@ -663,6 +764,7 @@ object Multimodal {
     "m01_multimodal_decode" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_dhash_neardup" -> m03Sql,
+    "m03b_dhash_planted" -> m03bSql,
     "m04_audio_frames" -> m04Sql,
     "m05_patch_extract" -> m05Sql)
 }

@@ -249,23 +249,19 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // same bytes, same mtime -> same key (the cache hit path)
     assert(fp1 == graft.ops.Dedup.ccFingerprint(dir.toString))
     // touching the input (mtime bump) must invalidate — a rewritten
-    // upstream table can never be served stale labels. Since the
-    // round-16 listing cache the sensitivity is immediate across
-    // processes (a new JVM always re-lists — the round-10 corpus-regen
-    // class) and bounded by the fingerprint TTL within one; an
-    // in-place rewrite that must re-key NOW goes through the
-    // documented fingerprintCacheClear(), which the assertions below
-    // exercise.
+    // upstream table can never be served stale labels. Sensitivity is
+    // IMMEDIATE since round 18, within one JVM too: the listing-cache
+    // hit is guarded by a root-status freshness probe, so no manual
+    // fingerprintCacheClear() is needed (the original, pre-TTL
+    // assertion restored).
     java.nio.file.Files.setLastModifiedTime(doc,
       java.nio.file.attribute.FileTime.fromMillis(
         java.nio.file.Files.getLastModifiedTime(doc).toMillis + 1234))
-    graft.core.Materialize.fingerprintCacheClear()
     val fp2 = graft.ops.Dedup.ccFingerprint(dir.toString)
     assert(fp2 != fp1)
     // size change invalidates too
     java.nio.file.Files.write(doc, Array[Byte](0),
       java.nio.file.StandardOpenOption.APPEND)
-    graft.core.Materialize.fingerprintCacheClear()
     assert(graft.ops.Dedup.ccFingerprint(dir.toString) != fp2)
   }
 

@@ -133,17 +133,16 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "same input+algo must fingerprint identically")
     assert(fp1 != graft.core.Materialize.fingerprint(dir, "documents", "algoY", salt),
       "the algo descriptor must still enter the key")
-    // the TTL cache makes an in-place rewrite invisible for at most
-    // spark.graft.mat.fingerprintTtlMs (the documented contract: no
-    // production caller rewrites an input in place, and a new JVM
-    // always re-lists); fingerprintCacheClear() re-keys immediately
+    // round 18: an in-place rewrite re-keys IMMEDIATELY — the cache
+    // hit is guarded by a root-status freshness probe (Spark's
+    // overwrite recreates the table dir, moving its status), so the
+    // lifecycle operators that follow an upstream rewrite need no
+    // manual fingerprintCacheClear() and the TTL silent-stale window
+    // is closed
     Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    assert(fp1 == graft.core.Materialize.fingerprint(dir, "documents", "algoX", salt),
-      "cached listing must serve until cleared")
-    graft.core.Materialize.fingerprintCacheClear()
     assert(fp1 != graft.core.Materialize.fingerprint(dir, "documents", "algoX", salt),
-      "after clear() the rewritten tree must re-key")
+      "an in-place rewrite must re-key WITHOUT a manual cache clear")
   }
 
   test("retention sweep on the real ivfpq family: rollback generation aged " +
@@ -558,7 +557,7 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("hot-bucket census: an exact-duplicate mega-cluster over the cap " +
     "fires the warning from real signatures; a distinct corpus stays silent") {
     import spark.implicits._
-    val cap = graft.ops.Dedup.hotBucketCapDocs
+    val cap = graft.ops.Dedup.hotBucketCapDocs(spark)
     assert(cap === 2000L, "cap is sqrt(JaccardPairBudget) = sqrt(4e6)")
 
     // (cap+1) exact duplicates: identical text => identical MinHash in
@@ -567,7 +566,7 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val boiler = (1L to cap + 1).map(i => (i, "the quick brown fox cookie banner"))
     val filler = (1L to 20L).map(i => (i + 100000L, s"unique doc $i with words w$i x$i"))
     val hot = graft.ops.Dedup.bandRowsFor(spark, (boiler ++ filler).toDF("doc_id", "text"))
-    val warn = graft.ops.Dedup.hotBucketWarning(hot)
+    val warn = graft.ops.Dedup.hotBucketWarning(spark, hot)
     assert(warn.isDefined, "over-cap bucket must warn")
     assert(warn.get.contains("8 LSH bucket(s)"),
       s"all 8 bands of the duplicate cluster are hot: ${warn.get}")
@@ -576,7 +575,7 @@ class Round16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // below the cap (exactly cap duplicates): silent — the budget holds.
     val atCap = graft.ops.Dedup.bandRowsFor(spark,
       (1L to cap).map(i => (i, "the quick brown fox cookie banner")).toDF("doc_id", "text"))
-    assert(graft.ops.Dedup.hotBucketWarning(atCap).isEmpty,
+    assert(graft.ops.Dedup.hotBucketWarning(spark, atCap).isEmpty,
       "a bucket at exactly the cap is within the pair budget")
   }
 

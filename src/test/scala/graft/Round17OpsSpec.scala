@@ -75,6 +75,14 @@ class Round17OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       expect.keys.foreach { kind =>
         Seq((1L, "stale")).toDF("k", "v").coalesce(1)
           .write.parquet(M.tablePath(spark, kind, "00residue"))
+        // prior-round residue is OLD by definition — backdate the
+        // generation dir past sweepKeep's round-18 foreign-young
+        // horizon (a FRESH foreign generation is deliberately deferred:
+        // it may be another live session's serving artifact)
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(M.tablePath(spark, kind, "00residue")),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 2L * 60 * 60 * 1000))
         assert(M.listGenerations(spark, kind).contains("00residue"),
           s"staged residue must register as a complete generation in $kind")
       }
@@ -150,7 +158,7 @@ class Round17OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def plantedMegaCorpus(): (String, Long) = {
     val s = spark
     import s.implicits._
-    val cap = graft.ops.Dedup.hotBucketCapDocs
+    val cap = graft.ops.Dedup.hotBucketCapDocs(spark)
     val boiler = (1L to cap + 1).map(i => (i, "the quick brown fox cookie banner"))
     val tombCluster = Seq(3000003L, 3000013L, 3000023L, 3000033L)
       .map(i => (i, "terms of service apply to everything"))
@@ -188,7 +196,7 @@ class Round17OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val nCand = cand.count()
       assert(nCand < 100, s"collapsed candidate volume must be tiny, got $nCand")
       // the round-16 tripwire stays SILENT on the collapsed build
-      assert(D.hotBucketWarning(view.rows).isEmpty,
+      assert(D.hotBucketWarning(spark, view.rows).isEmpty,
         "no hot bucket may survive the collapse")
       // d02 == the uncollapsed kernel, bit for bit (including the
       // c(c−1)/2 within-cluster pairs at jaccard 1.0)

@@ -31,15 +31,20 @@ object SweepDup {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // SWEEP_STATE_PROVIDER=rocksdb switches streaming state to the
-    // disk-backed RocksDB provider — the deployment answer once an
-    // entry's in-flight state outgrows executor heap (the s14 x5
-    // point: ~40M pair keys OOM the default in-memory HDFS provider
-    // in this harness JVM; RocksDB is bounded-memory by design)
+    // State provider is SHIPPED CONFIG since round 18: the admission
+    // tier (s14-class pair-volume state) selects the disk-backed
+    // RocksDB provider by itself (Replay.admissionStateProvider) —
+    // the x5 sweep point (~40M in-flight pair keys, which OOMs the
+    // in-memory HDFS provider) completes on defaults, no knob needed.
+    // SWEEP_STATE_PROVIDER remains for experiments: `rocksdb` forces
+    // the disk-backed provider on EVERY stateful entry; `memory`
+    // opts the admission tier back onto the session default (the
+    // config that reproduces the round-17 OOM measurement).
     val spark = (sys.env.get("SWEEP_STATE_PROVIDER") match {
       case Some("rocksdb") => b.config(
         "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        graft.streaming.Replay.RocksDbProvider)
+      case Some("memory") => b.config("spark.graft.stream.stateProvider", "memory")
       case _ => b
     }).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

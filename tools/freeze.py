@@ -42,19 +42,31 @@ def main():
     if bad:
         sys.exit(f"run files missing a numeric 'control': {bad} — "
                  "refusing to freeze without the ambient yardstick")
+    # second (heavy) probe, round 18: optional for pre-round-18 run
+    # files, stamped when every run carries it
+    controls2 = [r.get("control2") for r in runs]
+    have2 = all(isinstance(c, (int, float)) for c in controls2)
     with open("BENCH_FREEZE.json", "w") as f:
         # `_sf` stamps the corpus the medians were measured at; Bench
         # refuses to compute diag verdicts (or clobber the round's repo
         # diag artifact) when a run's sf differs from this stamp.
+        # `_control`/`_control2` stamp the frozen ambient yardsticks so
+        # the adjudicator can fit the 2-point ambient model (light =
+        # scheduler-dominated, heavy = compute-dominated) per run.
         out = dict(med)
         out["_sf"] = sfs.pop()
+        out["_control"] = round(statistics.median(controls), 3)
+        if have2:
+            out["_control2"] = round(statistics.median(controls2), 3)
         json.dump(out, f, indent=0, sort_keys=True)
         f.write("\n")
     total = round(sum(med.values()), 1)
     totals = " / ".join(f"{round(sum(r['queries'].values()), 1)}" for r in runs)
     print(f"per-query median sum **{total} s, {len(names)} entries**; "
           f"run totals {totals}; controls {controls} "
-          f"(median {statistics.median(controls)})")
+          f"(median {statistics.median(controls)})"
+          + (f"; heavy controls {controls2} "
+             f"(median {statistics.median(controls2)})" if have2 else ""))
     print()
     print("| entry | median s | runs |")
     print("|---|---|---|")
