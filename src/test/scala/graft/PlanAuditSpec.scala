@@ -68,6 +68,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "m04_audio_frames" -> "batched PCM framing/energy kernel — imperative per-blob byte work (m01's codec class)",
     "q26_jaccard_neardup" -> "delegates to the shared salted blockedJaccardTyped kernel (d04's class)",
     "m03_dhash_neardup" -> "per-blob dHash dispatcher (ImageIO decode / byte-block stub)",
+    "m03b_dhash_planted" -> "planted-PNG ImageIO encode + per-blob dHash dispatcher (m03's codec class; 24 rows, fixed)",
     "m05_patch_extract" -> "per-blob patch dispatcher (ImageIO decode -> luminance tile / char stub)",
     "d16_incremental_neardup" -> "d02's signature + merge-intersect verify kernels over the arrival batch (the corpus side is the published table, kernel-free)",
     "d18_incremental_append" -> "d16's kernels over the DAY-2 arrival batch (the corpus side is the published APPENDED table, kernel-free)",
