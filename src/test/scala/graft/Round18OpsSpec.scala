@@ -175,6 +175,34 @@ class Round18OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no dupes after the post-sweep resume")
   }
 
+  test("run-dir retention covers per-run emu STORE dirs: aged dead stores " +
+    "reaped, a pinned store's committed batches read back byte-identical") {
+    import graft.emu.FileEmuStore
+    import graft.ingest.KinesisRecord
+    val M = graft.core.Materialize
+    val root = java.nio.file.Files.createTempDirectory("graft-r18-emuroot").toString
+    def mkStore(name: String, payload: String): String = {
+      val d = s"$root/$name"
+      FileEmuStore.createStream(d, "s", numShards = 1)
+      assert(FileEmuStore.commitEpoch(d, "s", 0L, 0,
+        Seq(KinesisRecord("k", payload.getBytes("UTF-8"))), 1L))
+      d
+    }
+    val dead = mkStore("emu-run-dead", "old")
+    val keep = mkStore("emu-run-live", "precious")
+    backdate(java.nio.file.Paths.get(dead), 8L * 60 * 60 * 1000)
+    backdate(java.nio.file.Paths.get(keep), 8L * 60 * 60 * 1000)
+    val (retained, swept) = M.sweepRunRoot(root, Set("emu-run-live"),
+      6L * 60 * 60 * 1000)
+    assert(swept === Seq("emu-run-dead") && retained === Seq("emu-run-live"))
+    // the surviving store's commit protocol state is intact: the same
+    // (token + attempt file) read path yields the committed batch
+    val got = FileEmuStore.loadCommitted(keep, "s")
+    assert(got.map(_.key) === Seq("0") &&
+      new String(got.head.records.head._2, "UTF-8") === "precious",
+      "pinned emu store must read back its committed batches byte-identical")
+  }
+
   // ---- ADVICE medium 1: atomic stale-lock break
 
   test("breakStaleLock: N racing breakers -> exactly one wins; the loser " +
