@@ -451,10 +451,25 @@ object Bench {
     // 1.4x since round 15 (was 2x): the band where round-14's largest
     // unexplained ratios lived now gets verdict rows too; the 2x gate
     // itself is unchanged — sub-2x rows are advisory context
+    //
+    // 2-point ambient model (round 18): the frozen probe medians
+    // (`_control`/`_control2`, stamped by freeze.py) give this run's
+    // light and heavy ambient ratios. Verdict rows carry `xa` — the
+    // raw ratio normalized by the HEAVY probe's ratio, since every
+    // verdict-eligible entry (>= 1 s) is compute/bandwidth-bound like
+    // the heavy probe, while the sub-second light probe tracks
+    // scheduler noise and under-corrects exactly there (the rev-b
+    // freeze's noted extreme). Raw `x` stays the gate number;
+    // xa ~ 1.0 is the ambient exoneration as arithmetic.
+    val ambLight = frozenMed.get("_control").map(ctl / _)
+    val ambHeavy = frozenMed.get("_control2").map(ctl2 / _)
     val allVerdicts = results.flatMap { case (name, sec, pubN, retry) =>
-      frozenMed.get(name).filter(m => sec >= 1.0 && sec >= 1.4 * m).map { m =>
+      frozenMed.get(name).filter(m =>
+        !name.startsWith("_") && sec >= 1.0 && sec >= 1.4 * m).map { m =>
         val base = s""""q":"${name.takeWhile(_ != '_')}","sec":${r3(sec)},""" +
           s""""x":${r3(sec / m)},"pub":$pubN""" +
+          ambHeavy.filter(_ > 0).map(a =>
+            s""","xa":${r3(sec / m / a)}""").getOrElse("") +
           // the measured second sample (>2x entries re-ran once, clean
           // storage, same session): retry_x near 1 = transient burst,
           // retry_x near x = persistent — the ambient argument as data
@@ -482,8 +497,11 @@ object Bench {
     // the diag object, so a consumer reading only the diag value sees
     // how many verdicts the 8-row tail cap dropped (full detail is in
     // the diag file regardless)
+    val ambJson =
+      (for { l <- ambLight; h <- ambHeavy } yield
+        s""""amb_light":${r3(l)},"amb_heavy":${r3(h)},""").getOrElse("")
     val diagVerdicts =
-      s"""{"items":${allVerdicts.sortBy(-_._1).take(8).map(_._2)
+      s"""{$ambJson"items":${allVerdicts.sortBy(-_._1).take(8).map(_._2)
         .mkString("[", ",", "]")},""" +
         s""""more":${math.max(0, allVerdicts.size - 8)}}"""
     def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
