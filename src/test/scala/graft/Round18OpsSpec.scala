@@ -291,6 +291,53 @@ class Round18OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(M.dirTag("/root/testdata/sf0.01") != t)
   }
 
+  // ---- order 7: d07 serve/report split
+
+  test("d07 serve/report split: cold first run publishes both label " +
+    "artifacts, the warm re-serve publishes NOTHING and is bit-identical") {
+    withMatDir {
+      val sf = "/root/testdata/sf0.001"
+      val M = graft.core.Materialize
+      val first = graft.ops.Dedup.d07(spark, sf).collect().map(_.toSeq).toSeq
+      assert(first.nonEmpty)
+      val pub0 = M.publishCount
+      val again = graft.ops.Dedup.d07(spark, sf).collect().map(_.toSeq).toSeq
+      assert(again === first, "warm d07 must serve the identical answer")
+      assert(M.publishCount === pub0,
+        "warm d07 must be a published-artifact read — zero republishes " +
+          "(the pre-round-18 always-compute behavior must not return silently)")
+    }
+  }
+
+  // ---- sweepRunRoot structural property
+
+  test("sweepRunRoot property: over random pin sets and ages, pinned dirs " +
+    "are never deleted, swept dirs are exactly the aged unpinned ones") {
+    val rnd = new scala.util.Random(18)
+    for (trial <- 1 to 5) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-r18-prop$trial")
+      val names = (1 to 8).map(i => s"run-$i")
+      val aged = names.filter(_ => rnd.nextBoolean()).toSet
+      names.foreach { n =>
+        val d = root.resolve(n)
+        java.nio.file.Files.createDirectories(d.resolve("sub"))
+        java.nio.file.Files.write(d.resolve("sub/f"), n.getBytes)
+        if (aged.contains(n)) backdate(d, 3L * 60 * 60 * 1000)
+      }
+      val pins = names.filter(_ => rnd.nextBoolean()).toSet
+      val (retained, swept) = graft.core.Materialize.sweepRunRoot(
+        root.toString, pins, 60L * 60 * 1000)
+      val expectSwept = (aged -- pins).toSeq.sorted
+      assert(swept.sorted === expectSwept,
+        s"trial $trial: swept $swept, want $expectSwept (aged=$aged pins=$pins)")
+      assert(retained.toSet === names.toSet -- expectSwept)
+      pins.foreach { p =>
+        assert(java.nio.file.Files.exists(root.resolve(p).resolve("sub/f")),
+          s"trial $trial: pinned $p must survive byte-intact")
+      }
+    }
+  }
+
   // ---- order 4: m03b planted perceptual near-dups
 
   test("m03b: planted PNG pairs are found through the REAL path — " +
