@@ -516,7 +516,55 @@ object Pipeline {
       |FROM before b LEFT JOIN after a ON a.source = b.source
       |ORDER BY b.source""".stripMargin
 
+  /** p10: JSONL ROUND-TRIP — the interchange-format leg of the
+    * pipeline suite. Training corpora arrive and ship as JSON Lines
+    * (every open web-scrape release does), and until round 18 the
+    * engine's batch surface was parquet-only. The entry WRITES the
+    * documents table to a per-run JSONL directory (distributed,
+    * partition-parallel) and READS it back through an EXPLICIT,
+    * DECLARED schema — at 100 TB schema inference is a full extra pass
+    * over the data, so a production JSONL read always declares — then
+    * reports a per-source content digest: row count, id sum (numeric
+    * round-trip), UTF-8 byte volume, and a 48-bit-md5 content checksum
+    * (48 bits so BIGINT sums cannot overflow on either engine — DuckDB
+    * sums BIGINT into HUGEINT while Spark wraps, so an overflowing
+    * digest would diverge). The ORACLE computes the same digest from
+    * the PARQUET table: any drift the round-trip introduces (escaping,
+    * unicode, null handling, numeric coercion) breaks the gate hash —
+    * the entry passes only if JSONL ingestion is LOSSLESS.
+    *
+    * Scale shape: one distributed write + one distributed scan, a
+    * map-side-combined per-source aggregate; the run dir lands under
+    * the swept replay root so run-dir retention reaps it by age. */
+  def p10(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    new java.io.File("/tmp/graft_replay").mkdirs()
+    val dir = "/tmp/graft_replay/p10-" +
+      s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
+    docs.write.json(dir)
+    val back = s.read.schema(docs.schema).json(dir)
+    back.groupBy("source").agg(
+      big(count(lit(1))).as("n_docs"),
+      big(sum(col("doc_id"))).as("id_sum"),
+      big(sum(expr("octet_length(text)"))).as("bytes"),
+      big(sum(conv(substring(md5(col("text")), 1, 12), 16, 10)
+        .cast(LongType))).as("content_sum"))
+      .orderBy("source")
+  }
+
+  /** Oracle over the PARQUET table — the digest the lossless JSONL
+    * round-trip must reproduce (byte-based, the m01/m03 encode()
+    * convention for non-ASCII agreement). */
+  val p10Sql: String =
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes,
+      |  CAST(SUM(CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS content_sum
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_jsonl_roundtrip" -> p10 _,
     "p09_dedup_adjusted_mix" -> p09 _,
     "p08_source_interleave" -> p08 _,
     "p07_chunk_sliding" -> p07 _,
@@ -527,6 +575,7 @@ object Pipeline {
     "p05_sequence_pack" -> p05 _,
     "p06_source_mix" -> p06 _)
   val oracle: Map[String, String] = Map(
+    "p10_jsonl_roundtrip" -> p10Sql,
     "p09_dedup_adjusted_mix" -> p09Sql,
     "p08_source_interleave" -> p08Sql,
     "p07_chunk_sliding" -> p07Sql,

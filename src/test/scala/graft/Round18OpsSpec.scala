@@ -338,6 +338,27 @@ class Round18OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- p10: JSONL round-trip core
+
+  test("p10 JSONL round-trip core: pathological strings (control chars, " +
+    "quotes, unicode, empty, null) survive write+read byte-for-byte") {
+    val s = spark
+    import s.implicits._
+    val nasty = Seq(
+      (1L, "line\nbreak \"quoted\" back\\slash and /slash"),
+      (2L, "unicode: áé中文🙂 ctrl: tab:\t"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "{\"looks\":\"like json\"}"))
+    val df = nasty.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-r18-jsonl").toString + "/t"
+    df.write.json(dir)
+    val back = spark.read.schema(df.schema).json(dir)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === nasty,
+      "JSONL write+declared-schema read must be lossless on pathological strings")
+  }
+
   // ---- order 4: m03b planted perceptual near-dups
 
   test("m03b: planted PNG pairs are found through the REAL path — " +
