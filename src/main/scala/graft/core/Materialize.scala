@@ -368,7 +368,7 @@ object Materialize {
             } finally fs.delete(lock, false)
           } else if (lockMtime(fs, lock).exists(
               _ < System.currentTimeMillis() - lockStaleMs)) {
-            breakStaleLock(fs, out, lock) // crashed holder: break and retry
+            breakStaleLock(fs, out, lock, lockStaleMs) // crashed holder: break and retry
           } else if (System.currentTimeMillis() > deadline) {
             throw new IllegalStateException(
               s"publish($kind/$fp): timed out after ${waitMs}ms waiting on $lock")
@@ -395,28 +395,57 @@ object Materialize {
 
   /** ATOMICALLY break a stale lock (round 18, closing the round-17
     * check-then-delete race): the stale lock is RENAMED to a
-    * breaker-owned unique name, and only then deleted. Rename is
-    * atomic on HDFS/local FS and fails if the source is gone — so when
-    * two waiters both read the old lock's mtime as stale, exactly ONE
+    * breaker-owned unique name, its staleness is RE-VERIFIED on the
+    * renamed file, and only then is it deleted. Rename is atomic on
+    * HDFS/local FS and fails if the source is gone — so when two
+    * waiters both read the old lock's mtime as stale, exactly ONE
     * rename succeeds; the loser's rename fails instead of deleting the
     * FRESH lock the winner may already have re-acquired, which under
     * the old unguarded `delete(lock)` let a third publisher into the
     * swap window concurrently (and the loser could then delete the
     * winner's just-renamed unmarked table pre-marker, failing an
     * otherwise-healthy publish with "marker created but no data
-    * files"). Returns true iff THIS caller broke the lock. A crash
-    * between rename and delete leaves a `.lockbreak-*` file that
-    * blocks nobody (locks are claimed at the `.lock` name) and is aged
-    * out by [[sweepStale]]. */
+    * files").
+    *
+    * The post-rename re-verify closes the narrower stall window the
+    * rename alone leaves open: a breaker that pauses between its
+    * staleness read and its rename could otherwise rename away a
+    * FRESH lock another breaker re-acquired in the gap. With the
+    * re-verify, a stolen-fresh lock is detected on the renamed file's
+    * own mtime and RESTORED by renaming it back (if the restore loses
+    * to a yet-newer lock, the stolen file is discarded — the residual
+    * window now needs two independent stalls inside one rename
+    * round-trip, and the marker+data completeness check still caps
+    * the damage at a wasted duplicate publish). Returns true iff THIS
+    * caller legitimately broke a stale lock. A crash between rename
+    * and delete leaves a `.lockbreak-*` file that blocks nobody
+    * (locks are claimed at the `.lock` name) and is aged out by
+    * [[sweepStale]]. */
   private[graft] def breakStaleLock(fs: org.apache.hadoop.fs.FileSystem,
                                     out: String,
-                                    lock: org.apache.hadoop.fs.Path): Boolean = {
+                                    lock: org.apache.hadoop.fs.Path,
+                                    staleMs: Long): Boolean = {
     val broken = new org.apache.hadoop.fs.Path(out +
       s".lockbreak-${java.lang.ProcessHandle.current.pid}-${System.nanoTime}")
     val won = try fs.rename(lock, broken)
       catch { case _: java.io.IOException => false }
-    if (won) fs.delete(broken, false)
-    won
+    if (!won) return false
+    val freshStolen =
+      try fs.getFileStatus(broken).getModificationTime >=
+        System.currentTimeMillis() - staleMs
+      catch { case _: java.io.IOException => false } // vanished: nothing stolen
+    if (freshStolen) {
+      // we raced a successful break+re-acquire: give the fresh holder
+      // its lock back; if a newer lock already exists the restore
+      // fails and the stolen file is discarded
+      val restored = try fs.rename(broken, lock)
+        catch { case _: java.io.IOException => false }
+      if (!restored) fs.delete(broken, false)
+      false
+    } else {
+      fs.delete(broken, false)
+      true
+    }
   }
 
   private def lockMtime(fs: org.apache.hadoop.fs.FileSystem,
@@ -491,16 +520,7 @@ object Materialize {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     def statusOf(fp: String): Seq[(String, Long, Long)] = {
       val root = new org.apache.hadoop.fs.Path(tablePath(s, kind, fp))
-      if (!fs.exists(root)) Seq.empty
-      else {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-        val it = fs.listFiles(root, true)
-        while (it.hasNext) {
-          val f = it.next()
-          buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
-        }
-        buf.sortBy(_._1).toSeq
-      }
+      if (!fs.exists(root)) Seq.empty else fileStatusList(fs, root)
     }
     val before = listGenerations(s, kind)
     val pinnedBefore = before.filter(pins.contains)
@@ -619,19 +639,9 @@ object Materialize {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(hadoopConf)
     if (!fs.exists(rootPath)) return (Seq.empty, Seq.empty)
-    def statusOf(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next()
-        buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
-      }
-      buf.sortBy(_._1).toSeq
-    }
     val cutoff = System.currentTimeMillis() - ageMs
     val kids = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
     val (pinned, candidates) = kids.partition(st => pins.contains(st.getPath.getName))
-    val pinStatus = pinned.map(st => st.getPath.getName -> statusOf(st.getPath)).toMap
     // the descendant walk runs ONLY for dirs whose top-level mtime is
     // already past the cutoff: a fresh top mtime alone proves recent
     // activity (retain without walking — on a root holding hundreds of
@@ -642,21 +652,46 @@ object Materialize {
     val swept = candidates.filter(st =>
       st.getModificationTime < cutoff &&
         newestMtime(fs, st.getPath, st.getModificationTime) < cutoff)
+    // pin snapshots are taken only when the sweep will actually delete
+    // something — a no-op pass costs one shallow root listing
+    val pinStatus =
+      if (swept.isEmpty) Map.empty[String, Seq[(String, Long, Long)]]
+      else pinned.map(st => st.getPath.getName -> fileStatusList(fs, st.getPath)).toMap
     swept.foreach(st => fs.delete(st.getPath, true))
-    // pins byte-untouched, same post-assertion as the generation sweep:
-    // a damaged resumable checkpoint must fail loudly here, not as a
-    // corrupt restart three days later
+    // pin survival is the HARD post-assertion (this sweep only deletes
+    // top-level unpinned dirs, so a vanished pin means the mechanism
+    // itself is broken). A pin whose CONTENTS changed during the sweep
+    // is a warning, not an error: pins explicitly include LIVE
+    // resumable queries, whose own offset/sink commits (or checkpoint
+    // compaction) legitimately move files mid-sweep — throwing there
+    // would fail a healthy run AFTER the deletions already happened.
     pinned.foreach { st =>
       val name = st.getPath.getName
       if (!fs.exists(st.getPath))
         throw new IllegalStateException(
           s"sweepRunRoot($root): pinned run $name vanished during sweep")
-      if (statusOf(st.getPath) != pinStatus(name))
-        throw new IllegalStateException(
-          s"sweepRunRoot($root): pinned run $name changed during sweep")
+      pinStatus.get(name).foreach { beforeSt =>
+        if (fileStatusList(fs, st.getPath) != beforeSt)
+          System.err.println(s"[graft] run retention: pinned run $name " +
+            "changed during the sweep (its own live activity, or external " +
+            "interference — the sweep itself never touches pinned paths)")
+      }
     }
     val sweptNames = swept.map(_.getPath.getName)
     (kids.map(_.getPath.getName).filterNot(sweptNames.contains), sweptNames)
+  }
+
+  /** Recursive (path, len, mtime) listing — the byte-untouched
+    * snapshot both retention sweeps compare pins against. */
+  private def fileStatusList(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
+    }
+    buf.sortBy(_._1).toSeq
   }
 
   /** Delete `.inprogress-*` siblings older than the staleness horizon

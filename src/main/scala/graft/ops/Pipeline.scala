@@ -525,10 +525,13 @@ object Pipeline {
     * DECLARED schema — at 100 TB schema inference is a full extra pass
     * over the data, so a production JSONL read always declares — then
     * reports a per-source content digest: row count, id sum (numeric
-    * round-trip), UTF-8 byte volume, and a 48-bit-md5 content checksum
-    * (48 bits so BIGINT sums cannot overflow on either engine — DuckDB
-    * sums BIGINT into HUGEINT while Spark wraps, so an overflowing
-    * digest would diverge). The ORACLE computes the same digest from
+    * round-trip), UTF-8 byte volume, and a content checksum — each
+    * doc's 48-bit md5 prefix REDUCED MOD 1e6 before summing (the p09
+    * residue pattern), so the BIGINT sum stays exact on both engines
+    * out to ~10^12 docs per source; a raw 48-bit sum would wrap
+    * Spark's int64 at ~65k docs/source while DuckDB's HUGEINT sum
+    * errors on the narrowing cast — the digest itself would diverge
+    * exactly at scale. The ORACLE computes the same digest from
     * the PARQUET table: any drift the round-trip introduces (escaping,
     * unicode, null handling, numeric coercion) breaks the gate hash —
     * the entry passes only if JSONL ingestion is LOSSLESS.
@@ -547,8 +550,8 @@ object Pipeline {
       big(count(lit(1))).as("n_docs"),
       big(sum(col("doc_id"))).as("id_sum"),
       big(sum(expr("octet_length(text)"))).as("bytes"),
-      big(sum(conv(substring(md5(col("text")), 1, 12), 16, 10)
-        .cast(LongType))).as("content_sum"))
+      big(sum(pmod(conv(substring(md5(col("text")), 1, 12), 16, 10)
+        .cast(LongType), lit(1000000L)))).as("content_sum"))
       .orderBy("source")
   }
 
@@ -560,7 +563,7 @@ object Pipeline {
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
       |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes,
-      |  CAST(SUM(CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT)) AS BIGINT) AS content_sum
+      |  CAST(SUM(CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT) % 1000000) AS BIGINT) AS content_sum
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

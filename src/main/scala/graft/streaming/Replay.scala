@@ -67,15 +67,30 @@ object Replay {
     StructField("props", StringType)))
 
   /** Run dirs (checkpoint + sink trees) a later pass will RESUME — the
-    * pin set for the run-root retention sweep. The multi-pass drains
+    * pin set for the run-root retention sweep, keyed by base name with
+    * the LAST pin time. The multi-pass drains
     * ([[s12DrainInto]]/[[s14DedupDrain]]) and any deployment holding a
-    * paused resumable query register their base name here; everything
-    * else is governed by age + the in-progress guard
-    * ([[graft.core.Materialize.sweepRunRoot]]). */
+    * paused resumable query register their base here (re-pinned on
+    * every pass); everything else is governed by age + the in-progress
+    * guard ([[graft.core.Materialize.sweepRunRoot]]). Pins EXPIRE one
+    * sweep horizon after their last refresh (round-18 review): a pin
+    * is per-JVM, so it cannot protect a checkpoint from another
+    * process's sweep anyway past the horizon — without expiry a
+    * long-lived service that drains periodically would exempt every
+    * finished drain forever, re-opening the unbounded-run-dir leak
+    * this feature closes. */
   private[graft] val pinnedRuns =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private[graft] def pinRun(base: String): Unit =
-    pinnedRuns.add(new java.io.File(base).getName)
+    pinnedRuns.put(new java.io.File(base).getName, System.currentTimeMillis())
+  private[graft] def activePins(ageMs: Long): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - ageMs
+    pinnedRuns.entrySet().asScala.foreach { e =>
+      if (e.getValue < cutoff) pinnedRuns.remove(e.getKey, e.getValue)
+    }
+    pinnedRuns.keySet().asScala.toSet
+  }
 
   /** fresh per-run working dir under the swept replay root — one
     * policy (mkdirs + retention sweep + pid/nanoTime uniqueness) for
@@ -84,15 +99,16 @@ object Replay {
     * same pin/age/in-progress mechanism the materialized generations
     * get (`spark.graft.replay.sweepAgeMs`, default 6 h, judged by
     * newest DESCENDANT mtime so a long-running live query is never
-    * swept out from under itself; [[pinnedRuns]] survive at any age,
-    * byte-untouched). */
+    * swept out from under itself; active [[pinnedRuns]] survive at any
+    * age, byte-untouched). The conf is read from the PASSED session
+    * (the hotBucketCapDocs discipline — a tuning knob must not be
+    * thread-dependent). */
   private val lastRunSweepMs = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def runBase(name: String): String = {
+  private def runBase(s: SparkSession, name: String): String = {
     val root = "/tmp/graft_replay"
     new java.io.File(root).mkdirs()
-    val ageMs = SparkSession.getActiveSession
-      .flatMap(_.conf.getOption("spark.graft.replay.sweepAgeMs"))
+    val ageMs = s.conf.getOption("spark.graft.replay.sweepAgeMs")
       .map(_.toLong).getOrElse(6L * 60 * 60 * 1000)
     // throttled: retention needs to run per SESSION, not per entry —
     // the sweep's root listing rides inside measured replay windows,
@@ -100,8 +116,7 @@ object Replay {
     val now = System.currentTimeMillis()
     val last = lastRunSweepMs.get
     if (now - last > ageMs / 10 && lastRunSweepMs.compareAndSet(last, now)) {
-      import scala.jdk.CollectionConverters._
-      try graft.core.Materialize.sweepRunRoot(root, pinnedRuns.asScala.toSet, ageMs)
+      try graft.core.Materialize.sweepRunRoot(root, activePins(ageMs), ageMs)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] replay run sweep skipped: ${e.getMessage}") }
     }
@@ -177,11 +192,22 @@ object Replay {
     * provider is pinned into the query's checkpoint at first start
     * (OffsetSeqMetadata), so a resumed checkpoint keeps its provider
     * regardless of later session conf — consistent across the
-    * multi-pass drains. */
+    * multi-pass drains.
+    *
+    * Scoping note (round-18 review): the conf is SESSION-scoped, so an
+    * unrelated streaming query started on the SAME session while an
+    * admission drain is in flight inherits (and checkpoint-pins) the
+    * RocksDB provider. Concurrent admission drains are serialized here
+    * (so interleaved restores cannot strand the session on the wrong
+    * provider); a deployment running OTHER tiers concurrently starts
+    * them from their own `spark.newSession()` — the standard Spark
+    * per-tenant conf isolation, documented rather than forced because
+    * a query's DataFrames must all come from one session. */
+  private val admissionConfLock = new Object
   private[graft] def withAdmissionStateProvider[T](s: SparkSession)(body: => T): T =
     admissionStateProvider(s) match {
       case None => body
-      case Some(cls) =>
+      case Some(cls) => admissionConfLock.synchronized {
         // changelog checkpointing rides along: without it every
         // micro-batch uploads a FULL RocksDB snapshot per partition to
         // the checkpoint (measured +7.5 s on s14's 1.6M-key gate drain);
@@ -198,6 +224,7 @@ object Replay {
           case (k, Some(p)) => s.conf.set(k, p)
           case (k, None) => s.conf.unset(k)
         }
+      }
     }
 
   /** Peak state rows (max stateOperators.numRowsTotal over the last
@@ -239,7 +266,7 @@ object Replay {
   private def replay(s: SparkSession, d: String, name: String,
                      flushRun: Boolean = true)
                     (pipe: DataFrame => DataFrame): DataFrame = {
-    val base = runBase(name)
+    val base = runBase(s, name)
     val sentinelDir = s"$base/sentinel"
     val outDir = s"$base/out"
     val ckDir = s"$base/ck"
@@ -481,7 +508,7 @@ object Replay {
       .where(col("doc_id") % graft.ops.Dedup.IncrementalMod =!=
         graft.ops.Dedup.TombstoneRem)
       .select(col("doc_id"), col("text")).as[StreamNearDup.DocIn]
-    sinkRun(s, StreamNearDup.flags(docStream).toDF(), runBase("s06"))
+    sinkRun(s, StreamNearDup.flags(docStream).toDF(), runBase(s, "s06"))
       .select(col("doc_id"), col("band").cast(LongType).as("band"), col("dup_of"))
       .orderBy("doc_id", "band")
   }
@@ -532,7 +559,7 @@ object Replay {
           |            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist,
           |  c.cid AS cid))""".stripMargin)))
       .select(col("vec_id"), col("sc.cid").as("cluster"), col("sc.dist").as("dist"))
-    sinkRun(s, assigned, runBase("s07"))
+    sinkRun(s, assigned, runBase(s, "s07"))
       .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
         col("dist").cast(LongType).as("dist"))
       .orderBy("vec_id")
@@ -570,7 +597,7 @@ object Replay {
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast(LongType).as("n_tok"),
           length(col("text")).cast(LongType).as("n_chars"))
-      sinkRun(s, drained, runBase("s08")).orderBy("doc_id")
+      sinkRun(s, drained, runBase(s, "s08")).orderBy("doc_id")
     } finally graft.emu.KinesisEmu.deleteStream(name)
   }
 
@@ -801,7 +828,7 @@ object Replay {
       .select(col("probe_id"), posexplode(col("top3")))
       .select(col("probe_id"), (col("pos") + 1).cast(LongType).as("rank"),
         col("col.vec_id").as("neighbor_id"), col("col.adist").as("adist"))
-    sinkRun(s, answered, runBase("s11"))
+    sinkRun(s, answered, runBase(s, "s11"))
       .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
         col("neighbor_id"), col("adist").cast(LongType).as("adist"))
       .orderBy("probe_id", "rank")
@@ -835,7 +862,7 @@ object Replay {
       .select(col("probe_id"), explode(col("top3")).as("c"))
       .select(col("probe_id"), col("c.adist").as("adist"),
         col("c.vec_id").as("neighbor_id"))
-    sinkRun(s, scored, runBase("s11sh"))
+    sinkRun(s, scored, runBase(s, "s11sh"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))))
       .where(col("rank") <= 3)
@@ -870,7 +897,7 @@ object Replay {
       .parquet(s"$d/[d]ocuments.parquet") // one-file glob, as with events
       .where(graft.ops.Dedup.d17TombstonePred)
       .select(col("doc_id"))
-    val drained = sinkRun(s, feed, runBase("s12"))
+    val drained = sinkRun(s, feed, runBase(s, "s12"))
     graft.ops.Dedup.d17Over(s, d, drained)
   }
 
@@ -892,7 +919,7 @@ object Replay {
       .parquet(s"$d/[e]mbeddings.parquet") // one-file glob, as with events
       .where(graft.ops.Ann.a16TombstonePred)
       .select(col("vec_id"))
-    val drained = sinkRun(s, feed, runBase("s13"))
+    val drained = sinkRun(s, feed, runBase(s, "s13"))
     graft.ops.Ann.a16Over(s, d, drained)
   }
 
@@ -989,7 +1016,7 @@ object Replay {
     // default ([[admissionStateProvider]] — the shipped form of the
     // round-17 x5 OOM finding)
     val drained = withAdmissionStateProvider(s) {
-      sinkRun(s, pairs, runBase("s14"))
+      sinkRun(s, pairs, runBase(s, "s14"))
     }
     s14Report(s, d, drained, corpusView.members)
   }

@@ -150,14 +150,15 @@ class Round18OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.mode("append").parquet(feedDir)
     val base = s"$root/resume-1"
     assert(R.s12DrainInto(spark, feedDir, base).count() === 5L)
-    import scala.jdk.CollectionConverters._
-    assert(R.pinnedRuns.asScala.contains("resume-1"),
+    assert(R.activePins(6L * 60 * 60 * 1000).contains("resume-1"),
       "a multi-pass drain must pin its own run dir")
     // age the resumable's WHOLE tree: only the PIN protects it now
+    // (the pin itself is FRESH — pin expiry is by last pinRun time,
+    // not dir mtime)
     backdate(java.nio.file.Paths.get(base), 8L * 60 * 60 * 1000)
 
     val (retained, swept) = M.sweepRunRoot(root,
-      R.pinnedRuns.asScala.toSet, 6L * 60 * 60 * 1000)
+      R.activePins(6L * 60 * 60 * 1000), 6L * 60 * 60 * 1000)
     assert(swept.toSet === Set("s01-dead-1", "s02-dead-2"),
       s"exactly the aged superseded runs are reaped; got $swept")
     assert(retained.toSet === Set("s03-live", "resume-1"),
@@ -205,33 +206,40 @@ class Round18OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- ADVICE medium 1: atomic stale-lock break
 
-  test("breakStaleLock: N racing breakers -> exactly one wins; the loser " +
-    "cannot delete a freshly re-acquired lock") {
+  test("breakStaleLock: N racing breakers -> exactly one wins; a FRESH " +
+    "lock is never consumed — a mistaken rename detects and restores it") {
+    val staleMs = 10L * 60 * 1000
     val dir = java.nio.file.Files.createTempDirectory("graft-r18-lock").toString
     val out = s"$dir/table"
     val lock = new org.apache.hadoop.fs.Path(out + ".lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(lock, false).close()
+    // a genuinely STALE lock (crashed holder): backdate past the horizon
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(out + ".lock"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * staleMs))
     val wins = new java.util.concurrent.atomic.AtomicInteger(0)
     val start = new java.util.concurrent.CountDownLatch(1)
     val threads = (1 to 8).map { _ =>
       new Thread(() => {
         start.await()
-        if (graft.core.Materialize.breakStaleLock(fs, out, lock))
+        if (graft.core.Materialize.breakStaleLock(fs, out, lock, staleMs))
           wins.incrementAndGet()
       })
     }
     threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
     assert(wins.get === 1, s"exactly one breaker must win; got ${wins.get}")
     assert(!fs.exists(lock), "the stale lock is gone after the break")
-    // the decisive property behind the round-17 race: once a NEW lock
-    // exists at the name, a straggling breaker's rename targets the old
-    // (renamed-away) inode and must FAIL — it can never remove the
-    // fresh lock (the old delete-based break did exactly that)
+    // the round-18 review's stall window: a breaker whose staleness
+    // read predates a successful break+re-acquire renames a FRESH lock
+    // — the post-rename re-verify must detect the theft and RESTORE
+    // the lock, reporting no break
     fs.create(lock, false).close()
-    val preStatus = fs.getFileStatus(lock).getModificationTime
-    assert(fs.exists(lock) && fs.getFileStatus(lock).getModificationTime == preStatus,
-      "fresh lock untouched by the completed break storm")
+    assert(!graft.core.Materialize.breakStaleLock(fs, out, lock, staleMs),
+      "breaking a fresh lock must report failure")
+    assert(fs.exists(lock),
+      "the mistakenly-renamed fresh lock must be restored at the lock name")
   }
 
   // ---- ADVICE medium 2: sweepKeep foreign-young guard
