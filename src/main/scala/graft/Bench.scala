@@ -510,6 +510,23 @@ object Bench {
         s""""control":$ctl,"control2":$ctl2,"suite_controls":$suites,""" +
         s""""cold":$coldList,"diag":$diagVerdicts,"sf":"$sfDir"}"""
     }
+    // the STDOUT form must FIT the driver's 2000-char tail window WHOLE
+    // — round 18's line carried the 8-row diag verdicts (~1 KB) plus
+    // suite controls on top of 125 prefix-keyed entries and overflowed,
+    // so the driver recorded `parsed: null` all round (the round-18
+    // verdict's cosmetic item). Stdout now carries only what the
+    // driver's parser reads (metric/value/queries) plus the compact
+    // ambient/cold keys; suite controls, verdict rows, and stage facts
+    // live in /tmp/graft_bench.json + the diag file + the repo diag
+    // artifact, all of which carry the full detail regardless. Entry
+    // values are 2-decimal here (10 ms — below scheduling noise); the
+    // file line keeps 3.
+    def stdoutLine(entries: Seq[(String, Double)], total: Double): String = {
+      val qs = entries.map { case (k, v) =>
+        "\"" + k + "\":" + math.round(v * 100) / 100.0 }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""control":$ctl,"control2":$ctl2,"cold":$coldList,"sf":"$sfDir"}"""
+    }
     // total = sum of the ALREADY-ROUNDED per-query values (re-rounded to
     // strip FP dust), so a consumer cross-summing the queries map gets
     // exactly the reported total
@@ -526,8 +543,8 @@ object Bench {
     // names rather than silently merging entries.
     val short = rounded.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val compact =
-      if (short.map(_._1).distinct.size == short.size) jsonLine(short, total)
-      else jsonLine(rounded, total)
+      if (short.map(_._1).distinct.size == short.size) stdoutLine(short, total)
+      else stdoutLine(rounded, total)
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (jsonLine(rounded, total) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     diag.append(s"""{"control_runs":[${ctlRuns.map(r3).mkString(",")}],""" +

@@ -170,18 +170,28 @@ object Materialize {
       .digest(normalizedDir(dir).getBytes("UTF-8"))).take(8)
 
   /** Pure-string path normalization for [[dirTag]]: absolutize
-    * scheme-less relative paths against the working directory, then
-    * Hadoop-Path-normalize (strips trailing/duplicate separators).
-    * Deliberately NOT symlink resolution — that needs filesystem calls
-    * and would re-key every existing family on a box where the
-    * canonical spelling differs; the map must leave already-clean
-    * absolute paths (hence every family tag minted before round 18)
-    * byte-identical. */
+    * scheme-less relative paths against the working directory, collapse
+    * `.` and `..` segments (java.nio lexical normalization — Hadoop's
+    * Path keeps `..` segments, so `/x/a/../a` and `/x/a` would
+    * otherwise mint DISTINCT family tags and orphan one lineage, the
+    * round-18 ADVICE hole), then Hadoop-Path-normalize (strips
+    * trailing/duplicate separators). Deliberately NOT symlink
+    * resolution — that needs filesystem calls and would re-key every
+    * existing family on a box where the canonical spelling differs; the
+    * map must leave already-clean absolute paths (hence every family
+    * tag minted before round 18) byte-identical — java.nio's
+    * `normalize()` is lexical-only and returns clean absolute paths
+    * unchanged. Scheme-carrying URIs skip the java.nio pass (nio would
+    * mangle `scheme://`); Hadoop Path normalization still applies. */
   private[graft] def normalizedDir(dir: String): String = {
     val hasScheme = dir.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
     val abs =
-      if (hasScheme || dir.startsWith("/")) dir
-      else new java.io.File(dir).getAbsolutePath
+      if (hasScheme) dir
+      else {
+        val a = if (dir.startsWith("/")) dir
+                else new java.io.File(dir).getAbsolutePath
+        java.nio.file.Paths.get(a).normalize().toString
+      }
     new org.apache.hadoop.fs.Path(abs).toString
   }
 
@@ -236,6 +246,44 @@ object Materialize {
       found
     } catch { case scala.util.control.NonFatal(_) => false }
 
+  /** CONSUMED-ARTIFACT LEDGER (round 19): every published-table read
+    * that goes through [[readTable]]/[[readOrCompute]] appends its
+    * (kind, fingerprint) here, in order. This is the INSTRUMENT behind
+    * lineage manifests: a composed pipeline (p11) declares the
+    * artifacts it consumed, and the manifest-completeness spec compares
+    * that declaration against what this ledger actually recorded —
+    * independent evidence, not self-report checked against itself.
+    * Bounded (ring of the most recent [[ReadLedgerMax]] reads): the
+    * ledger is a diagnostic window, not an audit log, and an unbounded
+    * list in a long-lived service would be a leak. */
+  private val ReadLedgerMax = 4096
+  private val readLedger =
+    new java.util.concurrent.ConcurrentLinkedDeque[(Long, String, String)]()
+  private val readSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def recordRead(kind: String, fp: String): Unit = {
+    readLedger.addLast((readSeq.incrementAndGet(), kind, fp))
+    while (readLedger.size > ReadLedgerMax) readLedger.pollFirst()
+  }
+  /** opaque position marker; pass to [[readsSince]]. */
+  def readMarker: Long = readSeq.get
+  /** distinct (kind, fingerprint) pairs read after `marker` was taken
+    * (newest window of [[ReadLedgerMax]]; single-threaded callers that
+    * mark-then-run see exactly their own reads). */
+  def readsSince(marker: Long): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    readLedger.iterator.asScala
+      .filter(_._1 > marker).map(t => (t._2, t._3)).toSeq.distinct
+  }
+
+  /** Read a PUBLISHED table, recording the consumption in the read
+    * ledger. Every serve-side consumer of a materialized artifact
+    * should come through here (or [[readOrCompute]]) so lineage
+    * manifests stay checkable. */
+  def readTable(s: SparkSession, kind: String, fp: String): DataFrame = {
+    recordRead(kind, fp)
+    s.read.parquet(tablePath(s, kind, fp))
+  }
+
   /** Read the materialized table if this exact (input, algorithm, code)
     * has been computed on this storage, else compute-and-publish. The
     * production contract: the expensive kernel runs ONCE; reports
@@ -243,7 +291,7 @@ object Materialize {
     * every consumer runnable in isolation. */
   def readOrCompute(s: SparkSession, kind: String, fp: String)
                    (compute: => DataFrame): DataFrame = {
-    if (exists(s, kind, fp)) s.read.parquet(tablePath(s, kind, fp))
+    if (exists(s, kind, fp)) readTable(s, kind, fp)
     else keyLock(s"$kind/$fp").synchronized {
       // re-check under the lock: another thread of this JVM may have
       // published while we waited. The lock is PER KEY — two threads
@@ -251,7 +299,7 @@ object Materialize {
       // pair table) build concurrently; a JVM-global lock here would
       // serialize every cold path behind whichever multi-hour build
       // happened to start first.
-      if (exists(s, kind, fp)) s.read.parquet(tablePath(s, kind, fp))
+      if (exists(s, kind, fp)) readTable(s, kind, fp)
       else publish(s, kind, fp)(compute)
     }
   }
@@ -614,6 +662,19 @@ object Materialize {
   private[graft] val jvmPublished =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Name of the per-run LEASE file live queries refresh (round 19):
+    * `<run dir>/.graft-lease`, recreated by the run's driver on start
+    * and on every micro-batch progress event
+    * ([[graft.streaming.Replay]]'s listener). The lease makes the
+    * in-progress guard STORE-INDEPENDENT: the newest-descendant mtime
+    * walk below presumes a live query's activity is VISIBLE as fresh
+    * committed files, which an object store that hides in-flight
+    * multipart uploads (s3a) narrows to committed files only — a query
+    * mid-way through a long single-file write lists nothing fresh. The
+    * lease is a tiny committed object written ONCE PER MICRO-BATCH, so
+    * it is visible on any store, and one `getFileStatus` probes it. */
+  val LeaseFile = ".graft-lease"
+
   /** RUN-DIR RETENTION (round 18): the [[retentionSweep]] discipline
     * applied OUTSIDE the materialization root — streaming run dirs
     * (each replay/deployment run leaves a sink + checkpoint directory),
@@ -622,9 +683,21 @@ object Materialize {
     * per run, and a year of nightly admission runs leaves 365
     * checkpoint trees the g01 story never touched. Deletes every
     * direct child directory of `root` that is
-    *  - NOT pinned (`pins` = names of live/resumable runs — a paused
-    *    resumable query's checkpoint must survive BYTE-UNTOUCHED at any
-    *    age, post-asserted exactly as a retention pin is), and
+    *  - NOT pinned (`pins` = names of live/resumable runs, surviving
+    *    byte-untouched, post-asserted exactly as a retention pin is.
+    *    Pins are per-JVM and EXPIRE one sweep horizon after their last
+    *    refresh — [[graft.streaming.Replay.activePins]] — so the
+    *    protection window is the horizon, not "any age": a resumable
+    *    checkpoint paused LONGER than the horizon between passes is
+    *    reaped and its next drain restarts from scratch — a full
+    *    recompute, correct output. A deployment pausing drains longer
+    *    than the default 6 h raises `spark.graft.replay.sweepAgeMs`
+    *    to its real pause budget; a pin cannot protect a checkpoint
+    *    from ANOTHER process's sweep in any case, which is why the
+    *    cross-process protections are the age + lease guards below),
+    *  - NOT holding a FRESH LEASE (`<dir>/.graft-lease` younger than
+    *    `ageMs` — see [[LeaseFile]]; probed first, one getFileStatus,
+    *    so a leased live run skips the descendant walk entirely), and
     *  - older than `ageMs` by NEWEST DESCENDANT mtime — the
     *    in-progress guard: a live query keeps committing offset/sink
     *    files, so its newest descendant stays fresh regardless of how
@@ -633,7 +706,7 @@ object Materialize {
     * Unlike a generation family, an empty pin set is legitimate here —
     * a run root with nothing live is the normal end-of-day state — so
     * there is no all-stale refusal; safety comes from pins + the age
-    * guard. Returns (retained, swept) child names. */
+    * and lease guards. Returns (retained, swept) child names. */
   def sweepRunRoot(root: String, pins: Set[String],
                    ageMs: Long): (Seq[String], Seq[String]) = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -642,15 +715,22 @@ object Materialize {
     val cutoff = System.currentTimeMillis() - ageMs
     val kids = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
     val (pinned, candidates) = kids.partition(st => pins.contains(st.getPath.getName))
-    // the descendant walk runs ONLY for dirs whose top-level mtime is
-    // already past the cutoff: a fresh top mtime alone proves recent
-    // activity (retain without walking — on a root holding hundreds of
-    // recent runs the indiscriminate walk was a measurable per-call
-    // tax), while the old-top case still needs the newest-descendant
-    // check because a live query's task files advance nothing at the
-    // top level
+    // guard order, cheapest first: top-level mtime (already listed),
+    // then the lease probe (one getFileStatus), then the descendant
+    // walk. A fresh top mtime alone proves recent activity (retain
+    // without walking — on a root holding hundreds of recent runs the
+    // indiscriminate walk was a measurable per-call tax); a fresh
+    // lease proves a live driver even when every data mtime is stale
+    // (paused-but-leased, or an mtime-blind store); the old-top
+    // unleased case still needs the newest-descendant check because a
+    // live query's task files advance nothing at the top level
+    def freshLease(p: org.apache.hadoop.fs.Path): Boolean =
+      try fs.getFileStatus(new org.apache.hadoop.fs.Path(p, LeaseFile))
+        .getModificationTime >= cutoff
+      catch { case scala.util.control.NonFatal(_) => false } // no lease
     val swept = candidates.filter(st =>
       st.getModificationTime < cutoff &&
+        !freshLease(st.getPath) &&
         newestMtime(fs, st.getPath, st.getModificationTime) < cutoff)
     // pin snapshots are taken only when the sweep will actually delete
     // something — a no-op pass costs one shallow root listing

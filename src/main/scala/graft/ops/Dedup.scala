@@ -451,8 +451,7 @@ object Dedup {
   private[graft] def bandMembers(s: SparkSession, d: String): Option[DataFrame] = {
     val fp = minhashFingerprint(s, d)
     if (graft.core.Materialize.exists(s, sk("minhash-members", d), fp))
-      Some(s.read.parquet(
-        graft.core.Materialize.tablePath(s, sk("minhash-members", d), fp)))
+      Some(graft.core.Materialize.readTable(s, sk("minhash-members", d), fp))
     else None
   }
 
@@ -1285,7 +1284,7 @@ object Dedup {
   private def ccLabels(s: SparkSession, d: String): DataFrame = {
     val fp = ccFingerprint(d)
     if (graft.core.Materialize.exists(s, sk("labels", d), fp))
-      s.read.parquet(graft.core.Materialize.tablePath(s, sk("labels", d), fp))
+      graft.core.Materialize.readTable(s, sk("labels", d), fp)
     else this.synchronized { computeAndMaterializeLabels(s, d) }
   }
 
@@ -1364,9 +1363,15 @@ object Dedup {
   private[graft] def liveCcLabels(s: SparkSession, d: String): DataFrame = {
     val fp = liveLabelsFingerprint(d)
     if (graft.core.Materialize.exists(s, sk("labels", d), fp))
-      s.read.parquet(graft.core.Materialize.tablePath(s, sk("labels", d), fp))
+      graft.core.Materialize.readTable(s, sk("labels", d), fp)
     else this.synchronized { computeAndMaterializeLiveLabels(s, d) }
   }
+
+  /** (family kind, fingerprint) of the live-label artifact
+    * [[liveCcLabels]] serves — the lineage-manifest identity p11
+    * declares for its keep-list consumption. */
+  private[graft] def liveLabelsArtifact(d: String): (String, String) =
+    (sk("labels", d), liveLabelsFingerprint(d))
 
   def d07(s: SparkSession, d: String): DataFrame = {
     // SERVE/REPORT form since round 18 (the round-17 verdict's perf
@@ -3004,7 +3009,7 @@ object Dedup {
       // generations and vice versa
       val fp = chainFingerprint(s, d, gen)
       if (graft.core.Materialize.exists(s, sk("minhash-chain", d), fp))
-        s.read.parquet(graft.core.Materialize.tablePath(s, sk("minhash-chain", d), fp))
+        graft.core.Materialize.readTable(s, sk("minhash-chain", d), fp)
       else {
         val day = ChainDays(gen - 1)
         // built OUTSIDE the publish closure so the cached day batch can

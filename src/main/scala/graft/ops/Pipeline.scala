@@ -524,31 +524,33 @@ object Pipeline {
     * partition-parallel) and READS it back through an EXPLICIT,
     * DECLARED schema — at 100 TB schema inference is a full extra pass
     * over the data, so a production JSONL read always declares — then
-    * reports a per-source content digest: row count, id sum (numeric
-    * round-trip), UTF-8 byte volume, and a content checksum — each
-    * doc's 48-bit md5 prefix REDUCED MOD 1e6 before summing (the p09
-    * residue pattern), so the BIGINT sum stays exact on both engines
-    * out to ~10^12 docs per source; a raw 48-bit sum would wrap
-    * Spark's int64 at ~65k docs/source while DuckDB's HUGEINT sum
-    * errors on the narrowing cast — the digest itself would diverge
-    * exactly at scale. The ORACLE computes the same digest from
+    * reports a per-source content digest: row count, id-residue sum
+    * (numeric round-trip — doc_id REDUCED MOD 1e6 before summing,
+    * round 19: a raw id sum wraps Spark's int64 at ~4e9 docs/source
+    * while DuckDB's HUGEINT sum errors on the BIGINT cast, the exact
+    * cross-engine divergence the residue pattern exists to prevent),
+    * UTF-8 byte volume, and a content checksum — each doc's 48-bit md5
+    * prefix reduced mod 1e6 the same way, so every BIGINT sum in the
+    * digest stays exact on both engines out to ~10^12 docs per source.
+    * The ORACLE computes the same digest from
     * the PARQUET table: any drift the round-trip introduces (escaping,
     * unicode, null handling, numeric coercion) breaks the gate hash —
     * the entry passes only if JSONL ingestion is LOSSLESS.
     *
     * Scale shape: one distributed write + one distributed scan, a
-    * map-side-combined per-source aggregate; the run dir lands under
-    * the swept replay root so run-dir retention reaps it by age. */
+    * map-side-combined per-source aggregate; the run dir is allocated
+    * by [[graft.streaming.Replay.runBase]] (round 19), whose throttled
+    * sweep call makes the retention claim hold in a BATCH-ONLY session
+    * too — before, the sweep fired only from replay entries, so a
+    * session running only p10 accumulated corpus copies forever. */
   def p10(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    new java.io.File("/tmp/graft_replay").mkdirs()
-    val dir = "/tmp/graft_replay/p10-" +
-      s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
+    val dir = graft.streaming.Replay.runBase(s, "p10")
     docs.write.json(dir)
     val back = s.read.schema(docs.schema).json(dir)
     back.groupBy("source").agg(
       big(count(lit(1))).as("n_docs"),
-      big(sum(col("doc_id"))).as("id_sum"),
+      big(sum(pmod(col("doc_id"), lit(1000000L)))).as("id_sum"),
       big(sum(expr("octet_length(text)"))).as("bytes"),
       big(sum(pmod(conv(substring(md5(col("text")), 1, 12), 16, 10)
         .cast(LongType), lit(1000000L)))).as("content_sum"))
@@ -557,16 +559,219 @@ object Pipeline {
 
   /** Oracle over the PARQUET table — the digest the lossless JSONL
     * round-trip must reproduce (byte-based, the m01/m03 encode()
-    * convention for non-ASCII agreement). */
+    * convention for non-ASCII agreement). Shared by s15 (the streamed
+    * ingestion of the same drop format must reproduce it too). */
   val p10Sql: String =
     """SELECT source,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(doc_id % 1000000) AS BIGINT) AS id_sum,
       |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes,
       |  CAST(SUM(CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT) % 1000000) AS BIGINT) AS content_sum
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** p11: the COMPOSED END-TO-END CORPUS BUILD — the artifact a data
+    * team actually ships to the trainer, run as ONE pipeline over the
+    * published artifact families, with a LINEAGE MANIFEST naming every
+    * artifact consumed. Every stage exists and is individually gated;
+    * this entry proves they COMPOSE — the property all the lifecycle
+    * machinery (fingerprints, generations, retention, takedowns)
+    * exists to guarantee. The chain, in pipeline order:
+    *
+    *  1. LIVE corpus: documents minus the tombstone census (every
+    *     stage downstream is takedown-clean by construction);
+    *  2. CLEAN (p01's predicate): >= 15 tokens, unique-token ratio
+    *     >= 0.3; benchmark documents (doc_id < ContamBenchIds) leave
+    *     the training stream here — the eval set is never trained on;
+    *  3. REDACT (t14's kernel, [[TextAnalysis.redactTokens]] — the
+    *     same transform t14 gates): PII placeholders, arity-preserving
+    *     so token counts survive;
+    *  4. DEDUP KEEP-LIST (d13 over the PUBLISHED live cluster labels —
+    *     the artifact consumption, never a re-cluster): only each
+    *     near-dup cluster's canonical survivor continues. The keep
+    *     decision is raw-text-derived (the published labels' own
+    *     contract), so redact-then-keep equals keep-then-redact;
+    *  5. DECONTAMINATE (d06's shingle semantics on REDACTED text, both
+    *     sides): any survivor sharing a word-3-gram with a benchmark
+    *     doc is dropped. The bench side is tiny and BROADCAST, so the
+    *     survivor shingle stream never shuffles — the exact join IS
+    *     the scale shape here (d08's bloom exists for the shuffled
+    *     case);
+    *  6. MIX (p06/p09's exact wide-integer temperature flattening,
+    *     rates derived from the POST-dedup post-decontamination corpus
+    *     — the rate-shift ordering p09 demonstrates);
+    *  7. PACK + SHUFFLE (p05/p04): epoch-0 salted-hash shard routing,
+    *     per-shard deterministic order, offset packing into
+    *     [[PackTokens]]-token bins.
+    *
+    * The final training-order artifact is WRITTEN (one row per shipped
+    * doc: placement + redacted-content md5), the manifest is written
+    * beside it (one row per consumed input: role, family kind,
+    * fingerprint, path — Round19OpsSpec checks it against the
+    * Materialize read ledger, and pins warm-run frugality: zero
+    * publishes, published-artifact reads only), and the gate reads the
+    * artifact back. Oracle: the SAME chain as one DuckDB CTE pipeline
+    * over the shared stage texts (ccCanonCtesOver, redactListSql,
+    * p06's HUGEINT predicate) — any composition bug between families
+    * breaks the row hash.
+    *
+    * Scale shape: one corpus scan feeds clean+redact (row-local); the
+    * keep-list is a keyed join against the published slim label table;
+    * decontamination is a broadcast semi/anti join over survivor
+    * shingles; mixing is two map-side-combined aggregates + broadcast
+    * rate table; placement is p04/p05's pinned-exchange windows over
+    * SLIM rows (the redacted text collapses to its md5 BEFORE the
+    * placement shuffle — the wide column never rides a window
+    * exchange). No collect, no all-pairs term, no kernel re-runs. */
+  /** run dir of this JVM's most recent p11 build — the manifest lives
+    * at `<lastP11Base>/manifest` (spec hook; the gate reads the
+    * artifact back through the returned DataFrame). */
+  @volatile private[graft] var lastP11Base: String = ""
+
+  def p11(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val benchIds = graft.ops.Dedup.ContamBenchIds
+    val shw = graft.ops.Dedup.ShingleWords
+    val live = documents(s, d).where(!graft.ops.Dedup.d17TombstonePred)
+    // 2. clean + bench exclusion; 3. redact (arity-preserving)
+    val cleanRed = live
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .where(col("n_tok") >= 15 &&
+        size(array_distinct(col("toks"))).cast(DoubleType) /
+          col("n_tok").cast(DoubleType) >= 0.3 &&
+        col("doc_id") >= benchIds)
+      .withColumn("red", graft.ops.TextAnalysis.redactTokens(col("toks")))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("red"))
+    // 4. keep-list consumption (published live labels; warm = one read)
+    val keepers = graft.ops.Dedup.d13(s, d)
+      .where(col("keep") === 1L).select("doc_id")
+    val kept = cleanRed.join(keepers, "doc_id")
+    // 5. decontamination on redacted shingles, bench side broadcast
+    val shExpr = expr(s"transform(sequence(1, size(red) - ${shw - 1}), " +
+      s"i -> concat_ws(' ', slice(red, i, $shw)))")
+    val benchSh = live.where(col("doc_id") < benchIds)
+      .withColumn("red", graft.ops.TextAnalysis.redactTokens(split(col("text"), " ")))
+      .where(size(col("red")) >= shw)
+      .select(explode(array_distinct(shExpr)).as("sh")).distinct()
+    val keptSh = kept // n_tok >= 15 guarantees shingles exist
+      .select(col("doc_id"), explode(array_distinct(shExpr)).as("sh"))
+    val contam = keptSh.join(broadcast(benchSh), "sh")
+      .select("doc_id").distinct()
+    val decon = kept.join(contam, Seq("doc_id"), "left_anti")
+      // the wide token array collapses to its content hash HERE — the
+      // mixing join and both placement windows shuffle slim rows only
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        md5(concat_ws(" ", col("red"))).as("redacted_md5"))
+      // consumed twice (rate stats + the mixed row stream): persist the
+      // SLIM projection so the clean/keep/decontaminate chain runs once
+      // (the harness's cleanStorage releases it per entry)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 6. mixing rates from the post-dedup post-decon corpus (p06 math)
+    val withHm = decon.withColumn("hm",
+      pmod(conv(substring(md5(concat(lit("mix:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+        .cast(LongType), lit(1000000L)))
+    val stats = decon.groupBy("source").agg(sum(col("n_tok")).as("src_tokens"))
+    val totals = stats.agg(sum(col("src_tokens")).as("all_tokens"),
+      count(lit(1)).as("n_src"))
+    val mixed = withHm.join(broadcast(stats.crossJoin(broadcast(totals))), "source")
+      .where(col("hm").cast(dec) * lit(2L) * col("n_src") * col("src_tokens") <
+        col("all_tokens").cast(dec) * lit(1000000L))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("redacted_md5"))
+    // 7. epoch shuffle + offset packing (p04/p05's pinned exchange)
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    val placed = mixed
+      .withColumn("h",
+        conv(substring(md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+          .cast(LongType))
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast(LongType))
+      .repartition(s.sparkContext.defaultParallelism, col("shard"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
+      .select(col("shard"), col("pos"),
+        (col("start_off") / PackTokens).cast(LongType).as("bin"),
+        (col("start_off") % PackTokens).as("bin_off"),
+        col("doc_id"), col("source"), col("n_tok"), col("redacted_md5"))
+    // ship: artifact + lineage manifest under the swept replay root
+    val base = graft.streaming.Replay.runBase(s, "p11")
+    lastP11Base = base
+    placed.write.parquet(s"$base/train")
+    val (labKind, labFp) = graft.ops.Dedup.liveLabelsArtifact(d)
+    val corpusFp = graft.core.Materialize.fingerprint(d, "documents", "input", "")
+    import s.implicits._
+    Seq(
+      ("published", labKind, labFp,
+        graft.core.Materialize.tablePath(s, labKind, labFp)),
+      ("input", "documents", corpusFp, s"$d/documents.parquet"))
+      .toDF("role", "family", "fingerprint", "path")
+      .coalesce(1).write.parquet(s"$base/manifest")
+    s.read.parquet(s"$base/train").orderBy("shard", "pos")
+  }
+
+  /** Oracle: the whole composed chain as one CTE pipeline from raw
+    * text — live corpus, clean, redact ([[graft.ops.TextAnalysis
+    * .redactListSql]]), the d13 canonical keep derivation
+    * ([[graft.ops.Dedup.ccCanonCtesOver]], shared verbatim), shingle
+    * decontamination, the HUGEINT mixing predicate, and the
+    * shard/bin placement windows. */
+  val p11Sql: String = {
+    val benchIds = graft.ops.Dedup.ContamBenchIds
+    val shw = graft.ops.Dedup.ShingleWords
+    val shingleList =
+      s"list_transform(generate_series(1, len(red) - ${shw - 1}), " +
+        s"i -> array_to_string(list_slice(red, i, i + ${shw - 1}), ' '))"
+    s"""WITH RECURSIVE ${graft.ops.Dedup.LiveDocsCte},
+      |${graft.ops.Dedup.ccCanonCtesOver("livedocs")},
+      |red AS (
+      |  SELECT doc_id, source,
+      |    ${graft.ops.TextAnalysis.redactListSql("text")} AS red,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio
+      |  FROM livedocs),
+      |kept AS (
+      |  SELECT r.doc_id, r.source, r.red, r.n_tok
+      |  FROM red r
+      |  JOIN sized sz ON sz.doc_id = r.doc_id
+      |  JOIN canon c ON sz.cluster_id = c.cluster_id AND r.doc_id = c.canonical_id
+      |  WHERE r.n_tok >= 15 AND r.uniq_ratio >= 0.3 AND r.doc_id >= $benchIds),
+      |bsh AS (
+      |  SELECT DISTINCT unnest(list_distinct($shingleList)) AS sh
+      |  FROM red WHERE doc_id < $benchIds AND len(red) >= $shw),
+      |ksh AS (
+      |  SELECT doc_id, unnest(list_distinct($shingleList)) AS sh FROM kept),
+      |contam AS (SELECT DISTINCT k.doc_id FROM ksh k JOIN bsh b ON k.sh = b.sh),
+      |decon AS (
+      |  SELECT doc_id, source, n_tok, md5(array_to_string(red, ' ')) AS redacted_md5
+      |  FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |stats AS (
+      |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens FROM decon GROUP BY source),
+      |totals AS (
+      |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_src FROM stats),
+      |mixed AS (
+      |  SELECT dd.doc_id, dd.source, dd.n_tok, dd.redacted_md5,
+      |    CAST(('0x' || substring(md5('epoch0:' || CAST(dd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM decon dd JOIN stats st ON st.source = dd.source, totals t
+      |  WHERE CAST(CAST(('0x' || substring(md5('mix:' || CAST(dd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |          % 1000000 AS HUGEINT) * 2 * t.n_src * st.src_tokens
+      |        < CAST(1000000 AS HUGEINT) * t.all_tokens),
+      |placed AS (
+      |  SELECT doc_id, source, n_tok, redacted_md5, h % $ShuffleShards AS shard,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY h % $ShuffleShards
+      |      ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |    COALESCE(SUM(n_tok) OVER (PARTITION BY h % $ShuffleShards ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - n_tok AS start_off
+      |  FROM mixed)
+      |SELECT CAST(shard AS BIGINT) AS shard, pos,
+      |  CAST(start_off // $PackTokens AS BIGINT) AS bin,
+      |  CAST(start_off % $PackTokens AS BIGINT) AS bin_off,
+      |  doc_id, source, n_tok, redacted_md5
+      |FROM placed ORDER BY shard, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_corpus_build" -> p11 _,
     "p10_jsonl_roundtrip" -> p10 _,
     "p09_dedup_adjusted_mix" -> p09 _,
     "p08_source_interleave" -> p08 _,
@@ -578,6 +783,7 @@ object Pipeline {
     "p05_sequence_pack" -> p05 _,
     "p06_source_mix" -> p06 _)
   val oracle: Map[String, String] = Map(
+    "p11_corpus_build" -> p11Sql,
     "p10_jsonl_roundtrip" -> p10Sql,
     "p09_dedup_adjusted_mix" -> p09Sql,
     "p08_source_interleave" -> p08Sql,

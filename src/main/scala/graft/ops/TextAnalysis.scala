@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -724,16 +724,36 @@ object TextAnalysis {
     * Scale shape: entirely row-local (one transform + three filters
     * per document) — zero shuffles before the output sort; the
     * embarrassingly-parallel end of the suite. */
-  def t14(s: SparkSession, d: String): DataFrame = {
+  /** t14's per-token redaction kernel over a token-array column —
+    * factored (round 19) so p11's composed corpus build applies the
+    * SAME rewrite t14 gates (two inlined copies would drift). Arity-
+    * preserving by construction: every token maps to exactly one
+    * output token, so token counts survive redaction unchanged. */
+  private[graft] def redactTokens(toks: Column): Column = {
     val emailRe = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
     val numRe = "^[0-9]{4,}$"
+    transform(toks, tk =>
+      when(tk.rlike(emailRe), lit("<EMAIL>"))
+        .when(lower(tk).startsWith("http://") || lower(tk).startsWith("https://") ||
+          lower(tk).startsWith("www."), lit("<URL>"))
+        .when(tk.rlike(numRe), lit("<NUM>"))
+        .otherwise(tk))
+  }
+
+  /** the same redaction as a DuckDB list_transform over
+    * `string_split(<rel-qualified> text, ' ')` — t14Sql's CASE, shared
+    * with p11Sql so the two oracles state one rewrite. */
+  private[graft] def redactListSql(textRef: String): String =
+    s"""list_transform(string_split($textRef, ' '), tk ->
+      |    CASE WHEN regexp_matches(tk, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$$') THEN '<EMAIL>'
+      |         WHEN starts_with(lower(tk), 'http://') OR starts_with(lower(tk), 'https://')
+      |           OR starts_with(lower(tk), 'www.') THEN '<URL>'
+      |         WHEN regexp_matches(tk, '^[0-9]{4,}$$') THEN '<NUM>'
+      |         ELSE tk END)""".stripMargin
+
+  def t14(s: SparkSession, d: String): DataFrame = {
     documents(s, d)
-      .withColumn("red", transform(split(col("text"), " "), tk =>
-        when(tk.rlike(emailRe), lit("<EMAIL>"))
-          .when(lower(tk).startsWith("http://") || lower(tk).startsWith("https://") ||
-            lower(tk).startsWith("www."), lit("<URL>"))
-          .when(tk.rlike(numRe), lit("<NUM>"))
-          .otherwise(tk)))
+      .withColumn("red", redactTokens(split(col("text"), " ")))
       .select(col("doc_id"),
         big(size(filter(col("red"), t => t === "<EMAIL>"))).as("n_email"),
         big(size(filter(col("red"), t => t === "<URL>"))).as("n_url"),
@@ -743,13 +763,8 @@ object TextAnalysis {
   }
 
   val t14Sql: String =
-    """WITH r AS (
-      |  SELECT doc_id, list_transform(string_split(text, ' '), tk ->
-      |    CASE WHEN regexp_matches(tk, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') THEN '<EMAIL>'
-      |         WHEN starts_with(lower(tk), 'http://') OR starts_with(lower(tk), 'https://')
-      |           OR starts_with(lower(tk), 'www.') THEN '<URL>'
-      |         WHEN regexp_matches(tk, '^[0-9]{4,}$') THEN '<NUM>'
-      |         ELSE tk END) AS red
+    s"""WITH r AS (
+      |  SELECT doc_id, ${redactListSql("text")} AS red
       |  FROM documents)
       |SELECT doc_id,
       |  CAST(len(list_filter(red, t -> t = '<EMAIL>')) AS BIGINT) AS n_email,
@@ -818,7 +833,110 @@ object TextAnalysis {
       |FROM td LEFT JOIN nd ON nd.decile = td.decile
       |ORDER BY decile""".stripMargin
 
+  /** t16 script classes: (name, inclusive codepoint ranges) — ONE
+    * table interpolated into BOTH engines (a range drift between the
+    * Spark expression and the oracle would be invisible until a
+    * multi-script corpus arrives). Alphabetical order IS the dominance
+    * tie-break order. Ranges are explicit codepoint windows, NOT
+    * regex script properties: Java regex and DuckDB's RE2 carry
+    * different Unicode table versions, so `\p{script=...}` could
+    * legitimately disagree on edge codepoints — integer ranges cannot.
+    *  - arabic   U+0600–U+06FF
+    *  - cjk      U+3040–U+30FF (kana) + U+4E00–U+9FFF (unified ideographs)
+    *  - cyrillic U+0400–U+04FF
+    *  - digit    U+0030–U+0039
+    *  - greek    U+0370–U+03FF
+    *  - latin    A–Z, a–z, U+00C0–U+024F (Latin-1 letters + Extended A/B)
+    * Everything else (spaces, punctuation, unlisted scripts) counts as
+    * `other`, which never wins dominance — a doc with no classed
+    * characters reports script_class = 'other'. */
+  private[graft] val ScriptClasses: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "arabic" -> Seq((0x600, 0x6FF)),
+    "cjk" -> Seq((0x3040, 0x30FF), (0x4E00, 0x9FFF)),
+    "cyrillic" -> Seq((0x400, 0x4FF)),
+    "digit" -> Seq((0x30, 0x39)),
+    "greek" -> Seq((0x370, 0x3FF)),
+    "latin" -> Seq((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)))
+
+  /** t16: SCRIPT/CHARSET language-class identification — the
+    * multilingual-pipeline stage t01's stopword lexicons cannot cover
+    * (a lexicon needs per-language word lists; script classes need only
+    * codepoint arithmetic and separate Latin/CJK/Cyrillic/Arabic/Greek
+    * corpora before any tokenizer runs). Per document: one histogram
+    * of characters over [[ScriptClasses]] plus an `other` bucket, and
+    * the DOMINANT class (max count among named classes, alphabetical
+    * tie-break, 'other' when no classed character exists) — the filter
+    * dimension a p06/p09-style mixing stage keys on.
+    *
+    * Mechanics, cross-engine exact: both engines split text into
+    * CODEPOINT chunks (Spark's `split(text, '')` and DuckDB's
+    * `string_split(text, '')` both yield per-codepoint strings,
+    * surrogate-safe — probed on U+1F600) and take the codepoint as an
+    * integer (Spark `ascii`, DuckDB `unicode` — both return the full
+    * codepoint). The histogram is ONE `aggregate` fold over the
+    * codepoint array (the array expression is the fold's input, so it
+    * is evaluated once per row — per-class `filter` calls would inline
+    * and recompute the split+codepoint work per class), entirely
+    * row-local: zero shuffles before the output sort.
+    *
+    * Scale shape at 100 TB: embarrassingly parallel (one projection),
+    * reads only (doc_id, text); volume rides character count. */
+  def t16(s: SparkSession, d: String): DataFrame = {
+    val n = ScriptClasses.size
+    def inRanges(cp: Column, rs: Seq[(Int, Int)]): Column =
+      rs.map { case (lo, hi) => cp >= lo && cp <= hi }.reduce(_ || _)
+    val cps = transform(
+      filter(split(col("text"), ""), c => c =!= ""), c => ascii(c))
+    val zero = array(Seq.fill(n + 1)(lit(0L)): _*)
+    val hist = aggregate(cps, zero, (acc, cp) => array(
+      (ScriptClasses.zipWithIndex.map { case ((_, rs), i) =>
+        acc.getItem(i) + when(inRanges(cp, rs), 1L).otherwise(0L)
+      } :+ (acc.getItem(n) + when(
+        ScriptClasses.map(c => inRanges(cp, c._2)).reduce(_ || _), 0L)
+        .otherwise(1L))): _*))
+    val counted = documents(s, d)
+      .withColumn("hist", hist)
+      .select(Seq(col("doc_id")) ++
+        ScriptClasses.zipWithIndex.map { case ((name, _), i) =>
+          col("hist").getItem(i).as(s"n_$name") } :+
+        col("hist").getItem(n).as("n_other"): _*)
+    val best = greatest(ScriptClasses.map(c => col(s"n_${c._1}")): _*)
+    counted
+      .withColumn("script_class",
+        when(best === 0L, lit("other")).otherwise(
+          ScriptClasses.foldRight(lit("other")) { case ((name, _), els) =>
+            when(col(s"n_$name") === best, lit(name)).otherwise(els) }))
+      .orderBy("doc_id")
+  }
+
+  val t16Sql: String = {
+    def pred(rs: Seq[(Int, Int)]): String =
+      rs.map { case (lo, hi) => s"(cp >= $lo AND cp <= $hi)" }.mkString(" OR ")
+    val classCols = ScriptClasses.map { case (name, rs) =>
+      s"CAST(len(list_filter(cps, cp -> ${pred(rs)})) AS BIGINT) AS n_$name"
+    }.mkString(",\n    ")
+    val names = ScriptClasses.map(_._1)
+    val gr = s"GREATEST(${names.map("n_" + _).mkString(", ")})"
+    val caseArms = names.map(nm => s"WHEN n_$nm = $gr THEN '$nm'")
+      .mkString("\n         ")
+    s"""WITH cp AS (
+      |  SELECT doc_id, list_transform(
+      |    list_filter(string_split(text, ''), c -> c <> ''),
+      |    c -> unicode(c)) AS cps
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_all,
+      |    $classCols
+      |  FROM cp)
+      |SELECT doc_id, ${names.map("n_" + _).mkString(", ")},
+      |  n_all - (${names.map("n_" + _).mkString(" + ")}) AS n_other,
+      |  CASE WHEN $gr = 0 THEN 'other'
+      |         $caseArms END AS script_class
+      |FROM cnt ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_script_class" -> t16 _,
     "t15_vocab_growth" -> t15 _,
     "t14_pii_redaction" -> t14 _,
     "t13_lm_score" -> t13 _,
@@ -836,6 +954,7 @@ object TextAnalysis {
     "t07_web_noise" -> t07 _)
 
   val oracle: Map[String, String] = Map(
+    "t16_script_class" -> t16Sql,
     "t15_vocab_growth" -> t15Sql,
     "t14_pii_redaction" -> t14Sql,
     "t13_lm_score" -> t13Sql,

@@ -92,6 +92,63 @@ object Replay {
     pinnedRuns.keySet().asScala.toSet
   }
 
+  // ---- per-run LEASE (round 19): the store-independent in-progress
+  // guard. sweepRunRoot's newest-descendant mtime walk presumes a live
+  // query's activity is VISIBLE as fresh committed files; an object
+  // store that hides in-flight multipart uploads (s3a) narrows that to
+  // committed files only. Every driven run therefore writes
+  // `<base>/.graft-lease` on start and RE-WRITES it on every
+  // micro-batch progress event (one global StreamingQueryListener per
+  // session, routing by query id) — a tiny committed object any store
+  // lists, probed by one getFileStatus in the sweep. A lease stops
+  // refreshing when its query stops; the dir then ages out normally.
+  // Between the passes of a PAUSED resumable drain nothing refreshes
+  // the lease — the pin (same horizon) is the in-JVM protection there.
+
+  private[graft] def touchLease(base: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(base,
+        graft.core.Materialize.LeaseFile)
+      val fs = p.getFileSystem(SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+      val out = fs.create(p, true) // overwrite: mtime = now on any store
+      out.write(java.lang.ProcessHandle.current.pid.toString.getBytes("UTF-8"))
+      out.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] lease touch failed for $base: ${e.getMessage}")
+    }
+
+  /** query id -> run base, consulted by the one-per-session progress
+    * listener; entries are registered around each driven run. */
+  private val leasedQueries =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+  private val leaseListenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private def ensureLeaseListener(s: SparkSession): Unit =
+    if (leaseListenerSessions.add(s))
+      s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          Option(leasedQueries.get(e.progress.id)).foreach(touchLease)
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      })
+
+  /** run `start` (which starts the run's streaming query) with the run
+    * dir leased: lease written before start, refreshed per progress
+    * event, unregistered after `drive` returns. */
+  private def leasedQueryRun[T](s: SparkSession, base: String)
+      (start: => org.apache.spark.sql.streaming.StreamingQuery)
+      (drive: org.apache.spark.sql.streaming.StreamingQuery => T): T = {
+    ensureLeaseListener(s)
+    touchLease(base)
+    val q = start
+    leasedQueries.put(q.id, base)
+    try drive(q) finally leasedQueries.remove(q.id)
+  }
+
   /** fresh per-run working dir under the swept replay root — one
     * policy (mkdirs + retention sweep + pid/nanoTime uniqueness) for
     * every replay entry. Retention (round 18): superseded run dirs —
@@ -104,8 +161,12 @@ object Replay {
     * (the hotBucketCapDocs discipline — a tuning knob must not be
     * thread-dependent). */
   private val lastRunSweepMs = new java.util.concurrent.atomic.AtomicLong(0)
+  /** total runBase allocations this JVM (spec hook: proves batch-side
+    * run dirs — p10/p11 — are allocated through the swept path). */
+  private[graft] val runBaseCalls = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def runBase(s: SparkSession, name: String): String = {
+  private[graft] def runBase(s: SparkSession, name: String): String = {
+    runBaseCalls.incrementAndGet()
     val root = "/tmp/graft_replay"
     new java.io.File(root).mkdirs()
     val ageMs = s.conf.getOption("spark.graft.replay.sweepAgeMs")
@@ -194,15 +255,52 @@ object Replay {
     * regardless of later session conf — consistent across the
     * multi-pass drains.
     *
-    * Scoping note (round-18 review): the conf is SESSION-scoped, so an
-    * unrelated streaming query started on the SAME session while an
-    * admission drain is in flight inherits (and checkpoint-pins) the
-    * RocksDB provider. Concurrent admission drains are serialized here
-    * (so interleaved restores cannot strand the session on the wrong
-    * provider); a deployment running OTHER tiers concurrently starts
-    * them from their own `spark.newSession()` — the standard Spark
-    * per-tenant conf isolation, documented rather than forced because
-    * a query's DataFrames must all come from one session. */
+    * Scoping note: the conf set here is SESSION-scoped, so an
+    * unrelated streaming query started on the SAME session inside the
+    * body's window would inherit (and checkpoint-pin) the RocksDB
+    * provider — which is why the SHIPPED drains (s14, s14DedupDrain)
+    * no longer use this wrapper: since round 19 they build their whole
+    * pipeline on [[admissionSession]]'s child session, whose conf the
+    * parent never sees. This wrapper remains for callers that must run
+    * an admission-tier query on an EXISTING session (e.g. resuming a
+    * pre-round-19 checkpoint whose DataFrames are already bound to
+    * it); concurrent admission drains are serialized here so
+    * interleaved restores cannot strand the session on the wrong
+    * provider. */
+  /** CHILD SESSION for an admission-tier drain (round 19, closing the
+    * round-18 documented session-inheritance low STRUCTURALLY): the
+    * drain's whole pipeline — source, stream-static joins, stateful
+    * dedup, sink — is built on a `newSession()` of the parent, which
+    * shares the SparkContext (same executors, same cached artifacts on
+    * disk) but has its OWN SQL conf, so the RocksDB provider conf set
+    * here can never be inherited (and checkpoint-pinned) by an
+    * unrelated streaming query started on the PARENT while the drain
+    * is in flight. The parent's runtime-set graft/tuning knobs are
+    * copied across explicitly — `newSession` starts from the static
+    * SparkConf, so a runtime `conf.set` on the parent (mat dir, sweep
+    * horizons, hotBucketCapDocs, shuffle partitions) would otherwise
+    * silently reset to defaults mid-drain. One-session rule: every
+    * DataFrame in the drain must come from the returned session; the
+    * post-drain batch REPORT may run on either (it reads the sink
+    * parquet). */
+  private[graft] def admissionSession(parent: SparkSession): SparkSession = {
+    val child = parent.newSession()
+    val inherit = parent.conf.getAll.filter { case (k, _) =>
+      k.startsWith("spark.graft.") ||
+        k == "spark.sql.shuffle.partitions" ||
+        k == "spark.sql.session.timeZone" ||
+        k == "spark.sql.legacy.parquet.nanosAsLong"
+    }
+    inherit.foreach { case (k, v) => child.conf.set(k, v) }
+    admissionStateProvider(parent).foreach { cls =>
+      child.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+      child.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
+    child
+  }
+
   private val admissionConfLock = new Object
   private[graft] def withAdmissionStateProvider[T](s: SparkSession)(body: => T): T =
     admissionStateProvider(s) match {
@@ -246,13 +344,16 @@ object Replay {
     * (s06/s07) whole sink protocol. */
   private def sinkRun(s: SparkSession, df: DataFrame, base: String): DataFrame = {
     withReplayPartitions(s) {
-      val q = df.writeStream.format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ck")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      recordStateRows(q)
+      leasedQueryRun(s, base) {
+        df.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } { q =>
+        q.awaitTermination()
+        recordStateRows(q)
+      }
     }
     s.read.parquet(s"$base/out")
   }
@@ -308,14 +409,17 @@ object Replay {
       if (!flushRun) {
         // immediate-emission operators (inner stream-stream joins):
         // one AvailableNow pass emits everything
-        val q = pipe(unioned).writeStream
-          .format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", ckDir)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        recordStateRows(q)
+        leasedQueryRun(s, base) {
+          pipe(unioned).writeStream
+            .format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckDir)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        } { q =>
+          q.awaitTermination()
+          recordStateRows(q)
+        }
       } else {
         // watermark-gated operators need the second sentinel AFTER the
         // first batch's watermark commit. Until round 8 that was two
@@ -329,17 +433,20 @@ object Replay {
         // watermark history, half the engine starts. (A no-data batch
         // the engine may insert between the two only finalizes state
         // earlier — same output rows either way.)
-        val q = pipe(unioned).writeStream
-          .format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", ckDir)
-          .trigger(Trigger.ProcessingTime(0))
-          .start()
-        q.processAllAvailable()                    // data + sentinel 1
-        publishSentinel(200L * 24 * 3600 * 1000000)
-        q.processAllAvailable()                    // flush: finalize open state
-        recordStateRows(q)
-        q.stop()
+        leasedQueryRun(s, base) {
+          pipe(unioned).writeStream
+            .format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckDir)
+            .trigger(Trigger.ProcessingTime(0))
+            .start()
+        } { q =>
+          q.processAllAvailable()                  // data + sentinel 1
+          publishSentinel(200L * 24 * 3600 * 1000000)
+          q.processAllAvailable()                  // flush: finalize open state
+          recordStateRows(q)
+          q.stop()
+        }
       }
     }
     s.read.parquet(outDir)
@@ -966,11 +1073,17 @@ object Replay {
     * candidate keys are per REPRESENTATIVE, expansion happens at
     * read-back. */
   def s14(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+    // ISOLATED admission session (round 19): the whole drain — source,
+    // stream-static joins, stateful dedup, sink, report — is built on
+    // [[admissionSession]]'s child, so the RocksDB provider conf lives
+    // only there; queries on the parent session can never inherit it
+    // (Round19OpsSpec pins the isolation via checkpoint metadata).
+    val as = admissionSession(s)
+    import as.implicits._
     val mod = graft.ops.Dedup.IncrementalMod
     val rem = graft.ops.Dedup.IncrementalRem
-    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
-    val arrivals = s.readStream.schema(docSchema)
+    val docSchema = as.read.parquet(s"$d/documents.parquet").schema
+    val arrivals = as.readStream.schema(docSchema)
       .parquet(s"$d/[d]ocuments.parquet")
       .where(col("doc_id") % mod === rem)
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -979,7 +1092,7 @@ object Replay {
     // collapsed build its rows are representative-level and its
     // membership re-expands drained matches below (None, and identity,
     // on a normal corpus)
-    val corpusView = graft.ops.Dedup.admissionCorpusView(s, d)
+    val corpusView = graft.ops.Dedup.admissionCorpusView(as, d)
     val corpus = corpusView.rows
     val cand = newBands
       .select(col("i").as("ni"), col("band"), col("sig"),
@@ -1013,12 +1126,11 @@ object Replay {
     val pairs = graft.ops.Dedup.verifyCandidates(
       withTb.select(col("ni"), col("ci"), col("ta"), col("tb")))
     // admission tier = pair-volume state: disk-backed provider by
-    // default ([[admissionStateProvider]] — the shipped form of the
-    // round-17 x5 OOM finding)
-    val drained = withAdmissionStateProvider(s) {
-      sinkRun(s, pairs, runBase(s, "s14"))
-    }
-    s14Report(s, d, drained, corpusView.members)
+    // default, carried by the CHILD session's conf (set once at
+    // [[admissionSession]] creation — no session-wide set/restore
+    // window for another tier to inherit from)
+    val drained = sinkRun(as, pairs, runBase(as, "s14"))
+    s14Report(as, d, drained, corpusView.members)
   }
 
   /** s14's sink read-back → admission report, factored for the
@@ -1047,6 +1159,51 @@ object Replay {
         drained.select(col("ni"), col("ci"), col("jac")).distinct(), members))
   }
 
+  /** s15: STREAMING JSONL INGESTION — the interchange leg (p10) at the
+    * ingest tier, closing interchange × {batch, stream}: training
+    * corpora ARRIVE as JSON Lines drops (every open web-scrape release
+    * ships that way), and a production ingest tails the drop directory
+    * rather than waiting for a nightly batch load. The corpus is
+    * written to a per-run JSONL drop dir (distributed write — the
+    * "upstream publisher"), then TAILED by a real file stream with the
+    * DECLARED schema (schema inference on a stream is a full extra
+    * pass per listing at 100 TB — a production JSONL stream always
+    * declares) under ADMISSION CONTROL (`maxFilesPerTrigger` bounds
+    * every micro-batch, so a backlog of any size drains in bounded
+    * memory — the same restart-after-outage contract as s08's DSv2
+    * caps). The per-record projection (byte length + 48-bit md5
+    * residue) runs STATELESS inside the stream; the sink read-back
+    * aggregates p10's per-source content digest, and the oracle is the
+    * digest computed from the PARQUET table — the entry passes only if
+    * the streamed JSONL ingestion is LOSSLESS (escaping, unicode,
+    * null handling, numeric coercion all covered by the hash).
+    *
+    * Scale shape: stateless ⇒ no state store, no watermark, no flush
+    * pass; one distributed write + one bounded-batch distributed
+    * drain; the digest aggregate is map-side combined. The run dir
+    * lands under the swept replay root (lease-guarded while live). */
+  def s15(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Tables.big
+    val docs = graft.core.Tables.documents(s, d)
+    val base = runBase(s, "s15")
+    val dropDir = s"$base/drop"
+    docs.write.json(dropDir)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "8")
+      .json(dropDir)
+      .select(col("source"), col("doc_id"),
+        expr("octet_length(text)").cast(LongType).as("bytes"),
+        pmod(conv(substring(md5(col("text")), 1, 12), 16, 10)
+          .cast(LongType), lit(1000000L)).as("csum"))
+    val drained = sinkRun(s, stream, base)
+    drained.groupBy("source").agg(
+        big(count(lit(1))).as("n_docs"),
+        big(sum(pmod(col("doc_id"), lit(1000000L)))).as("id_sum"),
+        big(sum(col("bytes"))).as("bytes"),
+        big(sum(col("csum"))).as("content_sum"))
+      .orderBy("source")
+  }
+
   /** one AvailableNow drain pass of a tombstone feed directory into a
     * fixed sink/checkpoint — exposed for the Round15 spec's two-stage
     * mid-stream probe (drain half the feed, observe the half-deleted
@@ -1059,12 +1216,13 @@ object Replay {
     val schema = StructType(Seq(StructField("doc_id", LongType)))
     val feed = s.readStream.schema(schema).parquet(feedDir)
     withReplayPartitions(s) {
-      val q = feed.writeStream.format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ck")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      leasedQueryRun(s, base) {
+        feed.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } { q => q.awaitTermination() }
     }
     s.read.parquet(s"$base/out")
   }
@@ -1084,30 +1242,37 @@ object Replay {
   private[graft] def s14DedupDrain(s: SparkSession, feedDir: String,
                                    base: String): (DataFrame, Long) = {
     pinRun(base) // resumable across passes: exempt from run retention
+    // isolated provider conf, as in [[s14]]: the pass runs on a child
+    // session carrying the RocksDB conf; the parent is never touched
+    val as = admissionSession(s)
     val schema = StructType(Seq(
       StructField("ni", LongType), StructField("ci", LongType)))
-    val feed = s.readStream.schema(schema).parquet(feedDir)
+    val feed = as.readStream.schema(schema).parquet(feedDir)
       .withColumn("arrival_ts", current_timestamp())
       .transform(StreamDedup.dedupWithinWatermark(_, Seq("ni", "ci"),
         "arrival_ts", "10 seconds"))
       .drop("arrival_ts")
     var finalState = -1L
-    withAdmissionStateProvider(s) { withReplayPartitions(s) {
-      val q = feed.writeStream.format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ck")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      finalState = q.recentProgress.toSeq
-        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal)
-          .map(n => (p.batchId, n)))
-        .sortBy(_._1).lastOption.map(_._2).getOrElse(-1L)
-    } }
-    (s.read.parquet(s"$base/out"), finalState)
+    withReplayPartitions(as) {
+      leasedQueryRun(as, base) {
+        feed.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } { q =>
+        q.awaitTermination()
+        finalState = q.recentProgress.toSeq
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal)
+            .map(n => (p.batchId, n)))
+          .sortBy(_._1).lastOption.map(_._2).getOrElse(-1L)
+      }
+    }
+    (as.read.parquet(s"$base/out"), finalState)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_stream_jsonl_ingest" -> s15 _,
     "s14_stream_admission" -> s14 _,
     "s13_stream_index_tombstones" -> s13 _,
     "s12_stream_tombstone_feed" -> s12 _,
@@ -1128,6 +1293,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s15_stream_jsonl_ingest" -> graft.ops.Pipeline.p10Sql, // streamed JSONL digest == parquet digest
     "s14_stream_admission" -> graft.ops.Dedup.d16Sql, // ingest tier == nightly batch admission
     "s13_stream_index_tombstones" -> graft.ops.Ann.a16Sql, // post-drain == a16's batch serve
     "s12_stream_tombstone_feed" -> graft.ops.Dedup.d17Sql, // post-drain == batch deletion serve
