@@ -632,8 +632,14 @@ object Pipeline {
     val benchIds = graft.ops.Dedup.ContamBenchIds
     val shw = graft.ops.Dedup.ShingleWords
     val live = documents(s, d).where(!graft.ops.Dedup.d17TombstonePred)
-    // 2. clean + bench exclusion; 3. redact (arity-preserving)
+    // 2. clean + bench exclusion; 3. redact (arity-preserving).
+    // Pinned repartition BEFORE the CPU-dense split/redact/shingle work:
+    // the corpus file is a single row group, so without it the whole
+    // clean+redact pass (and the shingle explode above it) runs on ONE
+    // core (the d06 trap; measured 3x ~1.8 s single-task stages at
+    // sf0.01 — would be ~18 s each at sf0.1)
     val cleanRed = live
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .where(col("n_tok") >= 15 &&
