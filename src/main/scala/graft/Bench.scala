@@ -154,7 +154,7 @@ object Bench {
     * after the query loop); the reported value is the median, so a
     * consumer can normalize: regression ratio = (query / frozen_query)
     * ÷ (control / frozen_control). */
-  private def controlProbe(spark: SparkSession, sfDir: String): Double = {
+  private[graft] def controlProbe(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -177,7 +177,7 @@ object Bench {
     * the stdout line, run lists in the diag), so the adjudicator can
     * fit a 2-point ambient model (light = scheduler, heavy =
     * compute) instead of one scalar. */
-  private def controlProbe2(spark: SparkSession, sfDir: String): Double = {
+  private[graft] def controlProbe2(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
     val a = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -97,6 +97,15 @@ object SweepDup {
   private def time(spark: SparkSession, names: Seq[String]): Unit = {
     // warm-up (shared codegen/IO paths)
     spark.read.parquet(s"$Src/documents.parquet").count()
+    // BOTH frozen ambient probes (round 19: the state-rail protocol
+    // stamps the same light/heavy controls as the bench, so rail rows
+    // are control-normalizable against the round's freeze)
+    def stampControls(tag: String): Unit = {
+      val c = graft.Bench.controlProbe(spark, Src)
+      val c2 = graft.Bench.controlProbe2(spark, Src)
+      println(f"[sweep] control@$tag ${c}%.3f / control2 ${c2}%.3f")
+    }
+    stampControls("pre")
     val reps = sys.env.getOrElse("SWEEP_REPS", "3").toInt
     val dirs = sys.env.get("SWEEP_DIRS") match {
       case Some(ds) => ds.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -119,6 +128,7 @@ object SweepDup {
         diag(spark, n, dir)
       }
     }
+    stampControls("post")
   }
 
   /** Scale diagnostics for the ANN kernels — the candidate/pair volumes
