@@ -2374,6 +2374,23 @@ object Dedup {
     filteredView(liveBandView(s, d),
       keepWhere(_ % IncrementalMod =!= IncrementalRem))
 
+  /** (family kind, fingerprint) of every published artifact the
+    * admission corpus view serves from — the lineage identities p12
+    * declares for its admission consumption. Mirrors [[liveBandView]]'s
+    * decision exactly: the compacted live companion above the tombstone
+    * threshold; the default band table (plus its collapse membership,
+    * when one was published) below it. */
+  private[graft] def admissionArtifacts(s: SparkSession, d: String): Seq[(String, String)] =
+    if (aboveCompactThreshold(s, d))
+      Seq((sk("minhash-live", d), compactedBandFingerprint(s, d)))
+    else {
+      val fp = minhashFingerprint(s, d)
+      val members =
+        if (graft.core.Materialize.exists(s, sk("minhash-members", d), fp))
+          Seq((sk("minhash-members", d), fp)) else Nil
+      (sk("minhash", d), fp) +: members
+    }
+
   /** the admission kernel d16/d18 share, over an arbitrary (arrival
     * bands, corpus bands) split: directed banded candidate join with
     * the τ-derived size-ratio prune, exact merge-intersect Jaccard
@@ -2483,7 +2500,7 @@ object Dedup {
     * token-intersect Jaccard, τ-filtered pairs — the SQL twin of
     * [[admissionReportOver]], shared by d16 and both of d18's days so
     * the admission semantics exist as ONE text. */
-  private def admissionChainSql(np: String, cp: String): String =
+  private[graft] def admissionChainSql(np: String, cp: String): String =
     s"""${np}tok AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM ${np}docs),
       |${cp}tok AS (

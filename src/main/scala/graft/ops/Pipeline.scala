@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -622,73 +622,120 @@ object Pipeline {
     * SLIM rows (the redacted text collapses to its md5 BEFORE the
     * placement shuffle — the wide column never rides a window
     * exchange). No collect, no all-pairs term, no kernel re-runs. */
-  /** run dir of this JVM's most recent p11 build — the manifest lives
-    * at `<lastP11Base>/manifest` (spec hook; the gate reads the
-    * artifact back through the returned DataFrame). */
-  @volatile private[graft] var lastP11Base: String = ""
+  /** run dir of this JVM's most recent corpus build (p11 or p12) — the
+    * manifest lives at `<lastBuildBase>/manifest` (spec hook; the gate
+    * reads the artifact back through the returned DataFrame). */
+  @volatile private[graft] var lastBuildBase: String = ""
 
-  def p11(s: SparkSession, d: String): DataFrame = {
-    val dec = DecimalType(38, 0)
-    val benchIds = graft.ops.Dedup.ContamBenchIds
-    val shw = graft.ops.Dedup.ShingleWords
-    val live = documents(s, d).where(!graft.ops.Dedup.d17TombstonePred)
-    // 2. clean + bench exclusion; 3. redact (arity-preserving).
-    // Pinned repartition BEFORE the CPU-dense split/redact/shingle work:
-    // the corpus file is a single row group, so without it the whole
-    // clean+redact pass (and the shingle explode above it) runs on ONE
-    // core (the d06 trap; measured 3x ~1.8 s single-task stages at
-    // sf0.01 — would be ~18 s each at sf0.1)
-    val cleanRed = live
+  // ---- shared corpus-build stages (p11 full rebuild / p12 increment) —
+  // ONE definition per stage so the two build modes cannot drift
+
+  private def dec38 = DecimalType(38, 0)
+
+  private def liveDocs(s: SparkSession, d: String) =
+    documents(s, d).where(!graft.ops.Dedup.d17TombstonePred)
+
+  /** clean (p01's predicate + benchmark exclusion) + redact (t14's
+    * kernel, arity-preserving) over an arbitrary docs relation.
+    * Pinned repartition BEFORE the CPU-dense split/redact/shingle work:
+    * the corpus file is a single row group, so without it the whole
+    * clean+redact pass (and the shingle explode above it) runs on ONE
+    * core (the d06 trap; measured 3x ~1.8 s single-task stages at
+    * sf0.01 — would be ~18 s each at sf0.1). */
+  private def cleanRedacted(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .where(col("n_tok") >= 15 &&
         size(array_distinct(col("toks"))).cast(DoubleType) /
           col("n_tok").cast(DoubleType) >= 0.3 &&
-        col("doc_id") >= benchIds)
+        col("doc_id") >= graft.ops.Dedup.ContamBenchIds)
       .withColumn("red", graft.ops.TextAnalysis.redactTokens(col("toks")))
       .select(col("doc_id"), col("source"), col("n_tok"), col("red"))
+
+  private def shingleOfRed = expr(
+    s"transform(sequence(1, size(red) - ${graft.ops.Dedup.ShingleWords - 1}), " +
+      s"i -> concat_ws(' ', slice(red, i, ${graft.ops.Dedup.ShingleWords})))")
+
+  /** the benchmark's distinct REDACTED shingles (tiny — broadcast by
+    * the decon join). */
+  private def benchShingles(live: DataFrame): DataFrame =
+    live.where(col("doc_id") < graft.ops.Dedup.ContamBenchIds)
+      .withColumn("red", graft.ops.TextAnalysis.redactTokens(split(col("text"), " ")))
+      .where(size(col("red")) >= graft.ops.Dedup.ShingleWords)
+      .select(explode(array_distinct(shingleOfRed)).as("sh")).distinct()
+
+  /** decontamination (d06 semantics on redacted shingles, bench side
+    * broadcast) + collapse to the SLIM projection: the wide token
+    * array becomes its content hash HERE, so mixing joins and the
+    * placement windows shuffle slim rows only. */
+  private def deconAgainstBench(kept: DataFrame, benchSh: DataFrame): DataFrame = {
+    val keptSh = kept // n_tok >= 15 guarantees shingles exist
+      .select(col("doc_id"), explode(array_distinct(shingleOfRed)).as("sh"))
+    val contam = keptSh.join(broadcast(benchSh), "sh")
+      .select("doc_id").distinct()
+    kept.join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        md5(concat_ws(" ", col("red"))).as("redacted_md5"))
+  }
+
+  /** the per-doc mixing hash bucket ("mix:" salt, p06's) and the
+    * epoch-0 placement hash ("epoch0:" salt, p04's) — a doc's sampling
+    * fate and shuffle position are the same pure function of its id in
+    * every build mode (full rebuild, increment). */
+  private def mixHm = pmod(
+    conv(substring(md5(concat(lit("mix:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType), lit(1000000L))
+  private def epochH = conv(
+    substring(md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+    .cast(LongType)
+
+  /** p06's exact wide-integer keep predicate over bound (hm, n_src,
+    * src_tokens, all_tokens) columns. */
+  private def mixKeep: Column =
+    col("hm").cast(dec38) * lit(2L) * col("n_src") * col("src_tokens") <
+      col("all_tokens").cast(dec38) * lit(1000000L)
+
+  /** write the placement artifact + lineage manifest into a leased,
+    * swept run dir; returns the artifact read-back ordered. */
+  private def shipBuild(s: SparkSession, name: String, placed: DataFrame,
+                        manifest: Seq[(String, String, String, String)]): DataFrame = {
+    val base = graft.streaming.Replay.runBase(s, name)
+    lastBuildBase = base
+    placed.write.parquet(s"$base/train")
+    import s.implicits._
+    manifest.toDF("role", "family", "fingerprint", "path")
+      .coalesce(1).write.parquet(s"$base/manifest")
+    s.read.parquet(s"$base/train").orderBy("shard", "pos")
+  }
+
+  def p11(s: SparkSession, d: String): DataFrame = {
+    val live = liveDocs(s, d)
+    // 2. clean + bench exclusion; 3. redact
+    val cleanRed = cleanRedacted(s, live)
     // 4. keep-list consumption (published live labels; warm = one read)
     val keepers = graft.ops.Dedup.d13(s, d)
       .where(col("keep") === 1L).select("doc_id")
     val kept = cleanRed.join(keepers, "doc_id")
-    // 5. decontamination on redacted shingles, bench side broadcast
-    val shExpr = expr(s"transform(sequence(1, size(red) - ${shw - 1}), " +
-      s"i -> concat_ws(' ', slice(red, i, $shw)))")
-    val benchSh = live.where(col("doc_id") < benchIds)
-      .withColumn("red", graft.ops.TextAnalysis.redactTokens(split(col("text"), " ")))
-      .where(size(col("red")) >= shw)
-      .select(explode(array_distinct(shExpr)).as("sh")).distinct()
-    val keptSh = kept // n_tok >= 15 guarantees shingles exist
-      .select(col("doc_id"), explode(array_distinct(shExpr)).as("sh"))
-    val contam = keptSh.join(broadcast(benchSh), "sh")
-      .select("doc_id").distinct()
-    val decon = kept.join(contam, Seq("doc_id"), "left_anti")
-      // the wide token array collapses to its content hash HERE — the
-      // mixing join and both placement windows shuffle slim rows only
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        md5(concat_ws(" ", col("red"))).as("redacted_md5"))
-      // consumed twice (rate stats + the mixed row stream): persist the
-      // SLIM projection so the clean/keep/decontaminate chain runs once
-      // (the harness's cleanStorage releases it per entry)
+    // 5. decontamination on redacted shingles, bench side broadcast;
+    // persisted SLIM: consumed twice (rate stats + the mixed stream),
+    // so the clean/keep/decontaminate chain runs once (the harness's
+    // cleanStorage releases it per entry)
+    val decon = deconAgainstBench(kept, benchShingles(live))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 6. mixing rates from the post-dedup post-decon corpus (p06 math)
-    val withHm = decon.withColumn("hm",
-      pmod(conv(substring(md5(concat(lit("mix:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
-        .cast(LongType), lit(1000000L)))
     val stats = decon.groupBy("source").agg(sum(col("n_tok")).as("src_tokens"))
     val totals = stats.agg(sum(col("src_tokens")).as("all_tokens"),
       count(lit(1)).as("n_src"))
-    val mixed = withHm.join(broadcast(stats.crossJoin(broadcast(totals))), "source")
-      .where(col("hm").cast(dec) * lit(2L) * col("n_src") * col("src_tokens") <
-        col("all_tokens").cast(dec) * lit(1000000L))
+    val mixed = decon.withColumn("hm", mixHm)
+      .join(broadcast(stats.crossJoin(broadcast(totals))), "source")
+      .where(mixKeep)
       .select(col("doc_id"), col("source"), col("n_tok"), col("redacted_md5"))
     // 7. epoch shuffle + offset packing (p04/p05's pinned exchange)
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
     val placed = mixed
-      .withColumn("h",
-        conv(substring(md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
-          .cast(LongType))
+      .withColumn("h", epochH)
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast(LongType))
       .repartition(s.sparkContext.defaultParallelism, col("shard"))
       .withColumn("pos", row_number().over(w).cast(LongType))
@@ -698,20 +745,13 @@ object Pipeline {
         (col("start_off") / PackTokens).cast(LongType).as("bin"),
         (col("start_off") % PackTokens).as("bin_off"),
         col("doc_id"), col("source"), col("n_tok"), col("redacted_md5"))
-    // ship: artifact + lineage manifest under the swept replay root
-    val base = graft.streaming.Replay.runBase(s, "p11")
-    lastP11Base = base
-    placed.write.parquet(s"$base/train")
     val (labKind, labFp) = graft.ops.Dedup.liveLabelsArtifact(d)
-    val corpusFp = graft.core.Materialize.fingerprint(d, "documents", "input", "")
-    import s.implicits._
-    Seq(
+    shipBuild(s, "p11", placed, Seq(
       ("published", labKind, labFp,
         graft.core.Materialize.tablePath(s, labKind, labFp)),
-      ("input", "documents", corpusFp, s"$d/documents.parquet"))
-      .toDF("role", "family", "fingerprint", "path")
-      .coalesce(1).write.parquet(s"$base/manifest")
-    s.read.parquet(s"$base/train").orderBy("shard", "pos")
+      ("input", "documents",
+        graft.core.Materialize.fingerprint(d, "documents", "input", ""),
+        s"$d/documents.parquet")))
   }
 
   /** Oracle: the whole composed chain as one CTE pipeline from raw
@@ -776,7 +816,254 @@ object Pipeline {
       |FROM placed ORDER BY shard, pos""".stripMargin
   }
 
+  /** p12: the INCREMENTAL corpus build — p11's composition contract on
+    * the arrival axis: a production pipeline does not re-run the full
+    * rebuild for a day of arrivals; the increment is ADMITTED at the
+    * gate (d16's near-dup admission against the PUBLISHED band
+    * artifact — the incremental analog of p11's cluster keep-list;
+    * new docs have no cluster labels yet, by definition), cleaned,
+    * redacted and decontaminated by the SAME shared stages, sampled at
+    * the BASE build's mixing rates (rates are a property of the built
+    * corpus, not of the increment — re-deriving them per increment
+    * would churn every prior doc's sampling fate), and APPENDED to the
+    * base placement: per shard, positions continue from the base
+    * count and offsets from the base token total, so base ∪ increment
+    * is one contiguous training order.
+    *
+    * Base = the standing corpus (live minus the day-1 arrival census),
+    * built through clean → redact → decontaminate → mix and reduced to
+    * per-shard (docs, tokens) totals; the base's doc-level near-dup
+    * story is the ADMISSION GATE's job in this mode (the full-rebuild
+    * keep-list is p11's axis) — the two entries deliberately test the
+    * two composition axes a real pipeline alternates between. A doc's
+    * mixing bucket and placement hash are the same pure function of
+    * its id in both modes ([[mixHm]]/[[epochH]]), so an increment doc
+    * lands exactly where the next full rebuild would put it within its
+    * shard's appended region.
+    *
+    * Ships the increment artifact + a lineage manifest naming every
+    * published artifact consumed: the admission gate's band artifacts
+    * ([[graft.ops.Dedup.admissionArtifacts]] — the band table and, when
+    * they exist, its collapse membership / compacted companion), the
+    * two base-summary tables ([[p12BaseArtifacts]]), and the corpus
+    * input; oracle = the whole thing from raw text as one CTE
+    * chain —
+    * base stages (shared texts), d16's parameterized admission chain
+    * ([[graft.ops.Dedup.admissionChainSql]], the same SQL d16/d18
+    * instantiate), increment stages, and the offset-continued
+    * placement arithmetic.
+    *
+    * Scale shape: the base chain (clean/redact/decontaminate over the
+    * standing ~90%) is the dominant cost of a naive incremental build,
+    * so its two serving summaries — per-source mixing rates and
+    * per-shard placement totals — are PUBLISHED once per (corpus,
+    * census, code) fingerprint ([[p12BaseTables]]; one base-chain run
+    * feeds both on the cold path) and a warm increment is
+    * arrival-sized END TO END: admission is d16's audited
+    * artifact-serve shape (arrival-sized signing vs the published slim
+    * band table), the increment chain is arrival-sized throughout, and
+    * the base-totals join onto the increment placement is a
+    * ShuffleShards-row broadcast AFTER the window (the window's
+    * exchange is pinned, p04's discipline). */
+  def p12(s: SparkSession, d: String): DataFrame = {
+    val mod = graft.ops.Dedup.IncrementalMod
+    val rem = graft.ops.Dedup.IncrementalRem
+    val live = liveDocs(s, d)
+    // BASE: served from the published summaries (built once/fingerprint)
+    val (bratesT, bshard) = p12BaseTables(s, d)
+    val brates = broadcast(bratesT)
+    // INCREMENT: admission via the published band artifact (d16's own
+    // report — ONE definition), then the shared stages
+    val admitted = graft.ops.Dedup.d16(s, d)
+      .where(col("admit") === 1L)
+      .select(col("new_doc_id").as("doc_id"))
+    val arrivals = live.where(col("doc_id") % mod === rem)
+      .join(admitted, "doc_id")
+    val idecon = deconAgainstBench(cleanRedacted(s, arrivals), benchShingles(live))
+    // sampled at the BASE rates; an arrival from a source the base has
+    // never seen passes whole (no rate exists to throttle it)
+    val imix = idecon.withColumn("hm", mixHm)
+      .join(brates, Seq("source"), "left")
+      .where(col("src_tokens").isNull || mixKeep)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("redacted_md5"))
+    // placement APPEND: positions/offsets continue the base's per-shard
+    // totals (a ShuffleShards-row broadcast joined AFTER the pinned
+    // window exchange)
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    val placed = imix
+      .withColumn("h", epochH)
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast(LongType))
+      .repartition(s.sparkContext.defaultParallelism, col("shard"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .join(broadcast(bshard), Seq("shard"), "left")
+      .withColumn("pos", coalesce(col("base_docs"), lit(0L)) + col("rn"))
+      .withColumn("start_off",
+        coalesce(col("base_tokens"), lit(0L)) + col("cum") - col("n_tok"))
+      .select(col("shard"), col("pos"),
+        (col("start_off") / PackTokens).cast(LongType).as("bin"),
+        (col("start_off") % PackTokens).as("bin_off"),
+        col("doc_id"), col("source"), col("n_tok"), col("redacted_md5"))
+    val consumed = (graft.ops.Dedup.admissionArtifacts(s, d) ++
+      p12BaseArtifacts(s, d)).map { case (k, fp) =>
+      ("published", k, fp, graft.core.Materialize.tablePath(s, k, fp))
+    }
+    shipBuild(s, "p12", placed, consumed :+
+      (("input", "documents",
+        graft.core.Materialize.fingerprint(d, "documents", "input", ""),
+        s"$d/documents.parquet")))
+  }
+
+  /** code identity of the corpus-build stage definitions — any edit to
+    * the clean/redact/decontaminate/mix/placement kernels (or the
+    * shared TextAnalysis/Dedup code they call into) re-keys the
+    * published base summaries. */
+  private lazy val pipelineCodeSalt: String =
+    graft.core.Materialize.codeSalt(Pipeline.getClass,
+      graft.ops.TextAnalysis.getClass, graft.ops.Dedup.getClass)
+
+  /** fingerprint of the published BASE-build summaries: corpus
+    * identity × the census split × the placement sharding × code. */
+  private[graft] def p12BaseFingerprint(s: SparkSession, d: String): String =
+    graft.core.Materialize.fingerprint(d, "documents",
+      s"corpusbase-m${graft.ops.Dedup.IncrementalMod}" +
+        s"-a${graft.ops.Dedup.IncrementalRem}-sh$ShuffleShards",
+      pipelineCodeSalt)
+
+  /** (family kind, fingerprint) of the two base-summary artifacts —
+    * the lineage identities p12 declares for its rate/placement
+    * consumption: per-source mixing rates and per-shard totals. */
+  private[graft] def p12BaseArtifacts(s: SparkSession, d: String): Seq[(String, String)] = {
+    val fp = p12BaseFingerprint(s, d)
+    Seq((graft.core.Materialize.scopedKind("corpusbase-rates", d), fp),
+      (graft.core.Materialize.scopedKind("corpusbase-shards", d), fp))
+  }
+
+  /** serve (or cold-build) the base summaries — (per-source rates,
+    * per-shard totals). The cold path runs the base chain ONCE (the
+    * persisted slim decon projection feeds both publishes); every warm
+    * increment reads two slim published tables instead of re-running
+    * clean/redact/decontaminate over the standing corpus. */
+  private[graft] def p12BaseTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val M = graft.core.Materialize
+    val fp = p12BaseFingerprint(s, d)
+    val Seq((rk, _), (pk, _)) = p12BaseArtifacts(s, d)
+    if (!M.exists(s, rk, fp) || !M.exists(s, pk, fp)) {
+      val mod = graft.ops.Dedup.IncrementalMod
+      val rem = graft.ops.Dedup.IncrementalRem
+      val live = liveDocs(s, d)
+      val bdecon = deconAgainstBench(
+        cleanRedacted(s, live.where(col("doc_id") % mod =!= rem)),
+        benchShingles(live))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bstats = bdecon.groupBy("source").agg(sum(col("n_tok")).as("src_tokens"))
+      val btotals = bstats.agg(sum(col("src_tokens")).as("all_tokens"),
+        count(lit(1)).as("n_src"))
+      M.publish(s, rk, fp)(bstats.crossJoin(broadcast(btotals)))
+      val rates = broadcast(M.readTable(s, rk, fp))
+      M.publish(s, pk, fp)(
+        bdecon.withColumn("hm", mixHm)
+          .join(rates, "source").where(mixKeep)
+          .withColumn("shard", pmod(epochH, lit(ShuffleShards)).cast(LongType))
+          .groupBy("shard").agg(
+            count(lit(1)).as("base_docs"), sum(col("n_tok")).as("base_tokens")))
+      bdecon.unpersist(blocking = false)
+      // retention: one serving generation per corpus+census+code
+      M.sweepKeep(s, rk, Set(fp))
+      M.sweepKeep(s, pk, Set(fp))
+    }
+    (M.readTable(s, rk, fp), M.readTable(s, pk, fp))
+  }
+
+  /** per-shard (docs, tokens) totals of p12's BASE build — the
+    * published summary table, exposed so the continuity spec can
+    * assert the increment's positions start exactly one past a base
+    * count the increment itself never recomputed. */
+  private[graft] def p12BaseShardTotals(s: SparkSession, d: String): DataFrame =
+    p12BaseTables(s, d)._2
+
+  /** Oracle: base chain + d16's admission chain + increment chain +
+    * offset-continued placement, all from raw text. */
+  val p12Sql: String = {
+    val mod = graft.ops.Dedup.IncrementalMod
+    val rem = graft.ops.Dedup.IncrementalRem
+    val benchIds = graft.ops.Dedup.ContamBenchIds
+    val shw = graft.ops.Dedup.ShingleWords
+    val shingleList =
+      s"list_transform(generate_series(1, len(red) - ${shw - 1}), " +
+        s"i -> array_to_string(list_slice(red, i, i + ${shw - 1}), ' '))"
+    def stage(p: String, docsRel: String): String =
+      s"""${p}clean AS (
+        |  SELECT r.doc_id, r.source, r.red, r.n_tok
+        |  FROM red r JOIN $docsRel dd ON dd.doc_id = r.doc_id
+        |  WHERE r.n_tok >= 15 AND r.uniq_ratio >= 0.3 AND r.doc_id >= $benchIds),
+        |${p}ksh AS (
+        |  SELECT doc_id, unnest(list_distinct($shingleList)) AS sh FROM ${p}clean),
+        |${p}contam AS (SELECT DISTINCT k.doc_id FROM ${p}ksh k JOIN bsh b ON k.sh = b.sh),
+        |${p}decon AS (
+        |  SELECT doc_id, source, n_tok, md5(array_to_string(red, ' ')) AS redacted_md5
+        |  FROM ${p}clean WHERE doc_id NOT IN (SELECT doc_id FROM ${p}contam))""".stripMargin
+    s"""WITH ${graft.ops.Dedup.LiveDocsCte},
+      |red AS (
+      |  SELECT doc_id, source,
+      |    ${graft.ops.TextAnalysis.redactListSql("text")} AS red,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio
+      |  FROM livedocs),
+      |bsh AS (
+      |  SELECT DISTINCT unnest(list_distinct($shingleList)) AS sh
+      |  FROM red WHERE doc_id < $benchIds AND len(red) >= $shw),
+      |sdocs AS (SELECT * FROM livedocs WHERE doc_id % $mod <> $rem),
+      |${stage("b", "sdocs")},
+      |bstats AS (
+      |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens FROM bdecon GROUP BY source),
+      |btotals AS (
+      |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_src FROM bstats),
+      |bshard AS (
+      |  SELECT CAST(('0x' || substring(md5('epoch0:' || CAST(dd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % $ShuffleShards AS shard,
+      |    CAST(COUNT(*) AS BIGINT) AS base_docs,
+      |    CAST(SUM(dd.n_tok) AS BIGINT) AS base_tokens
+      |  FROM bdecon dd JOIN bstats st ON st.source = dd.source, btotals t
+      |  WHERE CAST(CAST(('0x' || substring(md5('mix:' || CAST(dd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |          % 1000000 AS HUGEINT) * 2 * t.n_src * st.src_tokens
+      |        < CAST(1000000 AS HUGEINT) * t.all_tokens
+      |  GROUP BY 1),
+      |ndocs AS (SELECT doc_id, text FROM livedocs WHERE doc_id % $mod = $rem),
+      |cdocs AS (SELECT doc_id, text FROM sdocs),
+      |${graft.ops.Dedup.admissionChainSql("n", "c")},
+      |admdocs AS (
+      |  SELECT doc_id FROM ndocs
+      |  WHERE doc_id NOT IN (SELECT ni FROM npairs)),
+      |${stage("i", "admdocs")},
+      |imix AS (
+      |  SELECT dd.doc_id, dd.source, dd.n_tok, dd.redacted_md5,
+      |    CAST(('0x' || substring(md5('epoch0:' || CAST(dd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM idecon dd LEFT JOIN bstats st ON st.source = dd.source, btotals t
+      |  WHERE st.src_tokens IS NULL
+      |     OR CAST(CAST(('0x' || substring(md5('mix:' || CAST(dd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |          % 1000000 AS HUGEINT) * 2 * t.n_src * st.src_tokens
+      |        < CAST(1000000 AS HUGEINT) * t.all_tokens),
+      |iplace AS (
+      |  SELECT doc_id, source, n_tok, redacted_md5, h % $ShuffleShards AS shard,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY h % $ShuffleShards
+      |      ORDER BY h, doc_id) AS BIGINT) AS rn,
+      |    COALESCE(SUM(n_tok) OVER (PARTITION BY h % $ShuffleShards ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cum
+      |  FROM imix)
+      |SELECT CAST(ip.shard AS BIGINT) AS shard,
+      |  COALESCE(bs.base_docs, 0) + ip.rn AS pos,
+      |  CAST((COALESCE(bs.base_tokens, 0) + ip.cum - ip.n_tok) // $PackTokens AS BIGINT) AS bin,
+      |  CAST((COALESCE(bs.base_tokens, 0) + ip.cum - ip.n_tok) % $PackTokens AS BIGINT) AS bin_off,
+      |  ip.doc_id, ip.source, ip.n_tok, ip.redacted_md5
+      |FROM iplace ip LEFT JOIN bshard bs ON bs.shard = ip.shard
+      |ORDER BY shard, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_incremental_build" -> p12 _,
     "p11_corpus_build" -> p11 _,
     "p10_jsonl_roundtrip" -> p10 _,
     "p09_dedup_adjusted_mix" -> p09 _,
@@ -789,6 +1076,7 @@ object Pipeline {
     "p05_sequence_pack" -> p05 _,
     "p06_source_mix" -> p06 _)
   val oracle: Map[String, String] = Map(
+    "p12_incremental_build" -> p12Sql,
     "p11_corpus_build" -> p11Sql,
     "p10_jsonl_roundtrip" -> p10Sql,
     "p09_dedup_adjusted_mix" -> p09Sql,

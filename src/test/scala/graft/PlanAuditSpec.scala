@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a06_ivfpq_adc" -> "vector x constant-size broadcast codebooks/ADC tables",
     "p06_source_mix" -> "crossJoin vs broadcast 1-row totals aggregate (rate derivation)",
     "p11_corpus_build" -> "p06's crossJoin vs broadcast 1-row post-decontamination totals aggregate (every other join in the composed chain is hash)",
+    "p12_incremental_build" -> "p06's crossJoin inside the COLD base-summary publish (rate derivation, once per fingerprint); the warm increment reads the published summaries — admission + placement joins are hash/broadcast",
     "p09_dedup_adjusted_mix" -> "p06's crossJoin vs broadcast 1-row post-dedup totals aggregate (the keeper joins themselves are hash)",
     "t08_tfidf_terms" -> "crossJoin vs broadcast 1-row distinct-source count (the N of tf*N/df)",
     "a07_kmeans" -> "vector x broadcast <=8-row centroid model (the Lloyd assignment product)",

@@ -74,7 +74,7 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // appear in the manifest with its exact fingerprint
     val reads = M.readsSince(mark).filter(_._1.endsWith("-" + tag))
     assert(reads.nonEmpty, "the keep-list consumption must be ledger-visible")
-    val manifest = spark.read.parquet(s"${P.lastP11Base}/manifest").collect()
+    val manifest = spark.read.parquet(s"${P.lastBuildBase}/manifest").collect()
       .map(r => (r.getAs[String]("family"), r.getAs[String]("fingerprint"))).toSet
     val missing = reads.filterNot(manifest.contains)
     assert(missing.isEmpty,
@@ -82,7 +82,7 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(manifest.contains((labKind, labFp)),
       "the manifest must name the live-label artifact the keep-list serves from")
     // the raw-input row carries the corpus identity fingerprint
-    val inputRows = spark.read.parquet(s"${P.lastP11Base}/manifest")
+    val inputRows = spark.read.parquet(s"${P.lastBuildBase}/manifest")
       .where(col("role") === "input").collect()
     assert(inputRows.length === 1 &&
       inputRows(0).getAs[String]("fingerprint") ===
@@ -101,7 +101,69 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     // allocated through the swept replay root
-    assert(P.lastP11Base.startsWith("/tmp/graft_replay/p11-"))
+    assert(P.lastBuildBase.startsWith("/tmp/graft_replay/p11-"))
+  }
+
+  // ---- p12: the incremental build — placement continuity, manifest
+  // completeness, warm frugality, arrival discipline
+
+  test("p12: increment placement continues the base per-shard totals " +
+    "exactly, a warm build publishes nothing, and the manifest names " +
+    "every admission artifact the ledger saw read") {
+    val M = graft.core.Materialize
+    val P = graft.ops.Pipeline
+    val sf = "/root/testdata/sf0.001"
+    // warm the admission + base-summary lines (cold runs publish the
+    // band artifacts and the two base tables)
+    graft.ops.Dedup.d16(spark, sf).count()
+    P.p12BaseShardTotals(spark, sf).count()
+
+    val arts = graft.ops.Dedup.admissionArtifacts(spark, sf) ++
+      P.p12BaseArtifacts(spark, sf)
+    val tag = arts.head._1.substring(arts.head._1.lastIndexOf('-') + 1)
+    val mark = M.readMarker
+    val pubBefore = M.publishCount
+    val rows = P.p12(spark, sf).collect()
+    assert(rows.nonEmpty, "the incremental build must admit documents")
+    assert(M.publishCount === pubBefore,
+      "a warm p12 must be publish-free: reads of published artifacts only")
+
+    // ledger (independent instrument) vs manifest (the self-declaration)
+    val reads = M.readsSince(mark).filter(_._1.endsWith("-" + tag))
+    assert(reads.nonEmpty, "the admission consumption must be ledger-visible")
+    val manifest = spark.read.parquet(s"${P.lastBuildBase}/manifest").collect()
+      .map(r => (r.getAs[String]("family"), r.getAs[String]("fingerprint"))).toSet
+    val missing = reads.filterNot(manifest.contains)
+    assert(missing.isEmpty,
+      s"manifest incomplete — ledger-read artifacts absent: $missing")
+    arts.foreach(a => assert(manifest.contains(a),
+      s"the manifest must name the consumed artifact $a"))
+    assert(P.lastBuildBase.startsWith("/tmp/graft_replay/p12-"))
+
+    // placement continuity: within each shard, positions start ONE past
+    // the published base count (the increment never recomputes the base
+    // chain), stay dense, and offsets continue the base token total
+    val base = P.p12BaseShardTotals(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("base_docs"), r.getAs[Long]("base_tokens")))).toMap
+    assert(base.nonEmpty, "the base build must place documents")
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      val (bd, bt) = base.getOrElse(sh, (0L, 0L))
+      val sorted = rs.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq ===
+        ((bd + 1) to (bd + sorted.size)).toSeq,
+        s"shard $sh: increment positions must continue the base count $bd")
+      var off = bt
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("bin") === off / P.PackTokens)
+        assert(r.getAs[Long]("bin_off") === off % P.PackTokens)
+        off += r.getAs[Long]("n_tok")
+      }
+    }
+    // the increment ships arrivals only (the base axis is p11's)
+    rows.foreach(r => assert(
+      r.getAs[Long]("doc_id") % graft.ops.Dedup.IncrementalMod ===
+        graft.ops.Dedup.IncrementalRem))
   }
 
   // ---- order 2: t16 planted multi-script fixture
