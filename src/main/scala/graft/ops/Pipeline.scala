@@ -846,12 +846,19 @@ object Pipeline {
     * ([[graft.ops.Dedup.admissionArtifacts]] — the band table and, when
     * they exist, its collapse membership / compacted companion), the
     * two base-summary tables ([[p12BaseArtifacts]]), and the corpus
-    * input; oracle = the whole thing from raw text as one CTE
-    * chain —
+    * input. The RETURNED relation is the per-source build report
+    * (n_arrivals / n_admitted / n_placed / tokens_placed / pos_sum /
+    * bin_sum) rather than the placed rows: on a near-dup-saturated
+    * corpus the admission gate truthfully rejects almost every arrival,
+    * so the placed set can be legitimately empty and a row-level gate
+    * would compare 0==0 vacuously — the report stays populated at any
+    * scale and its pos_sum/bin_sum pin the offset-continued placement
+    * arithmetic exactly. Oracle = the whole thing from raw text as one
+    * CTE chain —
     * base stages (shared texts), d16's parameterized admission chain
     * ([[graft.ops.Dedup.admissionChainSql]], the same SQL d16/d18
-    * instantiate), increment stages, and the offset-continued
-    * placement arithmetic.
+    * instantiate), increment stages, the offset-continued placement
+    * arithmetic, and the same per-source rollup.
     *
     * Scale shape: the base chain (clean/redact/decontaminate over the
     * standing ~90%) is the dominant cost of a naive incremental build,
@@ -908,10 +915,35 @@ object Pipeline {
       p12BaseArtifacts(s, d)).map { case (k, fp) =>
       ("published", k, fp, graft.core.Materialize.tablePath(s, k, fp))
     }
-    shipBuild(s, "p12", placed, consumed :+
+    val artifact = shipBuild(s, "p12", placed, consumed :+
       (("input", "documents",
         graft.core.Materialize.fingerprint(d, "documents", "input", ""),
         s"$d/documents.parquet")))
+    // GATE OUTPUT: the per-source BUILD REPORT, not the placed rows —
+    // on a near-dup-saturated corpus (this testdata: hundreds of τ≥1/2
+    // neighbors per doc) the admission gate truthfully rejects almost
+    // every arrival (the next full rebuild would not keep them either:
+    // their clusters already have standing canonicals), so the placed
+    // row set can be legitimately EMPTY and a row-level gate would
+    // vacuously compare 0==0. The report makes the admission outcome
+    // and the placement arithmetic visible at any scale: pos_sum /
+    // bin_sum pin the offset-continued append exactly (any position or
+    // bin divergence breaks the sums), and the placed artifact itself
+    // is spec-checked row-by-row via [[lastBuildBase]].
+    val arrivalCensus = live.where(col("doc_id") % mod === rem)
+      .groupBy("source").agg(big(count(lit(1))).as("n_arrivals"))
+    val admittedBySrc = arrivals.groupBy("source")
+      .agg(big(count(lit(1))).as("n_admitted"))
+    val placedBySrc = artifact.groupBy("source").agg(
+      big(count(lit(1))).as("n_placed"),
+      big(sum(col("n_tok"))).as("tokens_placed"),
+      big(sum(col("pos"))).as("pos_sum"),
+      big(sum(col("bin"))).as("bin_sum"))
+    arrivalCensus
+      .join(admittedBySrc, Seq("source"), "left")
+      .join(placedBySrc, Seq("source"), "left")
+      .na.fill(0L, Seq("n_admitted", "n_placed", "tokens_placed", "pos_sum", "bin_sum"))
+      .orderBy("source")
   }
 
   /** code identity of the corpus-build stage definitions — any edit to
@@ -1052,14 +1084,33 @@ object Pipeline {
       |      ORDER BY h, doc_id) AS BIGINT) AS rn,
       |    COALESCE(SUM(n_tok) OVER (PARTITION BY h % $ShuffleShards ORDER BY h, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cum
-      |  FROM imix)
-      |SELECT CAST(ip.shard AS BIGINT) AS shard,
-      |  COALESCE(bs.base_docs, 0) + ip.rn AS pos,
-      |  CAST((COALESCE(bs.base_tokens, 0) + ip.cum - ip.n_tok) // $PackTokens AS BIGINT) AS bin,
-      |  CAST((COALESCE(bs.base_tokens, 0) + ip.cum - ip.n_tok) % $PackTokens AS BIGINT) AS bin_off,
-      |  ip.doc_id, ip.source, ip.n_tok, ip.redacted_md5
-      |FROM iplace ip LEFT JOIN bshard bs ON bs.shard = ip.shard
-      |ORDER BY shard, pos""".stripMargin
+      |  FROM imix),
+      |placedrows AS (
+      |  SELECT ip.source, ip.n_tok,
+      |    COALESCE(bs.base_docs, 0) + ip.rn AS pos,
+      |    CAST((COALESCE(bs.base_tokens, 0) + ip.cum - ip.n_tok) // $PackTokens AS BIGINT) AS bin
+      |  FROM iplace ip LEFT JOIN bshard bs ON bs.shard = ip.shard),
+      |arrsrc AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_arrivals
+      |  FROM livedocs WHERE doc_id % $mod = $rem GROUP BY source),
+      |admsrc AS (
+      |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_admitted
+      |  FROM admdocs a JOIN livedocs d ON d.doc_id = a.doc_id GROUP BY 1),
+      |plsrc AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_placed,
+      |    CAST(SUM(n_tok) AS BIGINT) AS tokens_placed,
+      |    CAST(SUM(pos) AS BIGINT) AS pos_sum,
+      |    CAST(SUM(bin) AS BIGINT) AS bin_sum
+      |  FROM placedrows GROUP BY source)
+      |SELECT a.source, a.n_arrivals,
+      |  COALESCE(m.n_admitted, 0) AS n_admitted,
+      |  COALESCE(p.n_placed, 0) AS n_placed,
+      |  COALESCE(p.tokens_placed, 0) AS tokens_placed,
+      |  COALESCE(p.pos_sum, 0) AS pos_sum,
+      |  COALESCE(p.bin_sum, 0) AS bin_sum
+      |FROM arrsrc a LEFT JOIN admsrc m ON m.source = a.source
+      |  LEFT JOIN plsrc p ON p.source = a.source
+      |ORDER BY a.source""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

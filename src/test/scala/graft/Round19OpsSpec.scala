@@ -123,10 +123,28 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tag = arts.head._1.substring(arts.head._1.lastIndexOf('-') + 1)
     val mark = M.readMarker
     val pubBefore = M.publishCount
-    val rows = P.p12(spark, sf).collect()
-    assert(rows.nonEmpty, "the incremental build must admit documents")
+    val report = P.p12(spark, sf).collect()
+    assert(report.nonEmpty, "the build report must cover the arrival sources")
+    assert(report.map(_.getAs[Long]("n_admitted")).sum > 0,
+      "the sf0.001 corpus must admit at least one arrival")
     assert(M.publishCount === pubBefore,
       "a warm p12 must be publish-free: reads of published artifacts only")
+    // the placed artifact (the report is the gate face; the artifact is
+    // the product — row-level checks run against it directly)
+    val rows = spark.read.parquet(s"${P.lastBuildBase}/train").collect()
+    assert(rows.nonEmpty, "the incremental build must place documents")
+    // report ↔ artifact consistency: the rollup sums are the artifact's
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    report.filter(_.getAs[Long]("n_placed") > 0).foreach { r =>
+      val rs = bySrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_placed") === rs.length.toLong)
+      assert(r.getAs[Long]("tokens_placed") === rs.map(_.getAs[Long]("n_tok")).sum)
+      assert(r.getAs[Long]("pos_sum") === rs.map(_.getAs[Long]("pos")).sum)
+      assert(r.getAs[Long]("bin_sum") === rs.map(_.getAs[Long]("bin")).sum)
+    }
+    assert(bySrc.keySet ===
+      report.filter(_.getAs[Long]("n_placed") > 0)
+        .map(_.getAs[String]("source")).toSet)
 
     // ledger (independent instrument) vs manifest (the self-declaration)
     val reads = M.readsSince(mark).filter(_._1.endsWith("-" + tag))
