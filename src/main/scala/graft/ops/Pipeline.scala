@@ -697,13 +697,16 @@ object Pipeline {
     col("hm").cast(dec38) * lit(2L) * col("n_src") * col("src_tokens") <
       col("all_tokens").cast(dec38) * lit(1000000L)
 
-  /** write the placement artifact + lineage manifest into a leased,
-    * swept run dir; returns the artifact read-back ordered. */
+  /** write the placement artifact + lineage manifest (+ any extra
+    * build components, e.g. p12's admitted-arrival census) into a
+    * leased, swept run dir; returns the artifact read-back ordered. */
   private def shipBuild(s: SparkSession, name: String, placed: DataFrame,
-                        manifest: Seq[(String, String, String, String)]): DataFrame = {
+                        manifest: Seq[(String, String, String, String)],
+                        extras: Seq[(String, DataFrame)] = Nil): DataFrame = {
     val base = graft.streaming.Replay.runBase(s, name)
     lastBuildBase = base
     placed.write.parquet(s"$base/train")
+    extras.foreach { case (sub, df) => df.write.parquet(s"$base/$sub") }
     import s.implicits._
     manifest.toDF("role", "family", "fingerprint", "path")
       .coalesce(1).write.parquet(s"$base/manifest")
@@ -918,7 +921,13 @@ object Pipeline {
     val artifact = shipBuild(s, "p12", placed, consumed :+
       (("input", "documents",
         graft.core.Materialize.fingerprint(d, "documents", "input", ""),
-        s"$d/documents.parquet")))
+        s"$d/documents.parquet")),
+      // the admitted-arrival census ships beside the placement — the
+      // audit trail a production increment wants anyway, and it lets
+      // the report below stay fully declarative (reading it back
+      // instead of re-embedding d16's typed verify kernel in the
+      // returned plan)
+      extras = Seq(("admitted", arrivals.select("doc_id", "source"))))
     // GATE OUTPUT: the per-source BUILD REPORT, not the placed rows —
     // on a near-dup-saturated corpus (this testdata: hundreds of τ≥1/2
     // neighbors per doc) the admission gate truthfully rejects almost
@@ -932,8 +941,8 @@ object Pipeline {
     // is spec-checked row-by-row via [[lastBuildBase]].
     val arrivalCensus = live.where(col("doc_id") % mod === rem)
       .groupBy("source").agg(big(count(lit(1))).as("n_arrivals"))
-    val admittedBySrc = arrivals.groupBy("source")
-      .agg(big(count(lit(1))).as("n_admitted"))
+    val admittedBySrc = s.read.parquet(s"$lastBuildBase/admitted")
+      .groupBy("source").agg(big(count(lit(1))).as("n_admitted"))
     val placedBySrc = artifact.groupBy("source").agg(
       big(count(lit(1))).as("n_placed"),
       big(sum(col("n_tok"))).as("tokens_placed"),
