@@ -184,6 +184,103 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.ops.Dedup.IncrementalRem))
   }
 
+  // ---- p12 on a PLANTED NOVEL-ARRIVAL corpus: the positive-admission
+  // case the near-dup-saturated gate corpora cannot show (every doc
+  // there has hundreds of τ≥1/2 neighbors, so admission truthfully
+  // rejects ~all arrivals and only ~1 doc places at sf0.001). Here the
+  // whole build — base summaries, admission, decontamination, mixing,
+  // multi-shard offset-continued placement — is re-derived in PLAIN
+  // SCALA (java MessageDigest md5, integer arithmetic) and compared
+  // row-for-row against the shipped artifact.
+
+  test("p12 planted corpus: novel arrivals all admit, a contaminated " +
+    "arrival is decontaminated, and the multi-shard placement matches " +
+    "an independent plain-Scala re-derivation row for row") {
+    val P = graft.ops.Pipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-r19-p12nov").toString
+    import spark.implicits._
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def hm(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"mix:$id").substring(0, 15), 16) % 1000000L
+    def eh(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"epoch0:$id").substring(0, 15), 16)
+    val benchText = (0 until 10).map(j => s"bench$j").mkString(" ")
+    val contamId = 107L
+    def srcOf(id: Long) = s"s${id % 2}"
+    def docText(pfx: String, id: Long) =
+      (0 until 20).map(j => s"$pfx${id}t$j").mkString(" ")
+    val docs =
+      Seq((1L, benchText, "s1"), (2L, benchText + " benchx", "s0")) ++
+      (100L until 600L).map { id =>
+        val text =
+          if (id == contamId)
+            (0 until 17).map(j => s"a${id}t$j").mkString(" ") +
+              " bench0 bench1 bench2" // one planted benchmark shingle
+          else if (id % 10 == graft.ops.Dedup.IncrementalRem) docText("a", id)
+          else docText("b", id)
+        (id, text, srcOf(id))
+      }
+    docs.toDF("doc_id", "text", "source")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent re-derivation (no Spark, no shared kernel code)
+    val live = (100L until 600L)
+      .filterNot(_ % 10 == 3) // the tombstone census
+    val arrivals = live.filter(_ % 10 == graft.ops.Dedup.IncrementalRem)
+    val baseIds = live.filterNot(arrivals.contains)
+    val srcTok = baseIds.groupBy(srcOf).view.mapValues(_.size * 20L).toMap
+    val allTok = srcTok.values.sum
+    def mixKeep(id: Long): Boolean =
+      BigInt(hm(id)) * 2 * srcTok.size * srcTok(srcOf(id)) <
+        BigInt(allTok) * 1000000L
+    val basePlaced = baseIds.filter(mixKeep)
+    val baseByShard = basePlaced.groupBy(id => eh(id) % P.ShuffleShards)
+      .view.mapValues(ids => (ids.size.toLong, ids.size * 20L)).toMap
+    val incPlaced = arrivals.filterNot(_ == contamId).filter(mixKeep)
+    assert(incPlaced.size >= 5, s"planted geometry must place a multi-" +
+      s"row increment (got ${incPlaced.size}) — retune the corpus")
+    assert(baseByShard.size >= 4, "the base must populate several shards")
+    case class Row(shard: Long, pos: Long, bin: Long, binOff: Long, id: Long)
+    val expected = incPlaced.groupBy(id => eh(id) % P.ShuffleShards)
+      .flatMap { case (sh, ids) =>
+        val (bd, bt) = baseByShard.getOrElse(sh, (0L, 0L))
+        ids.sortBy(id => (eh(id), id)).zipWithIndex.map { case (id, k) =>
+          val start = bt + 20L * k
+          Row(sh, bd + k + 1, start / P.PackTokens, start % P.PackTokens, id)
+        }
+      }.toSet
+
+    val report = P.p12(spark, dir).collect()
+    // every novel arrival admits — the positive-admission case
+    assert(report.map(_.getAs[Long]("n_arrivals")).sum === arrivals.size.toLong)
+    assert(report.map(_.getAs[Long]("n_admitted")).sum === arrivals.size.toLong,
+      "novel arrivals (no τ≥1/2 neighbor anywhere) must ALL admit")
+    // the shipped base summaries equal the independent derivation
+    val pubBase = P.p12BaseShardTotals(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("base_docs"), r.getAs[Long]("base_tokens")))).toMap
+    assert(pubBase === baseByShard,
+      "published per-shard base totals must match the plain-Scala rebuild")
+    // the placed artifact equals the prediction row for row
+    val got = spark.read.parquet(s"${P.lastBuildBase}/train").collect()
+      .map(r => Row(r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("bin"), r.getAs[Long]("bin_off"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(got === expected,
+      "the shipped increment placement must match the independent " +
+        "re-derivation (admission + decontamination + mixing + " +
+        "offset-continued append)")
+    assert(!got.exists(_.id == contamId),
+      "the benchmark-shingled arrival must be decontaminated")
+    // report sums are the artifact's
+    val repPlaced = report.map(_.getAs[Long]("n_placed")).sum
+    assert(repPlaced === expected.size.toLong)
+    assert(report.map(_.getAs[Long]("pos_sum")).sum ===
+      expected.toSeq.map(_.pos).sum)
+  }
+
   // ---- order 2: t16 planted multi-script fixture
 
   test("t16: planted multi-script corpus classifies exactly (ranges, " +
