@@ -875,18 +875,29 @@ object Pipeline {
     * the base-totals join onto the increment placement is a
     * ShuffleShards-row broadcast AFTER the window (the window's
     * exchange is pinned, p04's discipline). */
-  def p12(s: SparkSession, d: String): DataFrame = {
+  def p12(s: SparkSession, d: String): DataFrame =
+    // admission via the published band artifact (d16's own report —
+    // ONE definition); the streaming counterpart (Replay.s16) feeds
+    // the SAME build the ingest tier's drained admission outcome
+    p12Over(s, d,
+      graft.ops.Dedup.d16(s, d)
+        .where(col("admit") === 1L)
+        .select(col("new_doc_id").as("doc_id")),
+      "p12")
+
+  /** the incremental build over an arbitrary admitted-arrival id
+    * relation — ONE definition for the nightly batch entry (p12,
+    * admitted = d16's report) and the streaming-ingest composition
+    * (s16, admitted = s14's drained report), so the two admission
+    * tiers feed bit-identical builds. */
+  private[graft] def p12Over(s: SparkSession, d: String,
+                             admitted: DataFrame, name: String): DataFrame = {
     val mod = graft.ops.Dedup.IncrementalMod
     val rem = graft.ops.Dedup.IncrementalRem
     val live = liveDocs(s, d)
     // BASE: served from the published summaries (built once/fingerprint)
     val (bratesT, bshard) = p12BaseTables(s, d)
     val brates = broadcast(bratesT)
-    // INCREMENT: admission via the published band artifact (d16's own
-    // report — ONE definition), then the shared stages
-    val admitted = graft.ops.Dedup.d16(s, d)
-      .where(col("admit") === 1L)
-      .select(col("new_doc_id").as("doc_id"))
     val arrivals = live.where(col("doc_id") % mod === rem)
       .join(admitted, "doc_id")
     val idecon = deconAgainstBench(cleanRedacted(s, arrivals), benchShingles(live))
@@ -918,7 +929,7 @@ object Pipeline {
       p12BaseArtifacts(s, d)).map { case (k, fp) =>
       ("published", k, fp, graft.core.Materialize.tablePath(s, k, fp))
     }
-    val artifact = shipBuild(s, "p12", placed, consumed :+
+    val artifact = shipBuild(s, name, placed, consumed :+
       (("input", "documents",
         graft.core.Materialize.fingerprint(d, "documents", "input", ""),
         s"$d/documents.parquet")),

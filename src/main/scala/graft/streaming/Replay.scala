@@ -1271,7 +1271,43 @@ object Replay {
     (as.read.parquet(s"$base/out"), finalState)
   }
 
+  /** s16: the STREAMING CORPUS INCREMENT — p12's composition contract
+    * at the INGEST tier, closing the corpus build's {batch, stream}
+    * admission matrix: a continuous pipeline does not wait for the
+    * nightly d16 batch — the day's arrivals are graded IN-STREAM
+    * ([[s14]]'s drain verbatim: arrival-side signing, stream-static
+    * banded join against the published live band view,
+    * watermark-bounded pair-key dedup under the RocksDB-backed child
+    * session, stateless exact verify) and the drained admission
+    * outcome feeds the SAME shared increment build
+    * ([[graft.ops.Pipeline.p12Over]] — one definition, so the two
+    * admission tiers produce bit-identical builds by construction).
+    * The drained admitted-id set is materialized through a run-dir
+    * parquet before the build consumes it: s14's report lives on the
+    * admission CHILD session and a cross-session join is undefined
+    * behavior (round-19 invariant) — the disk round-trip IS the
+    * session boundary, and it is the audit artifact a production
+    * handoff between the ingest tier and the build tier ships anyway.
+    * Oracle = p12Sql VERBATIM: the streaming admission is bit-for-bit
+    * the nightly batch answer (s14's own gate), so the composed build
+    * must be too.
+    *
+    * Scale shape: s14's (arrival-sized stream payload,
+    * published-artifact static side, watermark-bounded pair state on
+    * the disk-backed provider) + p12's (arrival-sized increment chain,
+    * published base summaries, ShuffleShards-row broadcast after the
+    * pinned window exchange). */
+  def s16(s: SparkSession, d: String): DataFrame = {
+    val admittedIds = s14(s, d).where(col("admit") === 1L)
+      .select(col("new_doc_id").as("doc_id"))
+    val base = runBase(s, "s16adm")
+    admittedIds.write.parquet(s"$base/admitted")
+    graft.ops.Pipeline.p12Over(s, d,
+      s.read.parquet(s"$base/admitted"), "s16")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_stream_increment" -> s16 _,
     "s15_stream_jsonl_ingest" -> s15 _,
     "s14_stream_admission" -> s14 _,
     "s13_stream_index_tombstones" -> s13 _,
@@ -1293,6 +1329,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s16_stream_increment" -> graft.ops.Pipeline.p12Sql, // ingest-tier admission feeds the batch build verbatim
     "s15_stream_jsonl_ingest" -> graft.ops.Pipeline.p10Sql, // streamed JSONL digest == parquet digest
     "s14_stream_admission" -> graft.ops.Dedup.d16Sql, // ingest tier == nightly batch admission
     "s13_stream_index_tombstones" -> graft.ops.Ann.a16Sql, // post-drain == a16's batch serve

@@ -184,6 +184,29 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.ops.Dedup.IncrementalRem))
   }
 
+  // ---- s16: the streaming corpus increment must BE p12 — the two
+  // admission tiers (nightly batch d16, in-stream s14 drain) feed one
+  // shared build definition, so the composed outputs are bit-identical
+
+  test("s16 == p12 bit-for-bit: the in-stream admission outcome feeds " +
+    "the same increment build as the nightly batch report") {
+    val P = graft.ops.Pipeline
+    val sf = "/root/testdata/sf0.001"
+    val batch = P.p12(spark, sf).collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.Replay.s16(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(streamed === batch,
+      "the streaming increment must equal the batch increment exactly")
+    assert(P.lastBuildBase.startsWith("/tmp/graft_replay/s16-"))
+    // the composed artifacts agree too (placement row sets)
+    val placed = spark.read.parquet(s"${P.lastBuildBase}/train").collect()
+      .map(_.toSeq).toSet
+    P.p12(spark, sf) // rebuild the batch artifact (lastBuildBase moves)
+    val batchPlaced = spark.read.parquet(s"${P.lastBuildBase}/train")
+      .collect().map(_.toSeq).toSet
+    assert(placed === batchPlaced)
+  }
+
   // ---- p12 on a PLANTED NOVEL-ARRIVAL corpus: the positive-admission
   // case the near-dup-saturated gate corpora cannot show (every doc
   // there has hundreds of τ≥1/2 neighbors, so admission truthfully
