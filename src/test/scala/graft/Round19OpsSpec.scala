@@ -302,6 +302,23 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(repPlaced === expected.size.toLong)
     assert(report.map(_.getAs[Long]("pos_sum")).sum ===
       expected.toSeq.map(_.pos).sum)
+
+    // the STREAMING build agrees on this corpus too — s16 == p12 is
+    // gate-pinned only on the saturated sf0.001 corpus (where ~one doc
+    // places); here the in-stream admission passes EVERY arrival and
+    // the multi-shard append must still match the batch build and the
+    // independent prediction
+    val sReport = graft.streaming.Replay.s16(spark, dir).collect()
+      .map(_.toSeq).toSet
+    assert(sReport === report.map(_.toSeq).toSet,
+      "the streaming increment report must equal the batch report on " +
+        "a corpus where admission actually admits")
+    val sPlaced = spark.read.parquet(s"${P.lastBuildBase}/train").collect()
+      .map(r => Row(r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("bin"), r.getAs[Long]("bin_off"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(sPlaced === expected)
+    assert(P.lastBuildBase.startsWith("/tmp/graft_replay/s16-"))
   }
 
   // ---- order 2: t16 planted multi-script fixture
