@@ -699,10 +699,13 @@ object Pipeline {
 
   /** write the placement artifact + lineage manifest (+ any extra
     * build components, e.g. p12's admitted-arrival census) into a
-    * leased, swept run dir; returns the artifact read-back ordered. */
+    * leased, swept run dir; returns (run dir, artifact read-back
+    * ordered). Callers must take the run dir from the RETURN VALUE for
+    * anything in the data path — [[lastBuildBase]] is a spec/debug
+    * hook only (a concurrent build on the same session moves it). */
   private def shipBuild(s: SparkSession, name: String, placed: DataFrame,
                         manifest: Seq[(String, String, String, String)],
-                        extras: Seq[(String, DataFrame)] = Nil): DataFrame = {
+                        extras: Seq[(String, DataFrame)] = Nil): (String, DataFrame) = {
     val base = graft.streaming.Replay.runBase(s, name)
     lastBuildBase = base
     placed.write.parquet(s"$base/train")
@@ -710,7 +713,7 @@ object Pipeline {
     import s.implicits._
     manifest.toDF("role", "family", "fingerprint", "path")
       .coalesce(1).write.parquet(s"$base/manifest")
-    s.read.parquet(s"$base/train").orderBy("shard", "pos")
+    (base, s.read.parquet(s"$base/train").orderBy("shard", "pos"))
   }
 
   def p11(s: SparkSession, d: String): DataFrame = {
@@ -754,7 +757,7 @@ object Pipeline {
         graft.core.Materialize.tablePath(s, labKind, labFp)),
       ("input", "documents",
         graft.core.Materialize.fingerprint(d, "documents", "input", ""),
-        s"$d/documents.parquet")))
+        s"$d/documents.parquet")))._2
   }
 
   /** Oracle: the whole composed chain as one CTE pipeline from raw
@@ -929,7 +932,7 @@ object Pipeline {
       p12BaseArtifacts(s, d)).map { case (k, fp) =>
       ("published", k, fp, graft.core.Materialize.tablePath(s, k, fp))
     }
-    val artifact = shipBuild(s, name, placed, consumed :+
+    val (base, artifact) = shipBuild(s, name, placed, consumed :+
       (("input", "documents",
         graft.core.Materialize.fingerprint(d, "documents", "input", ""),
         s"$d/documents.parquet")),
@@ -952,7 +955,7 @@ object Pipeline {
     // is spec-checked row-by-row via [[lastBuildBase]].
     val arrivalCensus = live.where(col("doc_id") % mod === rem)
       .groupBy("source").agg(big(count(lit(1))).as("n_arrivals"))
-    val admittedBySrc = s.read.parquet(s"$lastBuildBase/admitted")
+    val admittedBySrc = s.read.parquet(s"$base/admitted")
       .groupBy("source").agg(big(count(lit(1))).as("n_admitted"))
     val placedBySrc = artifact.groupBy("source").agg(
       big(count(lit(1))).as("n_placed"),
