@@ -184,6 +184,50 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.ops.Dedup.IncrementalRem))
   }
 
+  // ---- p11 exact-dup invariance: the committed corpus-build rail
+  // showed an invariant ROW COUNT under id-offset duplication; this
+  // pins full row-set equality — duplicating every document k-fold
+  // must leave the built training order BIT-IDENTICAL, because the
+  // keep-list keeps each cluster's min-id canonical (the originals),
+  // so the mixing stats, the sampling fates, and the placement hashes
+  // all run over the same canonical set
+
+  test("p11: duplicating the corpus 3-fold leaves the built training " +
+    "order bit-identical (dedup-before-build as a scale invariant)") {
+    val P = graft.ops.Pipeline
+    import spark.implicits._
+    def text(id: Long, shared: Option[Long]): String = shared match {
+      // near-dup group member: 18 of 20 tokens shared with the group
+      case Some(g) => ((0 until 18).map(j => s"g${g}w$j") ++
+        Seq(s"u${id}a", s"u${id}b")).mkString(" ")
+      case None => (0 until 20).map(j => s"d${id}w$j").mkString(" ")
+    }
+    // 120 docs: 20 near-dup groups of 3 + 60 singletons, 2 sources
+    val docs = (100L until 220L).map { id =>
+      val shared = if (id < 160) Some((id - 100) / 3) else None
+      (id, text(id, shared), s"s${id % 2}")
+    }
+    val a = java.nio.file.Files.createTempDirectory("graft-r19-p11a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-r19-p11b").toString
+    docs.toDF("doc_id", "text", "source")
+      .coalesce(2).write.mode("overwrite").parquet(s"$a/documents.parquet")
+    // 3x corpus: the originals plus two id-offset EXACT copies (the
+    // offset preserves every census residue, as in the sweep corpora)
+    val dup = docs ++ (1 to 2).flatMap(k =>
+      docs.map { case (id, t, s) => (id + 1000000L * k, t, s) })
+    dup.toDF("doc_id", "text", "source")
+      .coalesce(2).write.mode("overwrite").parquet(s"$b/documents.parquet")
+
+    def placed(d: String): Set[Seq[Any]] =
+      P.p11(spark, d).collect().map(_.toSeq).toSet
+    val one = placed(a)
+    assert(one.nonEmpty, "the planted corpus must place documents")
+    assert(placed(b) === one,
+      "3x exact duplication must not change one placed row: the " +
+        "keep-list keeps the min-id canonicals, so mixing stats and " +
+        "placement are functions of the unchanged canonical set")
+  }
+
   // ---- s16: the streaming corpus increment must BE p12 — the two
   // admission tiers (nightly batch d16, in-stream s14 drain) feed one
   // shared build definition, so the composed outputs are bit-identical
