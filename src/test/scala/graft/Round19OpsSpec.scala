@@ -365,6 +365,79 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(P.lastBuildBase.startsWith("/tmp/graft_replay/s16-"))
   }
 
+  // ---- p12 placement-model property trials: random novel-token
+  // corpora with VARIABLE per-doc token counts (the planted fixture is
+  // uniform n_tok=20, so bin-boundary crossings of the 512-token pack
+  // arithmetic never vary there) — the artifact must match the same
+  // plain-Scala model under every random geometry
+
+  test("p12 property trials: random corpora with variable token counts " +
+    "match the independent placement model (pack-bin boundaries included)") {
+    val P = graft.ops.Pipeline
+    import spark.implicits._
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def hm(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"mix:$id").substring(0, 15), 16) % 1000000L
+    def eh(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"epoch0:$id").substring(0, 15), 16)
+    (1 to 2).foreach { trial =>
+      val rnd = new scala.util.Random(4200 + trial)
+      val n = 250 + rnd.nextInt(250)
+      val nSrc = 2 + rnd.nextInt(3)
+      val ids = (100L until (100L + n)).toSeq
+      val nTok = ids.map(id => id -> (15L + rnd.nextInt(26))).toMap
+      val docs = ids.map { id =>
+        ((id, (0 until nTok(id).toInt)
+          .map(j => s"r${trial}d${id}t$j").mkString(" "), s"s${id % nSrc}"))
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-r19-p12prop$trial").toString
+      docs.toDF("doc_id", "text", "source")
+        .coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val live = ids.filterNot(_ % 10 == 3)
+      val arrivals = live.filter(_ % 10 == graft.ops.Dedup.IncrementalRem)
+      val base = live.filterNot(arrivals.contains)
+      val srcTok = base.groupBy(id => s"s${id % nSrc}")
+        .view.mapValues(_.map(nTok).sum).toMap
+      val allTok = srcTok.values.sum
+      def keep(id: Long): Boolean =
+        BigInt(hm(id)) * 2 * srcTok.size * srcTok(s"s${id % nSrc}") <
+          BigInt(allTok) * 1000000L
+      val baseByShard = base.filter(keep)
+        .groupBy(id => eh(id) % P.ShuffleShards)
+        .view.mapValues(g => (g.size.toLong, g.map(nTok).sum)).toMap
+      case class Row(shard: Long, pos: Long, bin: Long, off: Long, id: Long)
+      val expected = arrivals.filter(keep)
+        .groupBy(id => eh(id) % P.ShuffleShards)
+        .flatMap { case (sh, g) =>
+          val (bd, bt) = baseByShard.getOrElse(sh, (0L, 0L))
+          var start = bt
+          g.sortBy(id => (eh(id), id)).zipWithIndex.map { case (id, k) =>
+            val r = Row(sh, bd + k + 1, start / P.PackTokens,
+              start % P.PackTokens, id)
+            start += nTok(id)
+            r
+          }
+        }.toSet
+
+      P.p12(spark, dir).collect() // builds + ships the artifact
+      val got = spark.read.parquet(s"${P.lastBuildBase}/train").collect()
+        .map(r => Row(r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+          r.getAs[Long]("bin"), r.getAs[Long]("bin_off"),
+          r.getAs[Long]("doc_id"))).toSet
+      assert(got === expected,
+        s"trial $trial (n=$n, nSrc=$nSrc): artifact must match the model")
+      assert(expected.nonEmpty, s"trial $trial must place documents")
+      // the variable-token geometry must actually cross pack bins
+      assert((expected.map(_.bin) ++
+        baseByShard.values.map(_._2 / P.PackTokens)).exists(_ > 0),
+        s"trial $trial: the geometry never crossed a pack-bin boundary")
+    }
+  }
+
   // ---- order 2: t16 planted multi-script fixture
 
   test("t16: planted multi-script corpus classifies exactly (ranges, " +
