@@ -195,6 +195,27 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** THIRD control probe (round 20, verdict item 7) — the STREAMING
+    * TIER's measured fixed cost, also FROZEN: one admission-class
+    * drain (s14DedupDrain's exact construction: RocksDB-backed child
+    * session, watermark-bounded pair dedup, AvailableNow parquet sink)
+    * over a 3-ROW feed, so its wall is ~pure engine bootstrap +
+    * state-provider init/commit across the replay partition count —
+    * the constant every s14/s16-class entry pays before touching data.
+    * Stamped as `control_stream` in the file line + diag (not stdout —
+    * the tail-window budget), so the 2× gate adjudication on the
+    * streaming entries can read data-dependent cost = entry −
+    * control_stream instead of riding fixed constants. */
+  private[graft] def controlProbeStream(spark: SparkSession): Double = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val base = graft.streaming.Replay.runBase(spark, "ctl-stream")
+    Seq((1L, 2L), (1L, 2L), (3L, 4L)).toDF("ni", "ci")
+      .coalesce(1).write.parquet(s"$base/feed")
+    graft.streaming.Replay.s14DedupDrain(spark, s"$base/feed", s"$base/run")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -239,6 +260,12 @@ object Bench {
       cleanStorage()
     }
     runControl("pre")
+    // streaming fixed-cost probe: once per run (it is itself a
+    // seconds-class constant; its run-to-run variance is the engine's,
+    // which is exactly what it measures)
+    val ctlStream = math.round(controlProbeStream(spark) * 1000) / 1000.0
+    System.err.println(f"[bench-ctl] stream $ctlStream%.3fs")
+    cleanStorage()
     val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val midAt = allQueries.size / 2
     // per-SUITE control samples (r8 verdict: the p-suite incident was
@@ -507,7 +534,8 @@ object Bench {
     def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""control":$ctl,"control2":$ctl2,"suite_controls":$suites,""" +
+        s""""control":$ctl,"control2":$ctl2,"control_stream":$ctlStream,""" +
+        s""""suite_controls":$suites,""" +
         s""""cold":$coldList,"diag":$diagVerdicts,"sf":"$sfDir"}"""
     }
     // the STDOUT form must FIT the driver's 2000-char tail window WHOLE
@@ -521,15 +549,24 @@ object Bench {
     // artifact, all of which carry the full detail regardless. Entry
     // values are 2-decimal here (10 ms — below scheduling noise); the
     // file line keeps 3.
-    def stdoutLine(entries: Seq[(String, Double)], total: Double): String = {
-      val qs = entries.map { case (k, v) =>
-        "\"" + k + "\":" + math.round(v * 100) / 100.0 }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    def stdoutLine(entries: Seq[(String, Double)]): String = {
+      val qs2 = entries.map { case (k, v) => k -> math.round(v * 100) / 100.0 }
+      // the stdout total is re-summed from the SAME 2-decimal values
+      // printed in this line's queries map, so the cross-sum invariant
+      // (consumer sums the map and gets exactly `value`) holds for
+      // this line too — with ~130 entries the 2-vs-3-decimal drift of
+      // summing the other rounding reaches ~0.3 s, which a strict
+      // driver-side cross-check would flag as corruption
+      val qs = qs2.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total2 = math.round(qs2.map(_._2).sum * 100) / 100.0
+      s"""{"metric":"total","value":$total2,"unit":"sec","queries":$qs,""" +
         s""""control":$ctl,"control2":$ctl2,"cold":$coldList,"sf":"$sfDir"}"""
     }
     // total = sum of the ALREADY-ROUNDED per-query values (re-rounded to
     // strip FP dust), so a consumer cross-summing the queries map gets
-    // exactly the reported total
+    // exactly the reported total (applies to the FILE line; the stdout
+    // line re-derives its own total from its own 2-decimal entries)
     val total = r3(rounded.map(_._2).sum)
     // The driver captures only the LAST 2000 chars of output and parses
     // the {"metric": line out of it — with 75+ full-name entries the
@@ -543,12 +580,13 @@ object Bench {
     // names rather than silently merging entries.
     val short = rounded.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val compact =
-      if (short.map(_._1).distinct.size == short.size) stdoutLine(short, total)
-      else stdoutLine(rounded, total)
+      if (short.map(_._1).distinct.size == short.size) stdoutLine(short)
+      else stdoutLine(rounded)
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (jsonLine(rounded, total) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     diag.append(s"""{"control_runs":[${ctlRuns.map(r3).mkString(",")}],""" +
-      s""""control2_runs":[${ctl2Runs.map(r3).mkString(",")}]}""").append('\n')
+      s""""control2_runs":[${ctl2Runs.map(r3).mkString(",")}],""" +
+      s""""control_stream":$ctlStream}""").append('\n')
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_diag.json"),
       diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // THIS run's stage signatures (every entry that produced a stage

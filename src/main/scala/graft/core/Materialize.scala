@@ -182,7 +182,17 @@ object Materialize {
     * tag minted before round 18) byte-identical — java.nio's
     * `normalize()` is lexical-only and returns clean absolute paths
     * unchanged. Scheme-carrying URIs skip the java.nio pass (nio would
-    * mangle `scheme://`); Hadoop Path normalization still applies. */
+    * mangle `scheme://`); Hadoop Path normalization still applies.
+    *
+    * Symlink caveat (the flip side of lexical-only): when a component
+    * before a `..` is a symlink, the filesystem resolves `/x/link/../a`
+    * relative to the link TARGET's parent, while the lexical collapse
+    * tags it `/x/a` — two genuinely different directories can then
+    * share one family tag (a false merge, the inverse of the orphaned
+    * lineage this collapse fixes). Content fingerprints bound the blast
+    * radius (a wrong-family read still misses on fingerprint), but
+    * retention lineage is family-keyed: do not address a corpus through
+    * a `symlink/..` spelling — spell the real directory. */
   private[graft] def normalizedDir(dir: String): String = {
     val hasScheme = dir.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
     val abs =
@@ -260,9 +270,21 @@ object Materialize {
   private val readLedger =
     new java.util.concurrent.ConcurrentLinkedDeque[(Long, String, String)]()
   private val readSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  // deque size tracked beside it: ConcurrentLinkedDeque.size() is O(n),
+  // so probing it on every published-table read would pay a ~4096-node
+  // traversal once the ring fills (and concurrent readers racing the
+  // trim loop could transiently over-trim). The counter moves with
+  // addLast/successful pollFirst only, so trims are exact.
+  private val readLedgerSize = new java.util.concurrent.atomic.AtomicInteger(0)
   private def recordRead(kind: String, fp: String): Unit = {
     readLedger.addLast((readSeq.incrementAndGet(), kind, fp))
-    while (readLedger.size > ReadLedgerMax) readLedger.pollFirst()
+    readLedgerSize.incrementAndGet()
+    var more = true
+    while (more && readLedgerSize.get > ReadLedgerMax) {
+      if (readLedger.pollFirst() != null) readLedgerSize.decrementAndGet()
+      else more = false // counter transiently ahead of the deque: stop,
+      // the next recordRead re-trims (never spin on an empty deque)
+    }
   }
   /** opaque position marker; pass to [[readsSince]]. */
   def readMarker: Long = readSeq.get
@@ -727,7 +749,18 @@ object Materialize {
     def freshLease(p: org.apache.hadoop.fs.Path): Boolean =
       try fs.getFileStatus(new org.apache.hadoop.fs.Path(p, LeaseFile))
         .getModificationTime >= cutoff
-      catch { case scala.util.control.NonFatal(_) => false } // no lease
+      catch {
+        case _: java.io.FileNotFoundException => false // genuinely no lease
+        case scala.util.control.NonFatal(e) =>
+          // a TRANSIENT probe error is not "no lease": on the exact
+          // store the lease exists for (mtime-blind / remote, all data
+          // mtimes stale) treating it as absent would let this pass
+          // delete a LIVE run's sink+checkpoint. Retain the dir for
+          // this pass — the next sweep re-probes — and say so.
+          System.err.println(s"[graft] run retention: lease probe failed " +
+            s"for $p (retaining this pass): ${e.getMessage}")
+          true
+      }
     val swept = candidates.filter(st =>
       st.getModificationTime < cutoff &&
         !freshLease(st.getPath) &&

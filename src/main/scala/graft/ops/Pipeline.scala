@@ -716,7 +716,11 @@ object Pipeline {
     (base, s.read.parquet(s"$base/train").orderBy("shard", "pos"))
   }
 
-  def p11(s: SparkSession, d: String): DataFrame = {
+  /** p11's full placed-order derivation (stages 2–7), WITHOUT the
+    * shipping — factored (round 20) so p13's published-placement
+    * serve runs the IDENTICAL chain p11 ships: one definition, the
+    * two consumers cannot drift. */
+  private[graft] def p11Placed(s: SparkSession, d: String): DataFrame = {
     val live = liveDocs(s, d)
     // 2. clean + bench exclusion; 3. redact
     val cleanRed = cleanRedacted(s, live)
@@ -740,7 +744,7 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("n_tok"), col("redacted_md5"))
     // 7. epoch shuffle + offset packing (p04/p05's pinned exchange)
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    val placed = mixed
+    mixed
       .withColumn("h", epochH)
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast(LongType))
       .repartition(s.sparkContext.defaultParallelism, col("shard"))
@@ -751,6 +755,10 @@ object Pipeline {
         (col("start_off") / PackTokens).cast(LongType).as("bin"),
         (col("start_off") % PackTokens).as("bin_off"),
         col("doc_id"), col("source"), col("n_tok"), col("redacted_md5"))
+  }
+
+  def p11(s: SparkSession, d: String): DataFrame = {
+    val placed = p11Placed(s, d)
     val (labKind, labFp) = graft.ops.Dedup.liveLabelsArtifact(d)
     shipBuild(s, "p11", placed, Seq(
       ("published", labKind, labFp,
@@ -766,7 +774,14 @@ object Pipeline {
     * ([[graft.ops.Dedup.ccCanonCtesOver]], shared verbatim), shingle
     * decontamination, the HUGEINT mixing predicate, and the
     * shard/bin placement windows. */
-  val p11Sql: String = {
+  val p11Sql: String = p11SqlOver("")
+
+  /** p11's oracle chain with an optional WHERE over the `mixed` CTE —
+    * "" yields p11Sql; p13 passes the takedown exclusion (excision
+    * semantics: every doc's sampling fate and relative (h, doc_id)
+    * order are frozen, only the taken-down rows leave, so filtering
+    * `mixed` before the placement windows IS the repaired order). */
+  private def p11SqlOver(placedFilter: String): String = {
     val benchIds = graft.ops.Dedup.ContamBenchIds
     val shw = graft.ops.Dedup.ShingleWords
     val shingleList =
@@ -814,7 +829,7 @@ object Pipeline {
       |      ORDER BY h, doc_id) AS BIGINT) AS pos,
       |    COALESCE(SUM(n_tok) OVER (PARTITION BY h % $ShuffleShards ORDER BY h, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - n_tok AS start_off
-      |  FROM mixed)
+      |  FROM mixed $placedFilter)
       |SELECT CAST(shard AS BIGINT) AS shard, pos,
       |  CAST(start_off // $PackTokens AS BIGINT) AS bin,
       |  CAST(start_off % $PackTokens AS BIGINT) AS bin_off,
@@ -1136,7 +1151,150 @@ object Pipeline {
       |ORDER BY a.source""".stripMargin
   }
 
+  // ---- p13: PLACEMENT-LEVEL DELETION (round-19 verdict gap 2 / next
+  // item 1): the one lifecycle cell the deletion matrix didn't cover —
+  // a takedown of a doc ALREADY PLACED in a shipped training order.
+
+  /** residue class of the takedown feed over the SHIPPED order —
+    * day-2 takedown requests for docs p11 already placed. Disjoint
+    * from the other lifecycle residues (7 = day-1 arrivals, 3 =
+    * pre-build tombstones, 9 = appends), so the four lifecycle axes
+    * stay independently testable on one corpus. */
+  val TakedownRem = 5L
+
+  /** takedown rows above which the repair abandons the per-shard
+    * broadcast-correction plan for the windowed re-rank (the broadcast
+    * carries one (pos, n_tok) struct per taken-down row — at ~16 B/row
+    * the default cap is ~1.6 MB, far under any broadcast limit; a
+    * mass takedown beyond it pays p11's own pinned window exchange
+    * over the slim survivor rows instead). Per-session override:
+    * `spark.graft.p13.broadcastMaxRows`. */
+  val TakedownBroadcastMaxRows = 100000L
+
+  /** (family kind, fingerprint) of the PUBLISHED full placement — the
+    * shipped training order as a serveable artifact (p11's placed
+    * rows land in a per-run dir; the repair tier needs a durable,
+    * lineage-keyed copy to consume, so it is published once per
+    * (corpus, sharding, code) like every other served kernel). */
+  private[graft] def placementArtifact(s: SparkSession, d: String): (String, String) =
+    (graft.core.Materialize.scopedKind("placement-full", d),
+      graft.core.Materialize.fingerprint(d, "documents",
+        s"placement-sh$ShuffleShards-pk$PackTokens", pipelineCodeSalt))
+
+  /** serve (or cold-build) the published placement — [[p11Placed]]'s
+    * chain run ONCE per fingerprint; every repair reads the table. */
+  private[graft] def placementTable(s: SparkSession, d: String): DataFrame = {
+    val M = graft.core.Materialize
+    val (k, fp) = placementArtifact(s, d)
+    if (!M.exists(s, k, fp)) {
+      M.publish(s, k, fp)(p11Placed(s, d))
+      M.sweepKeep(s, k, Set(fp))
+    }
+    M.readTable(s, k, fp)
+  }
+
+  /** shard-local excision by BROADCAST CORRECTION — the arrival-sized
+    * repair plan: each survivor's new position/offset is its old one
+    * minus the count/token-mass of taken-down rows BEFORE it in its
+    * shard, computed against a broadcast per-shard array of the
+    * taken-down (pos, n_tok) pairs. NO exchange at all: each placement
+    * partition corrects locally (the scan of the slim placement is the
+    * whole cost — never the corpus text, never a kernel re-run), which
+    * is the shape a 100 TB takedown of a handful of docs wants.
+    * `survivors` = placement minus the takedown rows; `hit` = the
+    * taken-down rows' (shard, pos, n_tok). */
+  private[graft] def exciseBroadcast(survivors: DataFrame, hit: DataFrame): DataFrame = {
+    val excByShard = hit.groupBy("shard")
+      .agg(collect_list(struct(col("pos"), col("n_tok"))).as("exc"))
+    val before = filter(col("exc"), e => e("pos") < col("pos"))
+    survivors.join(broadcast(excByShard), Seq("shard"), "left")
+      .withColumn("p_drop",
+        coalesce(size(before).cast(LongType), lit(0L)))
+      .withColumn("t_drop",
+        coalesce(aggregate(before, lit(0L), (acc, e) => acc + e("n_tok")), lit(0L)))
+      .withColumn("new_off",
+        col("bin") * PackTokens + col("bin_off") - col("t_drop"))
+      .select(col("shard"), (col("pos") - col("p_drop")).as("pos"),
+        (col("new_off") / PackTokens).cast(LongType).as("bin"),
+        (col("new_off") % PackTokens).as("bin_off"),
+        col("doc_id"), col("source"), col("n_tok"), col("redacted_md5"))
+  }
+
+  /** shard-local excision by WINDOWED RE-RANK — the mass-takedown
+    * fallback: p11's own pinned placement exchange re-run over the
+    * slim SURVIVOR rows only (original pos preserves the (h, doc_id)
+    * order, so re-ranking by it reproduces the frozen relative
+    * order). Still placement-only: no corpus scan, no kernel re-run,
+    * no rate re-derivation. */
+  private[graft] def exciseWindowed(s: SparkSession, survivors: DataFrame): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("pos")
+    survivors
+      .repartition(s.sparkContext.defaultParallelism, col("shard"))
+      .withColumn("new_pos", row_number().over(w).cast(LongType))
+      .withColumn("new_off",
+        coalesce(sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
+      .select(col("shard"), col("new_pos").as("pos"),
+        (col("new_off") / PackTokens).cast(LongType).as("bin"),
+        (col("new_off") % PackTokens).as("bin_off"),
+        col("doc_id"), col("source"), col("n_tok"), col("redacted_md5"))
+  }
+
+  /** p13: the ARRIVAL-SIZED placement repair. Semantics are EXCISION,
+    * deliberately: a takedown of a shipped training order removes the
+    * taken-down rows and closes the gaps (per shard: positions
+    * re-rank, offsets re-accumulate, bins re-derive — a doc whose
+    * preceding token mass shrank can cross a pack-bin boundary, and
+    * the repair must move it), while every OTHER doc's sampling fate,
+    * keep-list fate and relative order stay FROZEN — the same
+    * churn-avoidance contract p12 states for its base rates:
+    * re-deriving mixing rates or cluster canonicals from the shrunken
+    * corpus would flip sampling/keep decisions for docs nobody took
+    * down, which a shipped-order repair must never do (that churn is
+    * what the next FULL rebuild is for). Consequently repair ==
+    * placement-stage rebuild over (mixed minus takedown) EXACTLY —
+    * not just on planted corpora — which is what the oracle replays
+    * and Round20OpsSpec pins against [[exciseWindowed]] and a
+    * plain-Scala model across a pack-bin-crossing takedown.
+    *
+    * The repair consumes ONLY the published placement (slim rows) and
+    * the id-only takedown feed: one doc_id-pruned corpus scan for the
+    * feed, one anti-join + correction over the placement, zero corpus
+    * text, zero kernel re-runs, zero windows on the broadcast path.
+    * Ships the repaired order + lineage manifest like every build. */
+  def p13(s: SparkSession, d: String): DataFrame = {
+    val M = graft.core.Materialize
+    val placement = placementTable(s, d)
+    val feed = documents(s, d).select(col("doc_id"))
+      .where(col("doc_id") % graft.ops.Dedup.IncrementalMod === TakedownRem)
+    val hit = placement.join(feed, "doc_id")
+      .select(col("shard"), col("pos"), col("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxRows = s.conf.getOption("spark.graft.p13.broadcastMaxRows")
+      .map(_.toLong).getOrElse(TakedownBroadcastMaxRows)
+    val nTakedown = hit.count() // takedown-sized action (plan choice)
+    val survivors = placement.join(feed, Seq("doc_id"), "left_anti")
+    val repaired =
+      if (nTakedown <= maxRows) exciseBroadcast(survivors, hit)
+      else exciseWindowed(s, survivors)
+    val (pk, pfp) = placementArtifact(s, d)
+    val out = shipBuild(s, "p13", repaired, Seq(
+      ("published", pk, pfp, M.tablePath(s, pk, pfp)),
+      ("input", "documents",
+        M.fingerprint(d, "documents", s"takedown-feed-r$TakedownRem", ""),
+        s"$d/documents.parquet")))._2
+    hit.unpersist(blocking = false)
+    out
+  }
+
+  /** Oracle: p11's full chain with the takedown excluded at the
+    * placement stage — excision freezes sampling fates and relative
+    * order, so filtering `mixed` before the placement windows IS the
+    * repaired shipped order. */
+  val p13Sql: String = p11SqlOver(
+    s"WHERE doc_id % ${graft.ops.Dedup.IncrementalMod} <> $TakedownRem")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_placement_takedown" -> p13 _,
     "p12_incremental_build" -> p12 _,
     "p11_corpus_build" -> p11 _,
     "p10_jsonl_roundtrip" -> p10 _,
@@ -1150,6 +1308,7 @@ object Pipeline {
     "p05_sequence_pack" -> p05 _,
     "p06_source_mix" -> p06 _)
   val oracle: Map[String, String] = Map(
+    "p13_placement_takedown" -> p13Sql,
     "p12_incremental_build" -> p12Sql,
     "p11_corpus_build" -> p11Sql,
     "p10_jsonl_roundtrip" -> p10Sql,

@@ -408,7 +408,87 @@ object Analytics {
       |UNPIVOT (value FOR metric IN (n_orders, sum_total, max_total))
       |ORDER BY o_orderpriority, metric""".stripMargin
 
+  /** Q44: set-operation ALL variants (round-19 verdict gap 3) — q16
+    * covers the DISTINCT forms; INTERSECT ALL / EXCEPT ALL are the
+    * multiset semantics (multiplicity = min / left-minus-right counts)
+    * a dedup-accounting report actually needs. The two multisets are
+    * custkey BAGS (one occurrence per qualifying order, so customers
+    * with many orders exercise multiplicities > 1). Spark plans both
+    * as a single hash aggregation computing per-key counts on each
+    * side then replicating min(cl, cr) / max(cl − cr, 0) — one shuffle
+    * on the key, no join, scale-safe. */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val open = o.where(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"))
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    val ia = open.intersectAll(urgent)
+      .agg(big(count(lit(1))).as("cnt"), big(sum(col("k"))).as("k_sum"))
+      .withColumn("op", lit("intersect_all"))
+    val ea = open.exceptAll(urgent)
+      .agg(big(count(lit(1))).as("cnt"), big(sum(col("k"))).as("k_sum"))
+      .withColumn("op", lit("except_all"))
+    ia.union(ea).select(col("op"), col("cnt"), col("k_sum")).orderBy("op")
+  }
+
+  val q44Sql: String =
+    """WITH a AS (SELECT o_custkey k FROM orders WHERE o_orderstatus = 'O'),
+      |     b AS (SELECT o_custkey k FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT op, cnt, k_sum FROM (
+      |  SELECT 'intersect_all' op, CAST(COUNT(*) AS BIGINT) cnt,
+      |    CAST(SUM(k) AS BIGINT) k_sum
+      |  FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      |  UNION ALL
+      |  SELECT 'except_all', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(k) AS BIGINT)
+      |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      |) ORDER BY op""".stripMargin
+
+  /** Q11b: the HLL SKETCH ITSELF in the hard gate (round-19 verdict
+    * gap 4). Built-in HLL sketches aren't bit-stable across engines,
+    * so the gate row is the sketch's CONTENT at a pinned hash: each
+    * user_id is hashed (md5, "hll:" salt), split into a register index
+    * (first 2 hex chars → 256 registers, p=8) and a 60-bit suffix
+    * whose leading-zero rank rho = 61 − bitlength (61 for a zero
+    * suffix) is exactly HLL's register update; the census row per
+    * OBSERVED register carries max-rho (the register value) and the
+    * exact distinct count behind it. Any divergence in the hash
+    * mapping, the register split, or the rank arithmetic breaks the
+    * row hash — the estimator downstream of these registers is pure
+    * arithmetic (FunctionsSpec grades it, and the built-in
+    * approx_count_distinct, within tolerance of exact). Scale: one
+    * map-side-combinable aggregation over a row-local projection —
+    * the same shape as the real sketch. */
+  def q11b(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        conv(substring(md5(concat(lit("hll:"), col("user_id").cast(StringType))), 1, 2),
+          16, 10).cast(LongType).as("register"),
+        conv(substring(md5(concat(lit("hll:"), col("user_id").cast(StringType))), 3, 15),
+          16, 10).cast(LongType).as("h"))
+      .withColumn("rho",
+        when(col("h") === 0L, lit(61L))
+          .otherwise(lit(61L) - length(bin(col("h"))).cast(LongType)))
+      .groupBy("register")
+      .agg(big(max(col("rho"))).as("max_rho"),
+        big(countDistinct(col("user_id"))).as("n_users"))
+      .orderBy("register")
+
+  val q11bSql: String =
+    """WITH hashed AS (
+      |  SELECT user_id,
+      |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS register,
+      |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 3, 15)) AS BIGINT) AS h
+      |  FROM events)
+      |SELECT register,
+      |  CAST(MAX(CASE WHEN h = 0 THEN 61 ELSE 61 - length(bin(h)) END) AS BIGINT) AS max_rho,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM hashed GROUP BY register ORDER BY register""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_set_ops_all" -> q44 _,
+    "q11b_hll_register_census" -> q11b _,
     "q41_unpivot_metrics" -> q41 _,
     "q37_range_frame" -> q37 _,
     "q36_percent_rank" -> q36 _,
@@ -429,6 +509,8 @@ object Analytics {
     "q22_hourly_tumbling" -> q22 _)
 
   val oracle: Map[String, String] = Map(
+    "q44_set_ops_all" -> q44Sql,
+    "q11b_hll_register_census" -> q11bSql,
     "q37_range_frame" -> q37Sql,
     "q36_percent_rank" -> q36Sql,
     "q31_ntile_quartiles" -> q31Sql,

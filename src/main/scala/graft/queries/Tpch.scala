@@ -256,7 +256,50 @@ object Tpch {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** Q43: FULL OUTER join — the reconciliation shape (round-19 verdict
+    * gap 1): BUILDING-segment customers ⟗ open ('O') orders, so BOTH
+    * null-extended sides are populated (customers with no open order,
+    * open orders of non-BUILDING customers) and the report classifies
+    * every row by match class. Spark picks a shuffled sort-merge /
+    * hash full-outer on the equi key — the scale shape (a full outer
+    * cannot broadcast: both sides must see unmatched partners, so the
+    * shuffle on custkey IS the plan you want at 100 TB; AQE handles
+    * skew). The aggregation is map-side combinable over the join
+    * output. */
+  def q43(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).where(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .withColumn("match_class",
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_orderkey").isNull, "customer_only")
+          .otherwise("both"))
+      .groupBy("match_class")
+      .agg(big(count(lit(1))).as("n_rows"),
+        big(countDistinct(col("c_custkey"))).as("n_cust"),
+        big(countDistinct(col("o_custkey"))).as("n_ord_cust"),
+        big(count(col("o_orderkey"))).as("n_orders"),
+        money(sum(dec2(col("o_totalprice")))).as("sum_price"))
+      .orderBy("match_class")
+  }
+
+  val q43Sql: String =
+    """SELECT
+      |  CASE WHEN c_custkey IS NULL THEN 'order_only'
+      |       WHEN o_orderkey IS NULL THEN 'customer_only'
+      |       ELSE 'both' END AS match_class,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_ord_cust,
+      |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+      |FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+      |FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+      |  ON c_custkey = o_custkey
+      |GROUP BY match_class ORDER BY match_class""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_full_outer_reconcile" -> q43 _,
     "q01_pricing_summary" -> q01 _,
     "q02_revenue_filter" -> q02 _,
     "q03_topk_revenue_join" -> q03 _,
@@ -269,6 +312,7 @@ object Tpch {
     "q10_rollup_region_nation" -> q10 _)
 
   val oracle: Map[String, String] = Map(
+    "q43_full_outer_reconcile" -> q43Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_revenue_filter" -> q02Sql,
     "q03_topk_revenue_join" -> q03Sql,

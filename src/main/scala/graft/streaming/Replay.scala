@@ -283,8 +283,25 @@ object Replay {
     * DataFrame in the drain must come from the returned session; the
     * post-drain batch REPORT may run on either (it reads the sink
     * parquet). */
+  /** one cached admission child PER PARENT (round 20, the round-19
+    * ADVICE medium): every drain used to mint a fresh `newSession()`,
+    * and [[ensureLeaseListener]] then held it forever in the static
+    * listener set — one un-collectable SessionState + listener per
+    * drain call, an unbounded leak in a long-lived service (the bench's
+    * s14 x5 rail alone minted five). The child's conf is a pure
+    * function of the parent's (inherit keys + the provider pin), so one
+    * child per parent is semantically identical; the inherit keys are
+    * RE-COPIED on every acquisition so a runtime `conf.set` on the
+    * parent between drains still propagates. WeakHashMap: a dropped
+    * parent releases its child. Concurrent drains on one parent share
+    * the child — safe, both would set the identical conf, and each
+    * streaming query carries its own checkpoint/state. */
+  private val admissionChildren =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
   private[graft] def admissionSession(parent: SparkSession): SparkSession = {
-    val child = parent.newSession()
+    val child = admissionChildren.synchronized {
+      admissionChildren.computeIfAbsent(parent, p => p.newSession())
+    }
     val inherit = parent.conf.getAll.filter { case (k, _) =>
       k.startsWith("spark.graft.") ||
         k == "spark.sql.shuffle.partitions" ||
@@ -292,11 +309,19 @@ object Replay {
         k == "spark.sql.legacy.parquet.nanosAsLong"
     }
     inherit.foreach { case (k, v) => child.conf.set(k, v) }
-    admissionStateProvider(parent).foreach { cls =>
-      child.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
-      child.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+    admissionStateProvider(parent) match {
+      case Some(cls) =>
+        child.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+        child.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      case None =>
+        // a cached child may carry a previous acquisition's provider
+        // pin — an explicit `memory` opt-out must clear it, not
+        // inherit stale RocksDB conf from an earlier drain
+        child.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        child.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     }
     child
   }
@@ -793,6 +818,48 @@ object Replay {
       .orderBy("user_id", "purchase_id", "click_id")
   }
 
+  /** s17: stream-stream FULL OUTER interval join through the real
+    * engine — [[Windows.clickToPurchaseFullOuter]]'s attribution
+    * reconciliation: matched (purchase, click) pairs emit immediately;
+    * unattributed purchases AND unconsumed clicks emit null-extended
+    * once the watermark proves their partner can no longer arrive.
+    * Same two-sentinel flush protocol as s10; the sentinel pair is
+    * excluded by user_id on the COALESCED key (either side may be the
+    * null one here). Output keys every row by the side population:
+    * purchase_id / click_id are −1-coalesced, and `side` classifies
+    * (both / purchase_only / click_only) — the reconciliation report a
+    * funnel audit keys on. Oracle: the same FULL JOIN over the batch
+    * events table. */
+  def s17(s: SparkSession, d: String): DataFrame = {
+    val out = replay(s, d, "s17") { stream =>
+      Windows.clickToPurchaseFullOuter(stream, stream)
+    }
+    out.where(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        coalesce(col("purchase_ts"), lit("-")).as("purchase_ts"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        when(col("purchase_id").isNull, "click_only")
+          .when(col("click_id").isNull, "purchase_only")
+          .otherwise("both").as("side"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  val s17Sql: String =
+    """SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+      |  COALESCE(strftime(p.ts, '%Y-%m-%d %H:%M:%S'), '-') AS purchase_ts,
+      |  COALESCE(p.event_id, -1) AS purchase_id,
+      |  COALESCE(c.event_id, -1) AS click_id,
+      |  CASE WHEN p.event_id IS NULL THEN 'click_only'
+      |       WHEN c.event_id IS NULL THEN 'purchase_only'
+      |       ELSE 'both' END AS side
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+      |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |ORDER BY user_id, purchase_id, click_id""".stripMargin
+
   val s10Sql: String =
     """SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
       |  p.event_id AS purchase_id,
@@ -1072,6 +1139,31 @@ object Replay {
     * corpus build shrinks the same state k-fold for exact-dup mass:
     * candidate keys are per REPRESENTATIVE, expansion happens at
     * read-back. */
+  /** s14's arrival-side source: the day-1 census cut at the scan, the
+    * slim (id, text) projection, and a round-robin REBALANCE to
+    * `defaultParallelism` BEFORE the CPU-dense signing flatMap
+    * (round 20, the round-19 verdict demerit): a file stream's
+    * parallelism is its input-SPLIT count per micro-batch — one small
+    * arrival file (or the production shape, a handful of small JSONL
+    * drops per trigger) pins the whole seeds×tokens MD5 signing pass
+    * to one task (BENCH_DIAG_r19: a single-task ~4 s stage in s14 AND
+    * s16). Signing is doc-local, so the rebalance is free; the join
+    * keys are produced AFTER it, so no co-location is lost.
+    * Factored so Round20OpsSpec can assert the exchange in the plan. */
+  private[graft] def s14Arrivals(as: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import as.implicits._
+    val mod = graft.ops.Dedup.IncrementalMod
+    val rem = graft.ops.Dedup.IncrementalRem
+    val docSchema = as.read.parquet(s"$d/documents.parquet").schema
+    as.readStream.schema(docSchema)
+      .parquet(s"$d/[d]ocuments.parquet")
+      .where(col("doc_id") % mod === rem)
+      .select(col("doc_id"), col("text"))
+      .repartition(as.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+  }
+
   def s14(s: SparkSession, d: String): DataFrame = {
     // ISOLATED admission session (round 19): the whole drain — source,
     // stream-static joins, stateful dedup, sink, report — is built on
@@ -1079,14 +1171,7 @@ object Replay {
     // only there; queries on the parent session can never inherit it
     // (Round19OpsSpec pins the isolation via checkpoint metadata).
     val as = admissionSession(s)
-    import as.implicits._
-    val mod = graft.ops.Dedup.IncrementalMod
-    val rem = graft.ops.Dedup.IncrementalRem
-    val docSchema = as.read.parquet(s"$d/documents.parquet").schema
-    val arrivals = as.readStream.schema(docSchema)
-      .parquet(s"$d/[d]ocuments.parquet")
-      .where(col("doc_id") % mod === rem)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val arrivals = s14Arrivals(as, d)
     val newBands = graft.ops.Dedup.streamArrivalBandRows(arrivals)
     // the same standing-corpus view d16 grades against — under a
     // collapsed build its rows are representative-level and its
@@ -1307,6 +1392,7 @@ object Replay {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_stream_full_outer_join" -> s17 _,
     "s16_stream_increment" -> s16 _,
     "s15_stream_jsonl_ingest" -> s15 _,
     "s14_stream_admission" -> s14 _,
@@ -1329,6 +1415,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s17_stream_full_outer_join" -> s17Sql,
     "s16_stream_increment" -> graft.ops.Pipeline.p12Sql, // ingest-tier admission feeds the batch build verbatim
     "s15_stream_jsonl_ingest" -> graft.ops.Pipeline.p10Sql, // streamed JSONL digest == parquet digest
     "s14_stream_admission" -> graft.ops.Dedup.d16Sql, // ingest tier == nightly batch admission

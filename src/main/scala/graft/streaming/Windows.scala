@@ -112,6 +112,43 @@ object Windows {
         col("purchase_id"), col("click_id"))
   }
 
+  /** S17: stream-stream FULL OUTER interval join — s10's construction
+    * extended one notch (the round-19 verdict's missing tier): null
+    * emission on BOTH sides, so the state-eviction path s10 never
+    * touches (the CLICK side's unmatched rows aging out of state once
+    * the watermark proves no purchase can still pair with them) is
+    * exercised too. A purchase with no same-user click in the
+    * preceding hour emits (purchase, NULL click); a click that no
+    * purchase consumed within the hour AFTER it emits (NULL purchase,
+    * click) — both watermark-gated, so the replay runs the same
+    * two-sentinel flush protocol as s10 (the sentinels match each
+    * other into one pair excluded downstream by user_id).
+    *
+    * Scale shape: state on both sides is bounded by the interval
+    * condition + watermark exactly as in the inner/left forms — full
+    * outer adds no state, only the eviction-time null emission. */
+  def clickToPurchaseFullOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .where(col("event_type") === "click" || col("user_id") === -1L)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases
+      .where(col("event_type") === "purchase" || col("user_id") === -1L)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "full_outer")
+      .select(
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("purchase_id"), col("click_id"))
+  }
+
   /** Batch reference answers for the streaming jobs, over the events
     * table (used by tests and the S1/S3 oracle equivalence check). */
   def batchTumbling(s: SparkSession, dir: String): DataFrame =
