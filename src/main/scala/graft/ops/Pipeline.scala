@@ -1261,11 +1261,21 @@ object Pipeline {
     * feed, one anti-join + correction over the placement, zero corpus
     * text, zero kernel re-runs, zero windows on the broadcast path.
     * Ships the repaired order + lineage manifest like every build. */
-  def p13(s: SparkSession, d: String): DataFrame = {
+  def p13(s: SparkSession, d: String): DataFrame =
+    p13Over(s, d,
+      documents(s, d).select(col("doc_id"))
+        .where(col("doc_id") % graft.ops.Dedup.IncrementalMod === TakedownRem),
+      "p13")
+
+  /** the repair over an arbitrary takedown-id relation — ONE definition
+    * for the nightly census entry (p13) and the streamed-feed
+    * composition (s18, takedown = the drained event feed), mirroring
+    * d17Over/a16Over: the placement tier serves the same liveness
+    * whichever axis the deletion arrives on. */
+  private[graft] def p13Over(s: SparkSession, d: String,
+                             feed: DataFrame, name: String): DataFrame = {
     val M = graft.core.Materialize
     val placement = placementTable(s, d)
-    val feed = documents(s, d).select(col("doc_id"))
-      .where(col("doc_id") % graft.ops.Dedup.IncrementalMod === TakedownRem)
     val hit = placement.join(feed, "doc_id")
       .select(col("shard"), col("pos"), col("n_tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1277,7 +1287,7 @@ object Pipeline {
       if (nTakedown <= maxRows) exciseBroadcast(survivors, hit)
       else exciseWindowed(s, survivors)
     val (pk, pfp) = placementArtifact(s, d)
-    val out = shipBuild(s, "p13", repaired, Seq(
+    val out = shipBuild(s, name, repaired, Seq(
       ("published", pk, pfp, M.tablePath(s, pk, pfp)),
       ("input", "documents",
         M.fingerprint(d, "documents", s"takedown-feed-r$TakedownRem", ""),

@@ -1244,6 +1244,33 @@ object Replay {
         drained.select(col("ni"), col("ci"), col("jac")).distinct(), members))
   }
 
+  /** s18: STREAMING TAKEDOWN FEED, placement edition — s12/s13's
+    * contract on the TRAINING-ORDER tier, completing the deletion
+    * matrix's last row: {pair artifact, ANN index, shipped placement}
+    * × {census batch, event feed} now all serve the same liveness.
+    * Takedown requests for already-shipped docs arrive as an id-only
+    * event stream (the documents file cut to the takedown residue at
+    * the source — the same source-pushdown shape as s12) and drain
+    * into the per-run delete relation; the repair is p13's excision
+    * verbatim over the DRAINED set ([[graft.ops.Pipeline.p13Over]] —
+    * one definition, so the two takedown tiers ship bit-identical
+    * repaired orders by construction). Oracle = p13Sql VERBATIM.
+    *
+    * Scale shape: the drain is stateless (no watermark, no state
+    * store — ids pass through); the repair consumes only the published
+    * placement + the drained ids (broadcast-correction, zero
+    * exchanges). */
+  def s18(s: SparkSession, d: String): DataFrame = {
+    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val feed = s.readStream.schema(docSchema)
+      .parquet(s"$d/[d]ocuments.parquet") // one-file glob, as with events
+      .where(col("doc_id") % graft.ops.Dedup.IncrementalMod ===
+        graft.ops.Pipeline.TakedownRem)
+      .select(col("doc_id"))
+    val drained = sinkRun(s, feed, runBase(s, "s18"))
+    graft.ops.Pipeline.p13Over(s, d, drained, "s18")
+  }
+
   /** s15: STREAMING JSONL INGESTION — the interchange leg (p10) at the
     * ingest tier, closing interchange × {batch, stream}: training
     * corpora ARRIVE as JSON Lines drops (every open web-scrape release
@@ -1392,6 +1419,7 @@ object Replay {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_stream_placement_takedown" -> s18 _,
     "s17_stream_full_outer_join" -> s17 _,
     "s16_stream_increment" -> s16 _,
     "s15_stream_jsonl_ingest" -> s15 _,
@@ -1415,6 +1443,7 @@ object Replay {
     * s03/s04/s05 get their own SQL (interval self-join / distinct keys
     * / dimension join). */
   val oracle: Map[String, String] = Map(
+    "s18_stream_placement_takedown" -> graft.ops.Pipeline.p13Sql, // streamed feed == census batch repair
     "s17_stream_full_outer_join" -> s17Sql,
     "s16_stream_increment" -> graft.ops.Pipeline.p12Sql, // ingest-tier admission feeds the batch build verbatim
     "s15_stream_jsonl_ingest" -> graft.ops.Pipeline.p10Sql, // streamed JSONL digest == parquet digest

@@ -168,6 +168,14 @@ class Round20OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.dedup.hotBucketCapDocs")
   }
 
+  test("s18 == p13 bit-for-bit: the streamed takedown feed ships the " +
+    "identical repaired order as the census batch repair") {
+    val p13Rows = graft.ops.Pipeline.p13(spark, sf).collect().map(_.toSeq).toSeq
+    val s18Rows = graft.streaming.Replay.s18(spark, sf).collect().map(_.toSeq).toSeq
+    assert(s18Rows === p13Rows)
+    assert(s18Rows.nonEmpty)
+  }
+
   test("q43 full-outer reconciliation: the three match classes partition " +
     "the populations (both + customer_only = BUILDING customers; " +
     "both-side distinct + order_only custkeys = open-order custkeys)") {
