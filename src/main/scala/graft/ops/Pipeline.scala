@@ -1157,10 +1157,15 @@ object Pipeline {
 
   /** residue class of the takedown feed over the SHIPPED order —
     * day-2 takedown requests for docs p11 already placed. Disjoint
-    * from the other lifecycle residues (7 = day-1 arrivals, 3 =
-    * pre-build tombstones, 9 = appends), so the four lifecycle axes
-    * stay independently testable on one corpus. */
-  val TakedownRem = 5L
+    * from EVERY other lifecycle residue (7 = day-1 arrivals, 3 =
+    * pre-build tombstones, 9 = day-2 appends, 5 = d20's day-3 chain
+    * appends — the collision the round-20 self-review caught: 5 would
+    * have conflated 'newly appended on day 3' with 'taken down'), so
+    * the five lifecycle axes stay independently testable on one
+    * corpus. Bench ids (< [[graft.ops.Dedup.ContamBenchIds]]) in this
+    * residue are never placed, so the feed's inner join makes them
+    * no-ops by construction. */
+  val TakedownRem = 1L
 
   /** takedown rows above which the repair abandons the per-shard
     * broadcast-correction plan for the windowed re-rank (the broadcast

@@ -297,34 +297,40 @@ object Replay {
     * the child — safe, both would set the identical conf, and each
     * streaming query carries its own checkpoint/state. */
   private val admissionChildren =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
-  private[graft] def admissionSession(parent: SparkSession): SparkSession = {
-    val child = admissionChildren.synchronized {
-      admissionChildren.computeIfAbsent(parent, p => p.newSession())
+    new java.util.WeakHashMap[SparkSession, (SparkSession, scala.collection.mutable.Set[String])]()
+  private[graft] def admissionSession(parent: SparkSession): SparkSession =
+    admissionChildren.synchronized {
+      // serialized end-to-end: the child's conf must be synced to the
+      // parent's CURRENT snapshot atomically — set the new keys, and
+      // UNSET keys the previous acquisition copied that the parent has
+      // since unset (a re-copy that only adds would pin a stale
+      // spark.graft.* knob on the shared child forever; before the
+      // round-20 cache each drain's fresh newSession() reverted unset
+      // keys to defaults, and the cache must preserve that semantics)
+      val (child, applied) = admissionChildren.computeIfAbsent(parent,
+        p => (p.newSession(), scala.collection.mutable.Set.empty[String]))
+      val desired = scala.collection.mutable.Map.empty[String, String]
+      parent.conf.getAll.foreach { case (k, v) =>
+        if (k.startsWith("spark.graft.") ||
+            k == "spark.sql.shuffle.partitions" ||
+            k == "spark.sql.session.timeZone" ||
+            k == "spark.sql.legacy.parquet.nanosAsLong") desired(k) = v
+      }
+      admissionStateProvider(parent).foreach { cls =>
+        desired("spark.sql.streaming.stateStore.providerClass") = cls
+        desired(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled") =
+          "true"
+        // (an explicit `memory` opt-out simply omits the provider keys
+        // from `desired`; the removed-key sweep below then unsets any
+        // pin a previous acquisition left on the cached child)
+      }
+      (applied -- desired.keySet).foreach { k =>
+        child.conf.unset(k); applied -= k
+      }
+      desired.foreach { case (k, v) => child.conf.set(k, v); applied += k }
+      child
     }
-    val inherit = parent.conf.getAll.filter { case (k, _) =>
-      k.startsWith("spark.graft.") ||
-        k == "spark.sql.shuffle.partitions" ||
-        k == "spark.sql.session.timeZone" ||
-        k == "spark.sql.legacy.parquet.nanosAsLong"
-    }
-    inherit.foreach { case (k, v) => child.conf.set(k, v) }
-    admissionStateProvider(parent) match {
-      case Some(cls) =>
-        child.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
-        child.conf.set(
-          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-          "true")
-      case None =>
-        // a cached child may carry a previous acquisition's provider
-        // pin — an explicit `memory` opt-out must clear it, not
-        // inherit stale RocksDB conf from an earlier drain
-        child.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        child.conf.unset(
-          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
-    }
-    child
-  }
 
   private val admissionConfLock = new Object
   private[graft] def withAdmissionStateProvider[T](s: SparkSession)(body: => T): T =

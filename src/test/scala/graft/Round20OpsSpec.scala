@@ -109,7 +109,7 @@ class Round20OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("doc_id") % graft.ops.Dedup.IncrementalMod === P.TakedownRem)
     val nPlaced = placement.count()
     val nHit = placement.join(feedIds, "doc_id").count()
-    assert(nHit > 0, "sf0.001 must place at least one rem-5 doc for this spec")
+    assert(nHit > 0, "sf0.001 must place at least one takedown-residue doc for this spec")
     val repaired = P.p13(s, sf).collect().map(_.toSeq).toSeq
     assert(repaired.size.toLong === nPlaced - nHit)
     // rebuild-at-placement-stage: re-rank the survivors of the SAME
@@ -166,6 +166,14 @@ class Round20OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c3.conf.get("spark.graft.dedup.hotBucketCapDocs") === "456",
         "re-acquisition must re-copy runtime-set knobs from the parent")
     } finally spark.conf.unset("spark.graft.dedup.hotBucketCapDocs")
+    // stale-key sweep (the round-20 self-review finding): once the
+    // parent UNSETS a knob, the next acquisition must clear it from
+    // the shared child too — a re-copy that only adds would pin the
+    // stale value for the life of the cache, where the pre-cache
+    // fresh-newSession semantics reverted it to the default
+    val c4 = R.admissionSession(spark)
+    assert(c4.conf.getOption("spark.graft.dedup.hotBucketCapDocs").isEmpty,
+      "a knob unset on the parent must leave the cached child")
   }
 
   test("s18 == p13 bit-for-bit: the streamed takedown feed ships the " +

@@ -29,7 +29,7 @@ import duckdb
 import pandas as pd
 
 MOD, REM, TOMB = 10, 7, 3
-TAKEDOWN = 5
+TAKEDOWN = 1  # Pipeline.TakedownRem (5 collided with d20's Append2Rem)
 SHARDS, PACK = 8, 512
 BENCH_IDS = 20       # doc_id < 20 = benchmark docs (decon side)
 SIMHASH_BITS = 60
@@ -251,6 +251,11 @@ def p11_corpus(trial):
 def p11_trials(oracle, ok):
     for name, rem in (("p11_corpus_build", None),
                       ("p13_placement_takedown", TAKEDOWN)):
+        if name not in oracle:
+            # Verify's optional prefix filter dumps partial files —
+            # absent entries are a skipped trial, not a FAIL
+            print(f"SKIP {name}: not in this oracle dump")
+            continue
         sql = oracle[name]
         for trial in (1, 2, 3):
             docs = p11_corpus(trial)
@@ -278,7 +283,10 @@ def p11_trials(oracle, ok):
 
 def main():
     oracle = json.load(open(sys.argv[1]))
-    sql = oracle["p12_incremental_build"]
+    sql = oracle.get("p12_incremental_build")
+    if sql is None:
+        print("SKIP p12_incremental_build: not in this oracle dump")
+        sys.exit(0 if p11_trials(oracle, True) else 1)
     ok = True
     for trial in (1, 2, 3):
         rnd = random.Random(8800 + trial)
