@@ -293,9 +293,19 @@ object Replay {
     * child per parent is semantically identical; the inherit keys are
     * RE-COPIED on every acquisition so a runtime `conf.set` on the
     * parent between drains still propagates. WeakHashMap: a dropped
-    * parent releases its child. Concurrent drains on one parent share
-    * the child — safe, both would set the identical conf, and each
-    * streaming query carries its own checkpoint/state. */
+    * parent releases its child. Concurrency contract: acquisition is
+    * atomic (one lock around the whole snapshot sync, including the
+    * stale-key unsets), so overlapping drains of one parent see
+    * identical conf as long as the parent's knobs don't change BETWEEN
+    * their acquisitions; mutating a knob (or the provider opt-out) on
+    * the parent while another drain of the same parent is mid-flight
+    * propagates to the shared child at the next acquisition and can
+    * reach the in-flight drain's not-yet-planned stages — the
+    * visibility a runtime knob normally has, but different from the
+    * pre-cache one-private-session-per-drain behavior. A caller that
+    * needs a drain pinned against concurrent knob churn should read
+    * the knob once at plan construction (the hotBucketCapDocs
+    * discipline) or serialize its drains. */
   private val admissionChildren =
     new java.util.WeakHashMap[SparkSession, (SparkSession, scala.collection.mutable.Set[String])]()
   private[graft] def admissionSession(parent: SparkSession): SparkSession =

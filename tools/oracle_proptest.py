@@ -248,15 +248,22 @@ def p11_corpus(trial):
     return docs
 
 
+TRIALS_RUN = [0]  # zero-trial tripwire: SKIPs alone must not read green
+
+
 def p11_trials(oracle, ok):
     for name, rem in (("p11_corpus_build", None),
                       ("p13_placement_takedown", TAKEDOWN)):
         if name not in oracle:
             # Verify's optional prefix filter dumps partial files —
-            # absent entries are a skipped trial, not a FAIL
+            # absent entries are a skipped trial, not a FAIL (but see
+            # the zero-trial tripwire in main: a dump covering NONE of
+            # the proptested entries exits non-zero, so a renamed
+            # oracle key can never silently pass as all-SKIP green)
             print(f"SKIP {name}: not in this oracle dump")
             continue
         sql = oracle[name]
+        TRIALS_RUN[0] += 1
         for trial in (1, 2, 3):
             docs = p11_corpus(trial)
             frame = pd.DataFrame({
@@ -286,7 +293,13 @@ def main():
     sql = oracle.get("p12_incremental_build")
     if sql is None:
         print("SKIP p12_incremental_build: not in this oracle dump")
-        sys.exit(0 if p11_trials(oracle, True) else 1)
+        ok = p11_trials(oracle, True)
+        if TRIALS_RUN[0] == 0:
+            print("FAIL: no proptest-covered entry in this dump — "
+                  "nothing was validated (wrong file or renamed keys?)")
+            sys.exit(2)
+        sys.exit(0 if ok else 1)
+    TRIALS_RUN[0] += 1
     ok = True
     for trial in (1, 2, 3):
         rnd = random.Random(8800 + trial)
