@@ -260,12 +260,19 @@ object Tpch {
     * gap 1): BUILDING-segment customers ⟗ open ('O') orders, so BOTH
     * null-extended sides are populated (customers with no open order,
     * open orders of non-BUILDING customers) and the report classifies
-    * every row by match class. Spark picks a shuffled sort-merge /
-    * hash full-outer on the equi key — the scale shape (a full outer
-    * cannot broadcast: both sides must see unmatched partners, so the
-    * shuffle on custkey IS the plan you want at 100 TB; AQE handles
-    * skew). The aggregation is map-side combinable over the join
-    * output. */
+    * every row by match class. Spark picks a shuffled sort-merge
+    * full-outer on the equi key — the scale shape (a full outer cannot
+    * broadcast: both sides must see unmatched partners, so the shuffle
+    * on custkey IS the plan). Skew caveat at 100 TB: AQE's
+    * OptimizeSkewedJoin does NOT support FullOuter (it can split a
+    * skewed partition only on the side whose rows may be replicated —
+    * full outer has no such side), so a genuinely skewed key here
+    * needs the decomposition `A ⟗ B == (A left-outer B) UNION ALL
+    * (B left-anti A, null-extended)` — both halves ARE
+    * AQE-skew-optimizable and together produce exactly the full-outer
+    * rows. On this key (custkey vs orders) skew is mild and the
+    * native operator is the right default. The aggregation is
+    * map-side combinable over the join output. */
   def q43(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).where(col("c_mktsegment") === "BUILDING")
     val o = orders(s, d).where(col("o_orderstatus") === "O")
