@@ -48,6 +48,20 @@ import graft.ingest.KinesisRecord
   */
 object FileEmuStore {
 
+  /** per-JVM sequence folded into every staged-file name. pid+nanoTime
+    * alone is NOT unique across threads: two threads staging the SAME
+    * (key, partition) can draw the same nanoTime (kernel clock
+    * granularity), collide on one .tmp path, and then the first mover
+    * strands the second (NoSuchFileException — caught live by
+    * CrossProcessEmuSpec's 8-thread token race after ~60 suite runs);
+    * worse, the shared TARGET name would let the token-race LOSER's
+    * cleanup delete the WINNER's committed data file. The counter makes
+    * names unique within the JVM; pid keeps them unique across
+    * processes. */
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def uniqName(): String =
+    s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}-${stageSeq.getAndIncrement()}"
+
   private def streamDir(dir: String, stream: String): Path = Paths.get(dir, stream)
   private def commitsDir(dir: String, stream: String): Path = streamDir(dir, stream).resolve("commits")
   private def dataDir(dir: String, stream: String): Path = streamDir(dir, stream).resolve("data")
@@ -113,7 +127,7 @@ object FileEmuStore {
     // this check a late retry of an old epoch would re-commit it
     if (segmentCovered(dir, stream, key, partition)) return false
     val visible: Option[Path] = if (records.nonEmpty) {
-      val uniq = s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
+      val uniq = uniqName()
       val tmp = dataDir(dir, stream).resolve(s".tmp-${key}_$partition-$uniq")
       val out = new DataOutputStream(
         new java.io.BufferedOutputStream(Files.newOutputStream(tmp)))
@@ -325,7 +339,7 @@ object FileEmuStore {
     }
     if (fresh.nonEmpty || oldSegs.size > 1) {
       val merged = sortBatches(oldEntries ++ fresh)
-      val uniq = s"${java.lang.ProcessHandle.current.pid}-${System.nanoTime}"
+      val uniq = uniqName()
       val tmp = segmentsDir(dir, stream).resolve(s".tmp-$uniq")
       writeSegment(tmp, merged)
       Files.move(tmp, segmentsDir(dir, stream).resolve(s"$uniq.seg"),
