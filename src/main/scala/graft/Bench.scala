@@ -395,9 +395,19 @@ object Bench {
       // single-sample); the retry is evidence: retry ~ frozen median
       // = transient host burst, retry ~ first sample = a persistent
       // slowdown the adjudication rule must face.
-      val retry: Option[(Double, Long, Boolean)] =
-        frozenMed.get(name).filter(m => secs >= 1.0 && secs >= 2.0 * m).map { _ =>
+      // load-guarded requeue (round-21, verdict item 1b): a sample taken
+      // while the host load1m exceeded half the core count is suspect at
+      // a LOWER ratio than the 2x rule — the r20 d04 sample (10.3 s at
+      // load 24, retry 2.6 s) was adjudicated by retry only by luck of
+      // the 2x trigger. Both triggers re-run once; the retry's OWN
+      // load1m is stamped so the adjudicator can see whether the second
+      // sample was clean instead of inferring it.
+      val retry: Option[(Double, Long, Boolean, Double)] =
+        frozenMed.get(name).filter(m => secs >= 1.0 &&
+          (secs >= 2.0 * m ||
+            (load0 > cpus.toDouble / 2 && secs >= 1.4 * m))).map { _ =>
           val rp0 = graft.core.Materialize.publishCount
+          val rLoad = loadAvg
           val rt0 = System.nanoTime()
           // a THROWN retry must not read as a fast clean second sample —
           // time-to-failure near the frozen median would falsely
@@ -413,10 +423,11 @@ object Bench {
             }
           val rSecs = (System.nanoTime() - rt0) / 1e9
           cleanStorage()
-          (rSecs, graft.core.Materialize.publishCount - rp0, failed)
+          (rSecs, graft.core.Materialize.publishCount - rp0, failed, rLoad)
         }
-      val retryJson = retry.map { case (rs, rp, rf) =>
+      val retryJson = retry.map { case (rs, rp, rf, rl) =>
         s""","retry_sec":${math.round(rs * 1000) / 1000.0},"retry_pub":$rp""" +
+          s""","retry_load1m":${math.round(rl * 100) / 100.0}""" +
           (if (rf) ""","retry_failed":true""" else "")
       }.getOrElse("")
       val d = s"""{"q":"$name","sec":${math.round(secs * 1000) / 1000.0},""" +
@@ -426,20 +437,20 @@ object Bench {
         retryJson + stagesJson + "}"
       System.err.println(s"[bench-diag] $d")
       diag.append(d).append('\n')
-      (name, secs, pubN, retry)
+      (name, secs, pubN, retry, load0)
     } finally sc.removeSparkListener(stageRec) // no bus accumulation if
     // run() is ever invoked twice in one JVM (round-13 advice)
     runControl("post")
     // 3-decimal seconds: ms precision (scheduling noise is +-100 ms);
     // full precision doubled the line length past the driver's capture.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val rounded = results.map { case (k, v, _, _) => k -> r3(v) }
+    val rounded = results.map { case (k, v, _, _, _) => k -> r3(v) }
     // entries whose timed window included a materialization publish —
     // a COLD sample (first run at this corpus fingerprint, or an
     // always-compute kernel). Three rounds running, first-run publishes
     // read as false regressions in the driver's single run; the marker
     // makes them mechanically adjudicable from the tail line alone.
-    val coldNames = results.collect { case (k, _, p, _) if p > 0 => k }.toSet
+    val coldNames = results.collect { case (k, _, p, _, _) if p > 0 => k }.toSet
     // session-ambient yardstick: median of the 3 control runs (full
     // list in the diag file). Extra top-level JSON keys are additive —
     // the driver's parser reads metric/value/queries and ignores these.
@@ -453,7 +464,7 @@ object Bench {
     // themselves stay unstarred: they are the cross-round join key for
     // BASELINE comparisons, and a key that mutates with cache state
     // would silently drop the entry from that join.
-    val coldList = results.collect { case (k, _, p, _) if p > 0 =>
+    val coldList = results.collect { case (k, _, p, _, _) if p > 0 =>
       "\"" + k.takeWhile(_ != '_') + "\"" }.mkString("[", ",", "]")
     // ---- per-slow-entry ADJUDICATION (round-13 verdict item 1): the
     // d02 exoneration depended on a /tmp diag file surviving until the
@@ -490,18 +501,32 @@ object Bench {
     // xa ~ 1.0 is the ambient exoneration as arithmetic.
     val ambLight = frozenMed.get("_control").map(ctl / _)
     val ambHeavy = frozenMed.get("_control2").map(ctl2 / _)
-    val allVerdicts = results.flatMap { case (name, sec, pubN, retry) =>
+    val allVerdicts = results.flatMap { case (name, sec, pubN, retry, load0) =>
       frozenMed.get(name).filter(m =>
         !name.startsWith("_") && sec >= 1.0 && sec >= 1.4 * m).map { m =>
         val base = s""""q":"${name.takeWhile(_ != '_')}","sec":${r3(sec)},""" +
           s""""x":${r3(sec / m)},"pub":$pubN""" +
+          // the sample's own host-contention reading (round-21, verdict
+          // item 1b): the load verdict rides IN the adjudication row —
+          // load1m > cpus/2 marks the official sample contended
+          s""","load1m":${r3(load0)}""" +
+          // streaming entries additionally carry the data-dependent
+          // residual after this run's measured tier fixed cost (round-21,
+          // verdict item 7): sec_net = sec − control_stream. The frozen
+          // medians predate the probe, so the RATIO stays on raw sec;
+          // once a freeze stamps _control_stream the net ratio can take
+          // over the s-tier gate.
+          (if (name.startsWith("s"))
+            s""","sec_net":${r3(math.max(0.0, sec - ctlStream))}""" else "") +
           ambHeavy.filter(_ > 0).map(a =>
             s""","xa":${r3(sec / m / a)}""").getOrElse("") +
-          // the measured second sample (>2x entries re-ran once, clean
-          // storage, same session): retry_x near 1 = transient burst,
-          // retry_x near x = persistent — the ambient argument as data
-          retry.map { case (rs, _, rf) =>
+          // the measured second sample (>2x entries — and, round 21,
+          // load-contended >1.4x entries — re-ran once, clean storage,
+          // same session): retry_x near 1 = transient burst, retry_x
+          // near x = persistent — the ambient argument as data
+          retry.map { case (rs, _, rf, rl) =>
             s""","retry_sec":${r3(rs)},"retry_x":${r3(rs / m)}""" +
+              s""","retry_load1m":${r3(rl)}""" +
               (if (rf) ""","retry_failed":true""" else "") }.getOrElse("")
         val withStages = stageFacts.get(name).map { f =>
           val same = frozenSig.get(name).flatMap { sig =>

@@ -28,8 +28,18 @@ object Explain {
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val secs = (for {s <- i.submissionTime; e <- i.completionTime} yield (e - s) / 1000.0)
+        // first graft frame in the callsite: attributes broadcast-future
+        // stages (whose name is just withThreadLocalCaptured) to the
+        // operator line that submitted them
+        val where = i.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("Explain"))
+          .map(_.trim.take(70)).getOrElse("")
+        val m = Option(i.taskMetrics)
+        val cpu = m.map(_.executorCpuTime / 1e9).getOrElse(-1.0)
+        val task = m.map(_.executorRunTime / 1e3).getOrElse(-1.0)
         println(f"[stage] id=${i.stageId} tasks=${i.numTasks} " +
-          f"time=${secs.getOrElse(-1.0)}%.2fs  ${i.name.takeWhile(_ != '\n').take(90)}")
+          f"time=${secs.getOrElse(-1.0)}%.2fs task=$task%.1fs cpu=$cpu%.1fs " +
+          f"${i.name.takeWhile(_ != '\n').take(40)} @ $where")
       }
     })
     val df = SparkEntry.queries(name)(spark, sfDir)

@@ -87,7 +87,8 @@ object Main {
         // under the swept replay root (round 18): run-dir retention
         // reaps finished CLI checkpoints by age like every replay's
         .option("checkpointLocation",
-          s"/tmp/graft_replay/cli-stream-${System.nanoTime()}")
+          s"${graft.streaming.Replay.replayRoot(spark)}/" +
+            s"cli-stream-${System.nanoTime()}")
         .outputMode("append").start()
       Thread.sleep(seconds * 1000L)
       q.stop()

@@ -1971,18 +1971,34 @@ object Dedup {
     * empty range). */
   def d11(s: SparkSession, d: String): DataFrame = {
     val occ = documents(s, d)
+      // pinned repartition: the corpus file is one row group, so the
+      // span-md5 explode otherwise runs on one core (t10/d04 discipline)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= SpanLen)
       .withColumn("sh", explode(expr(
         s"transform(sequence(1, size(toks) - ${SpanLen - 1}), i -> md5(concat_ws(' ', slice(toks, i, $SpanLen))))")))
       .select(col("source"), col("doc_id"), col("sh"))
-    val spanDocs = occ.groupBy("sh")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    occ.join(spanDocs, "sh")
-      .groupBy("source")
+    // ONE explode pass (r21: was two — a countDistinct agg AND the full
+    // occurrence stream re-exploded into a join against it). Level 1
+    // groups by (sh, source): per-source multiplicity n_so plus
+    // per-source distinct docs nd_so; a doc has exactly one source, so
+    // the per-sh distinct-doc count is Σ nd_so. Level 2 folds the ≤
+    // #sources rows per sh; the per-source struct list re-expands to
+    // exactly the old join's (occurrence, nd) pairs pre-aggregated by
+    // multiplicity — identical spans_total / spans_duplicated.
+    val perSrc = occ.groupBy("sh", "source").agg(
+      count(lit(1)).as("n_so"),
+      countDistinct(col("doc_id")).as("nd_so"))
+    val bySh = perSrc.groupBy("sh").agg(
+      sum(col("nd_so")).as("nd"),
+      collect_list(struct(col("source"), col("n_so"))).as("per_src"))
+    bySh.select(col("nd"), explode(col("per_src")).as("e"))
+      .groupBy(col("e.source").as("source"))
       .agg(
-        big(count(lit(1))).as("spans_total"),
-        big(sum(when(col("nd") >= 2, 1L).otherwise(0L))).as("spans_duplicated"))
+        big(sum(col("e.n_so"))).as("spans_total"),
+        big(sum(when(col("nd") >= 2, col("e.n_so")).otherwise(0L)))
+          .as("spans_duplicated"))
       .withColumn("dup_fraction",
         col("spans_duplicated").cast(DoubleType) / col("spans_total").cast(DoubleType))
       .orderBy("source")
@@ -2021,6 +2037,9 @@ object Dedup {
     * for that decision). */
   def d12(s: SparkSession, d: String): DataFrame = {
     val occ = documents(s, d)
+      // pinned repartition: single-row-group scan, one-core explode
+      // otherwise (t10/d04 discipline)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= SpanLen)
       .withColumn("sh", explode(expr(
@@ -2249,10 +2268,18 @@ object Dedup {
       .join(bands.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
-    val found = truth.join(cand, Seq("a", "b"))
+    // ONE pass over truth (r21): true_pairs and found_pairs used to be
+    // two separate aggregate subtrees (truth.agg ⨯ (truth⋈cand).agg),
+    // so the UNPERSISTED truth — whose inverted-index self-join is the
+    // instrument's dominant stage — executed twice per report. A left
+    // join against the (already DISTINCT) candidate set counts both in
+    // one evaluation: found = truth rows with a candidate match.
     val report = sample.agg(big(count(lit(1))).as("sampled_docs"))
-      .crossJoin(truth.agg(big(count(lit(1))).as("true_pairs")))
-      .crossJoin(found.agg(big(count(lit(1))).as("found_pairs")))
+      .crossJoin(
+        truth.join(cand.withColumn("f", lit(1)), Seq("a", "b"), "left")
+          .agg(big(count(lit(1))).as("true_pairs"),
+            big(sum(when(col("f").isNotNull, 1L).otherwise(0L)))
+              .as("found_pairs")))
       .withColumn("recall",
         when(col("true_pairs") === 0, lit(1.0))
           .otherwise(col("found_pairs").cast(DoubleType) / col("true_pairs").cast(DoubleType)))

@@ -662,6 +662,12 @@ object Pipeline {
     * the decon join). */
   private def benchShingles(live: DataFrame): DataFrame =
     live.where(col("doc_id") < graft.ops.Dedup.ContamBenchIds)
+      // pinned repartition before the CPU-dense redact+shingle explode,
+      // for the same single-row-group reason as [[cleanRedacted]] — the
+      // OUTPUT is tiny (broadcast by the decon join) but the redact pass
+      // itself otherwise runs on one core
+      .repartition(live.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .withColumn("red", graft.ops.TextAnalysis.redactTokens(split(col("text"), " ")))
       .where(size(col("red")) >= graft.ops.Dedup.ShingleWords)
       .select(explode(array_distinct(shingleOfRed)).as("sh")).distinct()

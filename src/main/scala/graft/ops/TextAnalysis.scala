@@ -402,18 +402,28 @@ object TextAnalysis {
     * never travels past the shingle projection. */
   def t10(s: SparkSession, d: String): DataFrame = {
     val occ = documents(s, d)
+      // pinned repartition before the CPU-dense shingle-md5 explode:
+      // the corpus file is a single row group, so the scan-rooted stage
+      // otherwise runs on ONE core (r20 diag: two 1.6–1.8 s single-task
+      // stages; the cleanRedacted/d04 discipline)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= Dedup.SpanLen)
       .withColumn("sh", explode(expr(
         s"transform(sequence(1, size(toks) - ${Dedup.SpanLen - 1}), i -> md5(concat_ws(' ', slice(toks, i, ${Dedup.SpanLen}))))")))
       .select(col("source"), col("doc_id"), col("sh"))
-    val firstDoc = occ.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
-    val firstSource = firstDoc
+    // ONE shingle pass (r21: was two — a min(doc_id) agg AND a distinct
+    // (source, sh), each re-scanning and re-exploding the corpus): per
+    // shingle, the first doc and the distinct source set together;
+    // exploding the set afterwards reproduces distinct (source, sh)
+    // exactly, so the per-source counts are unchanged.
+    val bySh = occ.groupBy("sh").agg(
+      min(col("doc_id")).as("first_doc"),
+      collect_set(col("source")).as("srcs"))
+    bySh
       .join(documents(s, d).select(col("doc_id").as("first_doc"),
         col("source").as("first_source")), "first_doc")
-      .select(col("sh"), col("first_source"))
-    occ.select("source", "sh").distinct()
-      .join(firstSource, "sh")
+      .select(col("first_source"), explode(col("srcs")).as("source"))
       .groupBy("source")
       .agg(
         big(count(lit(1))).as("shingles_distinct"),
@@ -549,8 +559,19 @@ object TextAnalysis {
   def t12(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     var cur = documents(s, d)
+      // pinned repartition: single-row-group corpus file, same reason
+      // as t10 — and the per-round doc_id windows reuse this exchange
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("tok"))
+    // NOT cached per round (r21 A/B): persisting each round's table to
+    // stop round k re-running rounds 1..k−1 measured no better than the
+    // plain chain at T12Rounds=3 once the pinned repartition gave the
+    // windows 32-way parallelism (cache 4.3/4.3/3.4 s vs no-cache
+    // 5.7/3.7/3.9 s interleaved) — the rewrite chain is cheap to
+    // recompute at full width, and the cache's write+read round trip
+    // costs what the recompute saves. A much deeper merge loop would
+    // revisit (localCheckpoint per round).
     var merges = Seq.empty[(Long, String, String, Long)]
     var done = false
     for (r <- 1 to T12Rounds if !done) {

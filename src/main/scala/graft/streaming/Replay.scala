@@ -165,9 +165,25 @@ object Replay {
     * run dirs — p10/p11 — are allocated through the swept path). */
   private[graft] val runBaseCalls = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Root for replay run dirs (checkpoint + sink scratch, read back
+    * within the same call and then retention-swept): RAM-backed when
+    * the host has a tmpfs, for the same reason build.sbt puts
+    * spark.local.dir on /dev/shm — every micro-batch commits state
+    * deltas + offset/commit log files per partition, and on this box's
+    * shared virtio disk those small synchronous writes were the
+    * dominant non-CPU cost of the streaming entries (r20 diag: s03's
+    * stateful stages read 21.8 s task time vs 0.28 s CPU). A real
+    * deployment points `spark.graft.replay.root` at its durable
+    * checkpoint store; the scratch default only has to survive the
+    * run that created it. */
+  private[graft] def replayRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.replay.root").getOrElse(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_replay"
+      else "/tmp/graft_replay")
+
   private[graft] def runBase(s: SparkSession, name: String): String = {
     runBaseCalls.incrementAndGet()
-    val root = "/tmp/graft_replay"
+    val root = replayRoot(s)
     new java.io.File(root).mkdirs()
     val ageMs = s.conf.getOption("spark.graft.replay.sweepAgeMs")
       .map(_.toLong).getOrElse(6L * 60 * 60 * 1000)
@@ -212,12 +228,27 @@ object Replay {
     * at query start; result sets are partitioning-independent) and
     * restore the session setting after. A real deployment sizes this
     * to its state volume — the knob is per-query by design. */
-  private def withReplayPartitions[T](s: SparkSession)(body: => T): T = {
+  private def withReplayPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
   }
+
+  /** Partition count for ADMISSION-tier drains (s14/s16/the dedup-drain
+    * rails). Measured A/B at sf0.1 (r21): raising it to the session's
+    * 32 cores made the drain SLOWER (s14 14.7 s vs 9.4 s, s16 21.6 s
+    * vs 12.2 s, warm medians) — per-store RocksDB init/commit/changelog
+    * overhead at 32 instances × batches swamps the extra parallelism;
+    * the CPU-dense verify is widened AFTER the stateful operator
+    * instead (pinned repartition in [[s14]], which the state exchange
+    * does not see). `spark.graft.stream.admissionPartitions` overrides
+    * — a production deployment sizes it to state volume (the round-17
+    * 40.7M-key sweep completes at 8; a larger watermark window scales
+    * the knob, not the code). */
+  private[graft] def admissionPartitions(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.stream.admissionPartitions").map(_.toInt)
+      .getOrElse(8)
 
   /** FQCN of Spark's disk-backed state store provider (rocksdbjni ships
     * in the Spark distribution). */
@@ -383,8 +414,9 @@ object Replay {
   /** one AvailableNow pass of a streaming `df` into `$base/out`,
     * returned as a batch reader — the single-bootstrap entries'
     * (s06/s07) whole sink protocol. */
-  private def sinkRun(s: SparkSession, df: DataFrame, base: String): DataFrame = {
-    withReplayPartitions(s) {
+  private def sinkRun(s: SparkSession, df: DataFrame, base: String,
+                      partitions: Int = 8): DataFrame = {
+    withReplayPartitions(s, partitions) {
       leasedQueryRun(s, base) {
         df.writeStream.format("parquet")
           .option("path", s"$base/out")
@@ -1221,6 +1253,13 @@ object Replay {
       .transform(StreamDedup.dedupWithinWatermark(_, Seq("ni", "ci"),
         "arrival_ts", "10 seconds"))
       .drop("arrival_ts")
+    // NOT widened below the stateful operator (r21 A/B): a pinned
+    // repartition(defaultParallelism) between the dedup and the verify
+    // — to spread the verify CPU past the 8 admission partitions —
+    // measured SLOWER interleaved-A/B in one JVM (11.1/13.3/11.3 s
+    // plain vs 15.6/16.2/13.9 s widened): the extra per-micro-batch
+    // exchange of the (ni, ci, ta) rows costs more than the added
+    // cores return at this state/batch granularity.
     val withTb = cand.join(
       corpus.where(col("band") === 0)
         .select(col("i").as("ci"), col("toks").as("tb")), "ci")
@@ -1230,7 +1269,8 @@ object Replay {
     // default, carried by the CHILD session's conf (set once at
     // [[admissionSession]] creation — no session-wide set/restore
     // window for another tier to inherit from)
-    val drained = sinkRun(as, pairs, runBase(as, "s14"))
+    val drained = sinkRun(as, pairs, runBase(as, "s14"),
+      partitions = admissionPartitions(as))
     s14Report(as, d, drained, corpusView.members)
   }
 
@@ -1381,7 +1421,7 @@ object Replay {
         "arrival_ts", "10 seconds"))
       .drop("arrival_ts")
     var finalState = -1L
-    withReplayPartitions(as) {
+    withReplayPartitions(as, admissionPartitions(as)) {
       leasedQueryRun(as, base) {
         feed.writeStream.format("parquet")
           .option("path", s"$base/out")

@@ -101,7 +101,8 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     // allocated through the swept replay root
-    assert(P.lastBuildBase.startsWith("/tmp/graft_replay/p11-"))
+    assert(P.lastBuildBase.startsWith(
+      graft.streaming.Replay.replayRoot(spark) + "/p11-"))
   }
 
   // ---- p12: the incremental build — placement continuity, manifest
@@ -156,7 +157,8 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"manifest incomplete — ledger-read artifacts absent: $missing")
     arts.foreach(a => assert(manifest.contains(a),
       s"the manifest must name the consumed artifact $a"))
-    assert(P.lastBuildBase.startsWith("/tmp/graft_replay/p12-"))
+    assert(P.lastBuildBase.startsWith(
+      graft.streaming.Replay.replayRoot(spark) + "/p12-"))
 
     // placement continuity: within each shard, positions start ONE past
     // the published base count (the increment never recomputes the base
@@ -241,7 +243,8 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.toSeq).toSet
     assert(streamed === batch,
       "the streaming increment must equal the batch increment exactly")
-    assert(P.lastBuildBase.startsWith("/tmp/graft_replay/s16-"))
+    assert(P.lastBuildBase.startsWith(
+      graft.streaming.Replay.replayRoot(spark) + "/s16-"))
     // the composed artifacts agree too (placement row sets)
     val placed = spark.read.parquet(s"${P.lastBuildBase}/train").collect()
       .map(_.toSeq).toSet
@@ -362,7 +365,8 @@ class Round19OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("bin"), r.getAs[Long]("bin_off"),
         r.getAs[Long]("doc_id"))).toSet
     assert(sPlaced === expected)
-    assert(P.lastBuildBase.startsWith("/tmp/graft_replay/s16-"))
+    assert(P.lastBuildBase.startsWith(
+      graft.streaming.Replay.replayRoot(spark) + "/s16-"))
   }
 
   // ---- p12 placement-model property trials: random novel-token
