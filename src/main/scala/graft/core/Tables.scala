@@ -116,4 +116,17 @@ object Tables {
 
   /** canonical BIGINT for counts/sums of integers. */
   def big(c: Column): Column = c.cast(LongType)
+
+  /** Pinned repartition ahead of a CPU-dense explode whose input is a
+    * single-split scan (each corpus parquet is one row group, so the
+    * scan-rooted stage otherwise runs on ONE core — the t10/d04
+    * discipline, round 21). `spark.graft.explode.spread=false` disables
+    * it so one JVM can interleave A/B of the exchange cost vs the
+    * parallelism win per entry; the explicit partition count is never
+    * AQE-coalesced. Result-neutral by construction (partitioning only). */
+  def spread(df: DataFrame, key: Column): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.explode.spread")
+        .forall(_.toBoolean))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    else df
 }

@@ -2102,7 +2102,13 @@ object Dedup {
     * never corpus-wide). Volume rides the token count, the same rail
     * as d11; no pairwise term anywhere. */
   def d15(s: SparkSession, d: String): DataFrame = {
-    val e = documents(s, d)
+    // spread: single-row-group scan would run the span-md5 explode on
+    // one core, and this subtree executes TWICE (the firsts agg and the
+    // occurrence join both consume it). Interleaved A/B, same JVM
+    // (r21): spread 2.55/2.13 s vs unspread 4.30/2.78 s — the per-span
+    // MD5 is dense enough to repay the exchange (t11/t13, whose
+    // explodes are plain split/element_at, measured the opposite).
+    val e = spread(documents(s, d), col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= SpanLen) // sequence() counts DOWN below this
       .select(col("doc_id"), col("toks"),

@@ -1292,19 +1292,22 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxRows = s.conf.getOption("spark.graft.p13.broadcastMaxRows")
       .map(_.toLong).getOrElse(TakedownBroadcastMaxRows)
-    val nTakedown = hit.count() // takedown-sized action (plan choice)
-    val survivors = placement.join(feed, Seq("doc_id"), "left_anti")
-    val repaired =
-      if (nTakedown <= maxRows) exciseBroadcast(survivors, hit)
-      else exciseWindowed(s, survivors)
-    val (pk, pfp) = placementArtifact(s, d)
-    val out = shipBuild(s, name, repaired, Seq(
-      ("published", pk, pfp, M.tablePath(s, pk, pfp)),
-      ("input", "documents",
-        M.fingerprint(d, "documents", s"takedown-feed-r$TakedownRem", ""),
-        s"$d/documents.parquet")))._2
-    hit.unpersist(blocking = false)
-    out
+    // try/finally: the persisted takedown set must not outlive this
+    // call if the count, the repair, or the build throws (a leaked
+    // MEMORY_AND_DISK dataset holds storage memory for the session)
+    try {
+      val nTakedown = hit.count() // takedown-sized action (plan choice)
+      val survivors = placement.join(feed, Seq("doc_id"), "left_anti")
+      val repaired =
+        if (nTakedown <= maxRows) exciseBroadcast(survivors, hit)
+        else exciseWindowed(s, survivors)
+      val (pk, pfp) = placementArtifact(s, d)
+      shipBuild(s, name, repaired, Seq(
+        ("published", pk, pfp, M.tablePath(s, pk, pfp)),
+        ("input", "documents",
+          M.fingerprint(d, "documents", s"takedown-feed-r$TakedownRem", ""),
+          s"$d/documents.parquet")))._2
+    } finally hit.unpersist(blocking = false)
   }
 
   /** Oracle: p11's full chain with the takedown excluded at the

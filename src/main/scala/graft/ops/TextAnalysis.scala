@@ -480,6 +480,13 @@ object TextAnalysis {
     * shuffles past that); the 1-row total rides the p06-style broadcast
     * cross; the top-20 is TakeOrdered (no global sort materialization). */
   def t11(s: SparkSession, d: String): DataFrame = {
+    // NOT spread (r21 interleaved A/B, same JVM): repartitioning the
+    // token arrays before the explodes measured SLOWER (off
+    // 1.99/1.12/1.22 s vs on 2.18/1.95/1.53 s) — both explodes are
+    // cheap `split`/element_at work and feed map-side-combined aggs,
+    // so the exchange of the raw text costs more than the one-core
+    // explode stage it widens (contrast t10/d15, whose per-span MD5
+    // makes the explode stage CPU-dense enough to pay for it).
     val toks = documents(s, d).select(split(col("text"), " ").as("t"))
     val uni = toks.select(explode(col("t")).as("w"))
     // persisted: consumed three times (c_a join, c_b join, total) — one
@@ -684,6 +691,9 @@ object TextAnalysis {
     * products stay below 2^53 through the sweeps (a 100 TB run would
     * route them through Decimal(38,0) the way p06 does). */
   def t13(s: SparkSession, d: String): DataFrame = {
+    // NOT spread (r21 interleaved A/B, same JVM): off 2.12/1.49/1.53 s
+    // vs on 2.77/2.25/1.44 s — t11's reason (cheap explodes, exchange
+    // of raw text not repaid)
     val toks = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
     // persisted: consumed by the q-table join AND the vocab-size
     // aggregate — one corpus token pass, vocab-sized cache (t11)

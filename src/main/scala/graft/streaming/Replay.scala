@@ -324,7 +324,11 @@ object Replay {
     * child per parent is semantically identical; the inherit keys are
     * RE-COPIED on every acquisition so a runtime `conf.set` on the
     * parent between drains still propagates. WeakHashMap: a dropped
-    * parent releases its child. Concurrency contract: acquisition is
+    * parent releases its map ENTRY — but once a drain has run,
+    * [[ensureLeaseListener]] holds the child strongly in the static
+    * listener set for the JVM lifetime, so the residual leak bound is
+    * one child SessionState per distinct parent ever drained (vs one
+    * per drain pre-cache), not zero. Concurrency contract: acquisition is
     * atomic (one lock around the whole snapshot sync, including the
     * stale-key unsets), so overlapping drains of one parent see
     * identical conf as long as the parent's knobs don't change BETWEEN

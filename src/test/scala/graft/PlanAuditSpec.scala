@@ -51,8 +51,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a16_ivfpq_tombstone_serve" -> "a13's probe-side constant-size broadcast crosses (the deletion itself is an id-only hash anti-join against the published index)",
     "s13_stream_index_tombstones" -> "a16's serve plan over the drained delete relation (the same probe-side constant-size broadcast crosses)",
     "a17_ivfpq_retrain_cutover" -> "a13's probe-side constant-size broadcast crosses (the cutover serves the retrained published index; the retrain decision is two pruned counters)",
-    "d14_lsh_recall" -> "crossJoins of three 1-row count aggregates (the report row assembly)",
-    "d19_band_retune_cutover" -> "d14's crossJoins of three 1-row count aggregates (the served generation's recall report)",
+    "d14_lsh_recall" -> "crossJoin of two 1-row aggregates: sampled_docs x the combined true/found counts (the report row assembly; r21 folded the separate found subtree into one left-join aggregate)",
+    "d19_band_retune_cutover" -> "d14's crossJoin of two 1-row aggregates (the served generation's recall report)",
     "t13_lm_score" -> "crossJoin vs broadcast 1-row vocab-size aggregate (the V of (c_ab+1)/(c_a+V))",
     "t15_vocab_growth" -> "crossJoin vs broadcast 1-row max-id aggregate (the decile denominator)")
 
