@@ -399,10 +399,12 @@ object Bench {
       // while the host load1m exceeded half the core count is suspect at
       // a LOWER ratio than the 2x rule — the r20 d04 sample (10.3 s at
       // load 24, retry 2.6 s) was adjudicated by retry only by luck of
-      // the 2x trigger. Both triggers re-run once; the retry's OWN
-      // load1m is stamped so the adjudicator can see whether the second
-      // sample was clean instead of inferring it.
-      val retry: Option[(Double, Long, Boolean, Double)] =
+      // the 2x trigger. Both triggers re-run once; the retry's load1m is
+      // stamped at its START and its END (round-22, the round-21 ADVICE
+      // low: a burst arriving DURING a multi-second retry was invisible
+      // when only the start was sampled — retry_load1m is the start,
+      // retry_load1m_end the reading right after the retry finished).
+      val retry: Option[(Double, Long, Boolean, Double, Double)] =
         frozenMed.get(name).filter(m => secs >= 1.0 &&
           (secs >= 2.0 * m ||
             (load0 > cpus.toDouble / 2 && secs >= 1.4 * m))).map { _ =>
@@ -422,12 +424,14 @@ object Bench {
                 true
             }
           val rSecs = (System.nanoTime() - rt0) / 1e9
+          val rLoadEnd = loadAvg // sampled BEFORE cleanup: the retry's own window
           cleanStorage()
-          (rSecs, graft.core.Materialize.publishCount - rp0, failed, rLoad)
+          (rSecs, graft.core.Materialize.publishCount - rp0, failed, rLoad, rLoadEnd)
         }
-      val retryJson = retry.map { case (rs, rp, rf, rl) =>
+      val retryJson = retry.map { case (rs, rp, rf, rl, rle) =>
         s""","retry_sec":${math.round(rs * 1000) / 1000.0},"retry_pub":$rp""" +
           s""","retry_load1m":${math.round(rl * 100) / 100.0}""" +
+          s""","retry_load1m_end":${math.round(rle * 100) / 100.0}""" +
           (if (rf) ""","retry_failed":true""" else "")
       }.getOrElse("")
       val d = s"""{"q":"$name","sec":${math.round(secs * 1000) / 1000.0},""" +
@@ -512,21 +516,32 @@ object Bench {
           s""","load1m":${r3(load0)}""" +
           // streaming entries additionally carry the data-dependent
           // residual after this run's measured tier fixed cost (round-21,
-          // verdict item 7): sec_net = sec − control_stream. The frozen
-          // medians predate the probe, so the RATIO stays on raw sec;
-          // once a freeze stamps _control_stream the net ratio can take
-          // over the s-tier gate.
-          (if (name.startsWith("s"))
-            s""","sec_net":${r3(math.max(0.0, sec - ctlStream))}""" else "") +
+          // verdict item 7): sec_net = sec − control_stream. Since the
+          // round-22 freeze stamp (`_control_stream` in BENCH_FREEZE.json,
+          // the quiet-session tier fixed cost) the row also carries the
+          // NET ratio xn = sec_net / (frozen_med − _control_stream) — the
+          // adjudication number for s-entries, since the raw ratio x
+          // rides the tier's ambient-sensitive fixed cost both in its
+          // numerator and its yardstick. The official gate number stays
+          // raw `x` (the cross-round protocol is single-sample raw
+          // seconds); xn is the arithmetic the adjudicator reads.
+          (if (name.startsWith("s")) {
+            val net = r3(math.max(0.0, sec - ctlStream))
+            s""","sec_net":$net""" +
+              frozenMed.get("_control_stream")
+                .filter(fs => m - fs > 0.2)
+                .map(fs => s""","xn":${r3(net / (m - fs))}""").getOrElse("")
+          } else "") +
           ambHeavy.filter(_ > 0).map(a =>
             s""","xa":${r3(sec / m / a)}""").getOrElse("") +
           // the measured second sample (>2x entries — and, round 21,
           // load-contended >1.4x entries — re-ran once, clean storage,
           // same session): retry_x near 1 = transient burst, retry_x
           // near x = persistent — the ambient argument as data
-          retry.map { case (rs, _, rf, rl) =>
+          retry.map { case (rs, _, rf, rl, rle) =>
             s""","retry_sec":${r3(rs)},"retry_x":${r3(rs / m)}""" +
               s""","retry_load1m":${r3(rl)}""" +
+              s""","retry_load1m_end":${r3(rle)}""" +
               (if (rf) ""","retry_failed":true""" else "") }.getOrElse("")
         val withStages = stageFacts.get(name).map { f =>
           val same = frozenSig.get(name).flatMap { sig =>
@@ -614,6 +629,18 @@ object Bench {
       s""""control_stream":$ctlStream}""").append('\n')
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_diag.json"),
       diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // per-RUN stamped diag copy (round-22, verdict item 2): the fixed
+    // paths above are overwritten by every bench invocation — in round
+    // 21 the driver's 8-core run clobbered its own 32-core run's diag,
+    // destroying exactly the load1m/retry rows that would have settled
+    // that round's anomalies. A cpus+epoch-stamped filename survives any
+    // later run at any core count.
+    val diagStamp = s"c${cpus}_${System.currentTimeMillis() / 1000}"
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"/tmp/graft_bench_diag_$diagStamp.json"),
+      diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] stamped diag copy failed: ${e.getMessage}") }
     // THIS run's stage signatures (every entry that produced a stage
     // table) — the freeze protocol copies this to BENCH_STAGESIG.json
     val sigLine = stageFacts.map { case (k, f) =>
@@ -629,18 +656,57 @@ object Bench {
     // it. Skipped when this run's sf differs from the freeze's (a
     // diagnostic run at another scale must not clobber the round's
     // adjudication artifact with wrong-scale lines — round-14 review).
-    if (freezeApplies)
+    if (freezeApplies) {
       try java.nio.file.Files.write(
         new java.io.File(repoDir, f"BENCH_DIAG_r$currentRound%02d.json").toPath,
         diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable =>
         System.err.println(s"[bench] diag repo copy failed: ${e.getMessage}") }
+      // cpus-stamped repo twin (round-22, verdict item 2): the driver
+      // runs the bench at 32 AND 8 cores in one round — with only the
+      // per-round path, the second run destroys the first's diag. One
+      // file per core count keeps both runs' adjudication rows in the
+      // round's committed history (same-cpus reruns still last-win,
+      // which is the per-round convention; the /tmp epoch-stamped copy
+      // above preserves every individual run).
+      try java.nio.file.Files.write(
+        new java.io.File(repoDir,
+          f"BENCH_DIAG_r$currentRound%02d_c$cpus.json").toPath,
+        diag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] cpus diag repo copy failed: ${e.getMessage}") }
+    }
+    // worst-entry adjudication row IN the stdout tail (round-22, verdict
+    // item 2): the diag files can be clobbered by a later run, but the
+    // driver's 2000-char tail capture survives in BENCH_r<N>.json forever
+    // — so the single row the adjudicator needs most (the run's worst
+    // ratio vs frozen, with its load stamps and measured retry) rides
+    // there too. Distinct "bench_worst" key: the driver greps for
+    // {"metric": and must never parse this line instead. Budget: this
+    // line is ~160–260 chars, the compact line ~1600 — both fit the
+    // window together.
+    val worstLine = results
+      .flatMap { case (name, sec, pubN, retry, load0) =>
+        frozenMed.get(name).filter(_ > 0)
+          .map(m => (sec / m, name, sec, m, pubN, retry, load0)) }
+      .sortBy(-_._1).headOption.map { case (x, name, sec, m, pubN, retry, load0) =>
+        s"""{"bench_worst":{"q":"${name.takeWhile(_ != '_')}","sec":${r3(sec)},""" +
+          s""""x":${r3(x)},"pub":$pubN,"load1m":${r3(load0)}""" +
+          (if (name.startsWith("s"))
+            s""","sec_net":${r3(math.max(0.0, sec - ctlStream))}""" else "") +
+          retry.map { case (rs, _, rf, rl, rle) =>
+            s""","retry_sec":${r3(rs)},"retry_x":${r3(rs / m)}""" +
+              s""","retry_load1m":${r3(rl)},"retry_load1m_end":${r3(rle)}""" +
+              (if (rf) ""","retry_failed":true""" else "") }.getOrElse("") +
+          "}}"
+      }.getOrElse("""{"bench_worst":{}}""")
     println(probeLine)
     println(compact)
     // the line must be the LAST output: Spark's stop() logging (or a
     // hung shutdown) after it would push it out of the tail window —
     // print again after stop so the final bytes of stdout are the line
     try spark.stop() catch { case _: Throwable => () }
+    println(worstLine)
     println(compact)
   }
 }

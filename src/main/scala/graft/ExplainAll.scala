@@ -57,7 +57,13 @@ object ExplainAll {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val f = new java.io.File(outDir, s"${name.takeWhile(_ != '_')}_$suffix.txt")
-      val hdr = f"== $name rows=$n time=$secs%.2fs sf=$sfDir cpus=$cpus ==\n"
+      // the header's seconds are count()-protocol with inter-query
+      // cache-clear hygiene — an in-JVM RELATIVE instrument. Say so in
+      // the artifact itself (round-22, verdict minor 6): a reader who
+      // compares this number to a bench-protocol second mis-adjudicates.
+      val hdr = f"== $name rows=$n time=$secs%.2fs sf=$sfDir cpus=$cpus ==\n" +
+        "# time above is ExplainAll's count()-protocol: in-JVM relative A/B " +
+        "only, NOT bench-comparable\n"
       java.nio.file.Files.write(f.toPath,
         (hdr + plan + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(f"[explainall] wrote $f ($secs%.2fs)")

@@ -1970,10 +1970,10 @@ object Dedup {
     * the <SpanLen-token guard (Spark's sequence() counts DOWN on an
     * empty range). */
   def d11(s: SparkSession, d: String): DataFrame = {
-    val occ = documents(s, d)
-      // pinned repartition: the corpus file is one row group, so the
-      // span-md5 explode otherwise runs on one core (t10/d04 discipline)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val occ = graft.core.Tables.spread(documents(s, d), col("doc_id"))
+      // pinned repartition (via spread, conf-gated): the corpus file is
+      // one row group, so the span-md5 explode otherwise runs on one
+      // core (t10/d04 discipline)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= SpanLen)
       .withColumn("sh", explode(expr(
@@ -2036,10 +2036,9 @@ object Dedup {
     * boilerplate-hot spans first (the d11 report is exactly the census
     * for that decision). */
   def d12(s: SparkSession, d: String): DataFrame = {
-    val occ = documents(s, d)
-      // pinned repartition: single-row-group scan, one-core explode
-      // otherwise (t10/d04 discipline)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val occ = graft.core.Tables.spread(documents(s, d), col("doc_id"))
+      // pinned repartition (via spread, conf-gated): single-row-group
+      // scan, one-core explode otherwise (t10/d04 discipline)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= SpanLen)
       .withColumn("sh", explode(expr(

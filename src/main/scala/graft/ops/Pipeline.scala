@@ -661,13 +661,12 @@ object Pipeline {
   /** the benchmark's distinct REDACTED shingles (tiny — broadcast by
     * the decon join). */
   private def benchShingles(live: DataFrame): DataFrame =
-    live.where(col("doc_id") < graft.ops.Dedup.ContamBenchIds)
-      // pinned repartition before the CPU-dense redact+shingle explode,
-      // for the same single-row-group reason as [[cleanRedacted]] — the
-      // OUTPUT is tiny (broadcast by the decon join) but the redact pass
-      // itself otherwise runs on one core
-      .repartition(live.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id"))
+    graft.core.Tables.spread(
+      live.where(col("doc_id") < graft.ops.Dedup.ContamBenchIds), col("doc_id"))
+      // pinned repartition (via spread, conf-gated) before the CPU-dense
+      // redact+shingle explode, for the same single-row-group reason as
+      // [[cleanRedacted]] — the OUTPUT is tiny (broadcast by the decon
+      // join) but the redact pass itself otherwise runs on one core
       .withColumn("red", graft.ops.TextAnalysis.redactTokens(split(col("text"), " ")))
       .where(size(col("red")) >= graft.ops.Dedup.ShingleWords)
       .select(explode(array_distinct(shingleOfRed)).as("sh")).distinct()
@@ -1290,12 +1289,14 @@ object Pipeline {
     val hit = placement.join(feed, "doc_id")
       .select(col("shard"), col("pos"), col("n_tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxRows = s.conf.getOption("spark.graft.p13.broadcastMaxRows")
-      .map(_.toLong).getOrElse(TakedownBroadcastMaxRows)
     // try/finally: the persisted takedown set must not outlive this
-    // call if the count, the repair, or the build throws (a leaked
-    // MEMORY_AND_DISK dataset holds storage memory for the session)
+    // call if ANYTHING after the persist throws — including the conf
+    // parse (round-22, the round-21 ADVICE low: a malformed
+    // broadcastMaxRows value threw OUTSIDE the try and leaked the
+    // MEMORY_AND_DISK dataset the finally exists to release)
     try {
+      val maxRows = s.conf.getOption("spark.graft.p13.broadcastMaxRows")
+        .map(_.toLong).getOrElse(TakedownBroadcastMaxRows)
       val nTakedown = hit.count() // takedown-sized action (plan choice)
       val survivors = placement.join(feed, Seq("doc_id"), "left_anti")
       val repaired =

@@ -401,12 +401,11 @@ object TextAnalysis {
     * distinct counts. No all-pairs term anywhere; the text column
     * never travels past the shingle projection. */
   def t10(s: SparkSession, d: String): DataFrame = {
-    val occ = documents(s, d)
-      // pinned repartition before the CPU-dense shingle-md5 explode:
-      // the corpus file is a single row group, so the scan-rooted stage
-      // otherwise runs on ONE core (r20 diag: two 1.6–1.8 s single-task
-      // stages; the cleanRedacted/d04 discipline)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val occ = graft.core.Tables.spread(documents(s, d), col("doc_id"))
+      // pinned repartition (via spread, conf-gated) before the CPU-dense
+      // shingle-md5 explode: the corpus file is a single row group, so
+      // the scan-rooted stage otherwise runs on ONE core (r20 diag: two
+      // 1.6–1.8 s single-task stages; the cleanRedacted/d04 discipline)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= Dedup.SpanLen)
       .withColumn("sh", explode(expr(
@@ -565,10 +564,10 @@ object TextAnalysis {
     * which is harmless here because both engines see the same strings. */
   def t12(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    var cur = documents(s, d)
-      // pinned repartition: single-row-group corpus file, same reason
-      // as t10 — and the per-round doc_id windows reuse this exchange
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    var cur = graft.core.Tables.spread(documents(s, d), col("doc_id"))
+      // pinned repartition (via spread, conf-gated): single-row-group
+      // corpus file, same reason as t10 — and the per-round doc_id
+      // windows reuse this exchange
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("tok"))
     // NOT cached per round (r21 A/B): persisting each round's table to

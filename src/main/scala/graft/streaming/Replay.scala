@@ -357,6 +357,14 @@ object Replay {
       val desired = scala.collection.mutable.Map.empty[String, String]
       parent.conf.getAll.foreach { case (k, v) =>
         if (k.startsWith("spark.graft.") ||
+            // state-store tuning knobs set at runtime on the parent
+            // (e.g. rocksdb.trackTotalNumberOfRows for an A/B rail, or
+            // a deployment's provider tuning) must reach the child the
+            // drain actually runs on — without this copy they silently
+            // applied to the PARENT only, which runs no admission query
+            // (round 22). The provider pin below still wins on its two
+            // keys (set after this loop).
+            k.startsWith("spark.sql.streaming.stateStore.") ||
             k == "spark.sql.shuffle.partitions" ||
             k == "spark.sql.session.timeZone" ||
             k == "spark.sql.legacy.parquet.nanosAsLong") desired(k) = v
@@ -1216,6 +1224,31 @@ object Replay {
       .as[(Long, String)]
   }
 
+  /** Operator order for the admission drain (round 22, verdict item 5).
+    * The shipped order is VERIFY-FIRST: the banded candidate join, the
+    * token-array attach and the exact merge-intersect verify all run in
+    * the WIDE STATELESS stage (the arrival source is rebalanced to
+    * defaultParallelism), and the watermark-bounded pair dedup then
+    * holds only slim VERIFIED (ni, ci, jac) rows — so the state
+    * exchange to [[admissionPartitions]] carries ~24-byte rows and the
+    * RocksDB store holds verified-pair keys only. The pre-r22 order
+    * (dedup the candidate stream BEFORE verify) shipped every arrival's
+    * token-id array through the 8-partition state exchange — the guide
+    * §8 violation (heavy payload riding a decision shuffle): the r22
+    * diag read that stage at 48 s summed task / 40.5 s CPU on 8 tasks
+    * while the machine had 32 idle-ish cores. Cost of the reorder:
+    * multi-band collisions of one pair are verified once PER COLLISION
+    * ROW instead of once per pair — bounded by numBands (4) and paid at
+    * full width; measured A/B below. `spark.graft.stream.verifyFirst
+    * =false` restores the old order (a deployment whose repeat factor ×
+    * verify cost outweighs the exchange saving — e.g. huge docs with
+    * near-identical copies — flips it back). Results are identical
+    * either way: jac is a pure function of the pair, the dedup key is
+    * (ni, ci) in both orders, and the read-back distincts on exactly
+    * those columns. */
+  private[graft] def s14VerifyFirst(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.stream.verifyFirst").forall(_.toBoolean)
+
   def s14(s: SparkSession, d: String): DataFrame = {
     // ISOLATED admission session (round 19): the whole drain — source,
     // stream-static joins, stateful dedup, sink, report — is built on
@@ -1240,35 +1273,48 @@ object Replay {
           greatest(col("na"), col("nb")) * lit(graft.ops.Dedup.TauNum) <=
             lit(graft.ops.Dedup.TauDen) * least(col("na"), col("nb")))
       .select(col("ni"), col("ci"), col("ta"))
-      // pair-key dedup state BOUNDED by watermark (round-15 verdict
-      // item 2): a bare dropDuplicates keeps every pair key forever —
-      // fine for this AvailableNow replay, a state leak in the
-      // continuous ingest deployment the entry models. Soundness of
-      // the bound: a repeated (ni,ci) can ONLY arise from multi-band
-      // collisions of ONE arrival doc, and streamArrivalBandRows emits
-      // all of a doc's band rows from one flatMap over one input row —
-      // so every repeat lands in the SAME micro-batch, where
-      // current_timestamp() (the batch timestamp, constant within a
-      // micro-batch) gives them one event time: any positive delay
-      // covers them, and state older than the watermark horizon is
-      // evicted instead of kept for the life of the stream
-      // (Round16OpsSpec drains a two-batch feed and pins the eviction).
+    // pair-key dedup state BOUNDED by watermark (round-15 verdict
+    // item 2): a bare dropDuplicates keeps every pair key forever —
+    // fine for this AvailableNow replay, a state leak in the
+    // continuous ingest deployment the entry models. Soundness of
+    // the bound: a repeated (ni,ci) can ONLY arise from multi-band
+    // collisions of ONE arrival doc, and streamArrivalBandRows emits
+    // all of a doc's band rows from one flatMap over one input row —
+    // so every repeat lands in the SAME micro-batch, where
+    // current_timestamp() (the batch timestamp, constant within a
+    // micro-batch) gives them one event time: any positive delay
+    // covers them, and state older than the watermark horizon is
+    // evicted instead of kept for the life of the stream
+    // (Round16OpsSpec drains a two-batch feed and pins the eviction).
+    def dedupPairs(df: DataFrame): DataFrame = df
       .withColumn("arrival_ts", current_timestamp())
       .transform(StreamDedup.dedupWithinWatermark(_, Seq("ni", "ci"),
         "arrival_ts", "10 seconds"))
       .drop("arrival_ts")
-    // NOT widened below the stateful operator (r21 A/B): a pinned
-    // repartition(defaultParallelism) between the dedup and the verify
-    // — to spread the verify CPU past the 8 admission partitions —
-    // measured SLOWER interleaved-A/B in one JVM (11.1/13.3/11.3 s
-    // plain vs 15.6/16.2/13.9 s widened): the extra per-micro-batch
-    // exchange of the (ni, ci, ta) rows costs more than the added
-    // cores return at this state/batch granularity.
-    val withTb = cand.join(
-      corpus.where(col("band") === 0)
-        .select(col("i").as("ci"), col("toks").as("tb")), "ci")
-    val pairs = graft.ops.Dedup.verifyCandidates(
-      withTb.select(col("ni"), col("ci"), col("ta"), col("tb")))
+    val tb = corpus.where(col("band") === 0)
+      .select(col("i").as("ci"), col("toks").as("tb"))
+    val pairs =
+      if (s14VerifyFirst(as)) {
+        // verify-first (shipped, [[s14VerifyFirst]]): tb attach + exact
+        // verify run stateless at source width; only slim verified
+        // pairs enter the state exchange and the store
+        dedupPairs(graft.ops.Dedup.verifyCandidates(
+          cand.join(tb, "ci")
+            .select(col("ni"), col("ci"), col("ta"), col("tb"))))
+      } else {
+        // dedup-first (pre-r22 order, conf-restorable): cut multi-band
+        // repeats before paying the verify — at the cost of shipping
+        // every candidate's token array through the state exchange.
+        // NOT widened below the stateful operator (r21 A/B): a pinned
+        // repartition(defaultParallelism) between the dedup and the
+        // verify measured SLOWER interleaved-A/B in one JVM
+        // (11.1/13.3/11.3 s plain vs 15.6/16.2/13.9 s widened): the
+        // extra per-micro-batch exchange of the (ni, ci, ta) rows costs
+        // more than the added cores return.
+        graft.ops.Dedup.verifyCandidates(
+          dedupPairs(cand).join(tb, "ci")
+            .select(col("ni"), col("ci"), col("ta"), col("tb")))
+      }
     // admission tier = pair-volume state: disk-backed provider by
     // default, carried by the CHILD session's conf (set once at
     // [[admissionSession]] creation — no session-wide set/restore

@@ -86,21 +86,58 @@ class R21OptimizationSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("t10 and d11 plans really are single-pass over the exploded corpus") {
-    // structural half of the claim: count Generate (explode) nodes fed
-    // by the documents scan — the rewrite's point is ONE shingle
-    // explode, and a refactor reintroducing the second pass would grow
-    // this count back. (t10 keeps a second, explode-FREE documents scan
-    // for the slim first-source lookup; that one is intended.)
-    def explodes(df: DataFrame): Int =
-      "(?m)^\\s*(:|\\+)- \\*?\\s?Generate explode".r
-        .findAllIn(df.queryExecution.executedPlan.toString).length
-    val t10Explodes = explodes(graft.ops.TextAnalysis.t10(spark, sf))
-    // t10: 1 corpus shingle explode + 1 tiny source-set re-expansion
-    assert(t10Explodes <= 2,
-      s"t10 grew a second corpus explode pass (found $t10Explodes Generate nodes)")
-    val d11Explodes = explodes(graft.ops.Dedup.d11(spark, sf))
-    // d11: 1 corpus span explode + 1 per-shingle struct-list re-expansion
-    assert(d11Explodes <= 2,
-      s"d11 grew a second corpus explode pass (found $d11Explodes Generate nodes)")
+    // structural half of the claim, sharpened per the round-21 ADVICE
+    // low: the old two-pass shapes ALSO had exactly two Generate nodes
+    // (two corpus explodes, no re-expansion), so a total-explode cap of
+    // 2 could not catch a revert. What distinguishes the shapes is
+    // WHERE the explode sits: a CORPUS explode pass reaches the
+    // documents scan with no aggregate in between, while the rewrites'
+    // re-expansion explodes sit ABOVE the per-shingle aggregate. Count
+    // corpus explodes in the optimized logical plan and pin them to 1.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // "raw corpus below": the explode's input is scanned corpus rows,
+    // modulo project/filter/repartition — crossing an Aggregate OR a
+    // Join means the explode re-expands DERIVED data (the rewrites'
+    // intended re-expansion explodes sit above the per-shingle
+    // aggregate, and t10's sits above the first-source join too)
+    def rawCorpusBelow(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: Join => false
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+        case _ => false
+      }
+      case other => other.children.exists(rawCorpusBelow)
+    }
+    def corpusExplodes(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case g: Generate if rawCorpusBelow(g.child) => g
+      }.size
+    // t10: exactly 1 corpus shingle explode (the first-source lookup
+    // scan is explode-free; the source-set re-expansion sits above the
+    // groupBy(sh) aggregate, so it does not count)
+    assert(corpusExplodes(graft.ops.TextAnalysis.t10(spark, sf)) === 1,
+      "t10 grew a second corpus explode pass (or lost its only one)")
+    // d11: exactly 1 corpus span explode (the per-source struct-list
+    // re-expansion sits above the (sh, source) rollup)
+    assert(corpusExplodes(graft.ops.Dedup.d11(spark, sf)) === 1,
+      "d11 grew a second corpus explode pass (or lost its only one)")
+  }
+
+  test("d11's rollup premise holds: every doc_id maps to exactly one source") {
+    // d11's nd = sum(nd_so) equals countDistinct(doc_id) per span ONLY
+    // under this functional dependency (round-21 ADVICE low): a corpus
+    // where one doc_id appears under two sources would silently
+    // overcount nd and inflate spans_duplicated. Pin the premise so a
+    // corpus regeneration that breaks it fails loudly HERE, not as an
+    // oracle hash mismatch three rounds later.
+    val maxSrcPerDoc = documents(spark, sf)
+      .groupBy("doc_id").agg(countDistinct(col("source")).as("ns"))
+      .agg(max(col("ns"))).head().getLong(0)
+    assert(maxSrcPerDoc === 1L,
+      s"documents has a doc_id under $maxSrcPerDoc sources — d11's " +
+        "sum(nd_so) rollup (and t10's first-source join) presume one")
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * grows ~k^2, the worst case for output-bound kernels) and times the
   * requested queries at each multiple. Usage:
   *   Test/runMain graft.tools.SweepDup build      # write /tmp/graft_sweep/x{2,5}
+  *   Test/runMain graft.tools.SweepDup build10    # x10 (the round-22 order-of-magnitude point)
   *   Test/runMain graft.tools.SweepDup abuild     # x{20,50} embeddings-only (a-suite)
   *   Test/runMain graft.tools.SweepDup time d07_neardup_clusters d09_dedup_savings
   * `time` walks sf0.1 + x2 + x5 by default; set SWEEP_DIRS to a comma-
@@ -49,17 +50,19 @@ object SweepDup {
     }).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.headOption match {
-      case Some("build") => build(spark)
+      case Some("build") => build(spark, Multiples)
+      case Some("build10") => build(spark, Seq(10))
       case Some("abuild") => abuild(spark)
       case Some("time") => time(spark, args.drop(1).toSeq)
-      case _ => System.err.println("usage: SweepDup build | abuild | time <query...>")
+      case _ => System.err.println(
+        "usage: SweepDup build | build10 | abuild | time <query...>")
     }
     spark.stop()
   }
 
   private val Offset = 10L * 1000 * 1000
 
-  private def build(spark: SparkSession): Unit = {
+  private def build(spark: SparkSession, multiples: Seq[Int]): Unit = {
     val docs = spark.read.parquet(s"$Src/documents.parquet")
     val embs = spark.read.parquet(s"$Src/embeddings.parquet")
     // events duplicated with offset event/user ids but UNCHANGED
@@ -68,7 +71,7 @@ object SweepDup {
     // user-keyed state (s01) must scale with k; the s-suite sweep
     // measures exactly that split via Replay.lastStateRows.
     val evs = spark.read.parquet(s"$Src/events.parquet")
-    Multiples.foreach { k =>
+    multiples.foreach { k =>
       val d = (0 until k).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * Offset)))
         .reduce(_ union _)
       val e = (0 until k).map(i => embs.withColumn("vec_id", col("vec_id") + lit(i * Offset)))
