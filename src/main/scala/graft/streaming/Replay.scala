@@ -227,12 +227,39 @@ object Replay {
     * streaming query at 8 partitions (fixed into the fresh checkpoint
     * at query start; result sets are partitioning-independent) and
     * restore the session setting after. A real deployment sizes this
-    * to its state volume — the knob is per-query by design. */
+    * to its state volume — the knob is per-query by design.
+    *
+    * Checkpoint FILE CHECKSUMS are also scoped off here (round 22):
+    * Spark 4.1's ChecksumCheckpointFileManager doubles every
+    * offset/commit/state-delta file op and, on a local filesystem
+    * without the Hadoop native library, its permission/chmod calls FORK
+    * A SHELL per file (thread dumps: ChecksumCheckpointFileManager
+    * threads pinned in hadoop.util.Shell.runCommand through the whole
+    * replay window) — hundreds of process forks per replay of
+    * single-use scratch whose durability class is shuffle files, not
+    * published artifacts (it is written, read back in the same call,
+    * and retention-swept; on the default tmpfs root a corruption the
+    * checksum would catch cannot outlive the run that made it).
+    * `spark.graft.replay.checkpointChecksum=true` restores the Spark
+    * default for a deployment that points spark.graft.replay.root at a
+    * durable store and wants end-to-end checkpoint integrity there.
+    * Result-neutral by construction (file-manager wrapper only). */
   private def withReplayPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val wantCk = s.conf.getOption("spark.graft.replay.checkpointChecksum")
+      .exists(_.trim.equalsIgnoreCase("true"))
     val prev = s.conf.get(key)
+    val prevCk = s.conf.getOption(ck)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(ck, wantCk.toString)
+    try body finally {
+      s.conf.set(key, prev)
+      prevCk match {
+        case Some(v) => s.conf.set(ck, v)
+        case None => s.conf.unset(ck)
+      }
+    }
   }
 
   /** Partition count for ADMISSION-tier drains (s14/s16/the dedup-drain
@@ -357,14 +384,15 @@ object Replay {
       val desired = scala.collection.mutable.Map.empty[String, String]
       parent.conf.getAll.foreach { case (k, v) =>
         if (k.startsWith("spark.graft.") ||
-            // state-store tuning knobs set at runtime on the parent
-            // (e.g. rocksdb.trackTotalNumberOfRows for an A/B rail, or
-            // a deployment's provider tuning) must reach the child the
-            // drain actually runs on — without this copy they silently
-            // applied to the PARENT only, which runs no admission query
-            // (round 22). The provider pin below still wins on its two
-            // keys (set after this loop).
-            k.startsWith("spark.sql.streaming.stateStore.") ||
+            // streaming tuning knobs set at runtime on the parent
+            // (state-store provider tuning, checkpoint-manager knobs —
+            // e.g. rocksdb.trackTotalNumberOfRows or
+            // checkpoint.fileChecksum.enabled for an A/B rail) must
+            // reach the child the drain actually runs on — without this
+            // copy they silently applied to the PARENT only, which runs
+            // no admission query (round 22). The provider pin below
+            // still wins on its two keys (set after this loop).
+            k.startsWith("spark.sql.streaming.") ||
             k == "spark.sql.shuffle.partitions" ||
             k == "spark.sql.session.timeZone" ||
             k == "spark.sql.legacy.parquet.nanosAsLong") desired(k) = v
